@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator query: a Spark pipeline over a testdata scale
+  * directory plus (when SQL-expressible) an equivalent DuckDB oracle.
+  * Column names/types and row ordering determinism must match between the
+  * two (driver hashes values after sorting columns by name).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Catalog {
+  def all: Seq[Q] =
+    queries.KnnQueries.qs ++
+      queries.AggQueries.qs
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

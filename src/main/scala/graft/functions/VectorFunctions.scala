@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import graft.expr.{CosineDistance, DotProduct, L2Distance}
+
+/** Column-level vector functions: codegen'd distance kernels plus the
+  * deterministic hash→vector generator (graft's MockEmbedder analog —
+  * reference `embeddings.py:343-371` seeds a RNG from sha256(text); we use
+  * pure integer LCG arithmetic instead so a DuckDB oracle reproduces the
+  * vectors bit-for-bit).
+  */
+object VectorFunctions {
+
+  /** dot(a, b) as double, left-to-right accumulation. */
+  def vecDot(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** cosine distance = 1 − dot/(‖a‖‖b‖); lower = better. */
+  def cosineDistance(a: Column, b: Column): Column =
+    bridge.column(CosineDistance(bridge.expression(a), bridge.expression(b)))
+
+  /** euclidean distance ‖a−b‖. */
+  def l2Distance(a: Column, b: Column): Column =
+    bridge.column(L2Distance(bridge.expression(a), bridge.expression(b)))
+
+  /** ip "distance" = −dot (lower = better, matches the reference). */
+  def ipDistance(a: Column, b: Column): Column = -vecDot(a, b)
+
+  // LCG constants (glibc's rand): public domain arithmetic, chosen so both
+  // engines evaluate the identical integer expression.
+  val HashA = 1103515245L
+  val HashB = 12345L
+  val HashC = 6789L
+  val HashM = 2147483647L
+
+  /** Deterministic pseudo-random vector from an integer key: element i =
+    * ((key·A + i·B + C) mod M)/M − 0.5 ∈ [−0.5, 0.5). Pure int64/double
+    * arithmetic ⇒ exactly reproducible in DuckDB SQL (see [[hashVectorSql]]).
+    * `key` must be non-negative (all testdata keys are).
+    */
+  def hashVector(key: Column, dim: Int): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      i =>
+        ((key.cast("long") * lit(HashA) + i.cast("long") * lit(HashB) +
+          lit(HashC)) % lit(HashM)).cast("double") / lit(HashM.toDouble) -
+          lit(0.5))
+
+  /** Driver-side evaluation of [[hashVector]] for a constant key — use
+    * `typedlit(hashVectorValues(k, d))` for single-query search so the
+    * query vector is a literal and the scoring Project stays inside
+    * whole-stage codegen (a higher-order `transform` is CodegenFallback).
+    */
+  def hashVectorValues(key: Long, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      ((key * HashA + i * HashB + HashC) % HashM).toDouble / HashM - 0.5
+    }
+
+  /** Constant query vector as a literal column (codegen-friendly). */
+  def hashVectorLit(key: Long, dim: Int): Column =
+    typedlit(hashVectorValues(key, dim))
+
+  /** DuckDB SQL fragment computing [[hashVector]] for key expression `key`. */
+  def hashVectorSql(key: String, dim: Int): String =
+    s"list_transform(range($dim), i -> " +
+      s"((($key)::BIGINT * $HashA + i * $HashB + $HashC) % $HashM)::DOUBLE" +
+      s" / $HashM.0 - 0.5)"
+
+  /** DuckDB fragments for the distance kernels over 1-indexed lists `a`,`b`
+    * of dimension `dim` — same left-to-right double accumulation as the
+    * Catalyst expressions above.
+    */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range($dim), i -> " +
+      s"($a)[i+1]::DOUBLE * ($b)[i+1]::DOUBLE), (x, y) -> x + y)"
+
+  def normSql(a: String, dim: Int): String =
+    s"sqrt(${dotSql(a, a, dim)})"
+
+  def cosineDistanceSql(a: String, b: String, dim: Int): String =
+    s"(1.0 - ${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}))"
+
+  def l2DistanceSql(a: String, b: String, dim: Int): String =
+    s"sqrt(list_reduce(list_transform(range($dim), i -> " +
+      s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE) * " +
+      s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE)), (x, y) -> x + y))"
+
+  def ipDistanceSql(a: String, b: String, dim: Int): String =
+    s"(- ${dotSql(a, b, dim)})"
+
+  /** Register the kernels for SQL use (`spark.sql("vec_dot(a,b)")`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine_distance", es => CosineDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+
+/** Relational aggregate queries (SURVEY.md §2.12) — the reference's
+  * aggregation surface is corpus/stat computation; here expressed as
+  * declarative groupBy/agg so Catalyst plans partial (map-side) aggregation.
+  * Double sums of non-integer values are rounded to absorb order-of-
+  * accumulation ulps between Spark's parallel agg and DuckDB's.
+  */
+object AggQueries {
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q1_agg",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"), // integer-valued: exact in double
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       sum(l_quantity) AS sum_qty,
+          |       round(sum(l_extendedprice), 2) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+          |       round(avg(l_quantity), 4) AS avg_qty,
+          |       round(avg(l_discount), 6) AS avg_disc,
+          |       count(*) AS count_order
+          |FROM lineitem
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true
+    )
+  )
+}

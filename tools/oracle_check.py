@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <out>/<name> parquet written by graft.Verify, runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB (tables = views over the
+sfDir parquet), sorts columns by name + rows, and compares values.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; normalize floats/ints."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("f", "nan")
+            return ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("i", v)
+        return ("s", str(v))
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got_rows, got_cols)
+        ec, er = canon(exp_rows, exp_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns spark={gc} oracle={ec}")
+            n_fail += 1
+        elif gr != er:
+            diffs = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+            print(f"FAIL {name}: rows spark={len(gr)} oracle={len(er)} "
+                  f"first-diffs={diffs[:3]}")
+            for i in diffs[:3]:
+                print(f"   spark:  {gr[i]}")
+                print(f"   oracle: {er[i]}")
+            if len(gr) != len(er):
+                print(f"   spark[0:2]={gr[:2]}")
+                print(f"   oracle[0:2]={er[:2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
