@@ -16,7 +16,8 @@ final case class Q(
 object Catalog {
   def all: Seq[Q] =
     queries.KnnQueries.qs ++
-      queries.AggQueries.qs
+      queries.AggQueries.qs ++
+      queries.FilterQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
