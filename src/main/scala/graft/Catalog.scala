@@ -17,7 +17,8 @@ object Catalog {
   def all: Seq[Q] =
     queries.KnnQueries.qs ++
       queries.AggQueries.qs ++
-      queries.FilterQueries.qs
+      queries.FilterQueries.qs ++
+      queries.TextQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

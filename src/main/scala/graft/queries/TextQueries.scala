@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+import graft.text.TextAnalysis._
+
+/** Text-analysis catalog queries over the `documents` table: per-doc token
+  * stats, quality scores, a language-ID confusion matrix, and rolling-hash
+  * fingerprints. Per-row kernels, no shuffle except the final confusion-
+  * matrix groupBy.
+  */
+object TextQueries {
+  val qs: Seq[Q] = Seq(
+    Q(
+      "text_token_stats",
+      (s, dir) =>
+        Tables.documents(s, dir).selectExpr(
+          "doc_id",
+          s"size(${wsTokens("text")}) as n_ws_tokens",
+          s"size(${wordTokens("text")}) as n_word_tokens",
+          s"size(array_distinct(${wordTokens("text")})) as n_distinct_terms",
+          "length(text) as len_chars"),
+      Some(
+        s"""SELECT doc_id,
+           |  len(${wsTokensSql("text")}) AS n_ws_tokens,
+           |  len(${wordTokensSql("text")}) AS n_word_tokens,
+           |  len(list_distinct(${wordTokensSql("text")})) AS n_distinct_terms,
+           |  length(text) AS len_chars
+           |FROM documents""".stripMargin),
+      bench = true
+    ),
+    Q(
+      "text_quality",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          round(stopwordRatio("text"), 6).as("stop_ratio"),
+          round(meanTokenLen("text"), 6).as("mean_token_len"),
+          round(qualityScore("text"), 6).as("quality")),
+      Some(
+        s"""SELECT doc_id,
+           |  round(${stopwordRatioSql("text")}, 6) AS stop_ratio,
+           |  round(${meanTokenLenSql("text")}, 6) AS mean_token_len,
+           |  round(${qualityScoreSql("text")}, 6) AS quality
+           |FROM documents""".stripMargin)
+    ),
+    Q(
+      "text_langid",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang").as("actual"), langId("text").as("predicted"))
+          .groupBy("actual", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "predicted"),
+      Some(
+        s"""SELECT lang AS actual, ${langIdSql("text")} AS predicted,
+           |       count(*) AS n
+           |FROM documents
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "text_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fingerprint("text").as("fp")),
+      Some(
+        s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
+           |FROM documents""".stripMargin),
+      bench = true
+    )
+  )
+}

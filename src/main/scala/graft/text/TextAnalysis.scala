@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** Text-analysis kernels for training-data pipelines: token counting,
+  * quality scoring, marker-token language ID, and an order-sensitive
+  * rolling-hash document fingerprint.
+  *
+  * Every kernel is pure integer/double arithmetic over built-in SQL
+  * functions so the DuckDB oracle evaluates the *identical* formula
+  * (each Spark expression has a `...Sql` twin in DuckDB dialect). Hash
+  * constants: polynomial base 31 over ASCII codes mod 2^31−1 per token,
+  * then base 1000003 over token hashes — an order-sensitive rolling hash
+  * (reordered tokens change the fingerprint, unlike a bag-of-words sum).
+  *
+  * All kernels are embarrassingly parallel per row (no shuffle), so they
+  * scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+  val HashM = 2147483647L // 2^31 − 1
+  val CharB = 31L
+  val TokB = 1000003L
+
+  /** Whitespace tokens of a text column (Spark side). */
+  def wsTokens(text: String): String = s"split(trim($text), '\\\\s+')"
+  def wsTokensSql(text: String): String =
+    s"string_split_regex(trim($text), '\\s+')"
+
+  /** Word tokens: \w+ runs (the reference's BM25 tokenizer shape,
+    * hybrid_search.py:71-75, lowercased upstream). */
+  def wordTokens(text: String): String =
+    s"regexp_extract_all(lower($text), '\\\\w+', 0)"
+  def wordTokensSql(text: String): String =
+    s"regexp_extract_all(lower($text), '\\w+')"
+
+  /** Per-token polynomial hash: fold (acc·31 + ascii(char)) mod M. */
+  private def tokenHash(t: String): String =
+    s"aggregate(transform(sequence(1, length($t)), i -> ascii(substring($t, i, 1))), " +
+      s"0L, (a, c) -> (a * $CharB + c) % $HashM)"
+  // DuckDB list_reduce has no init value — prepend the 0 seed.
+  private def tokenHashSql(t: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($t)+1), " +
+      s"i -> ascii(substr($t, i, 1))::BIGINT)), (a, c) -> (a * $CharB + c) % $HashM)"
+
+  /** Order-sensitive rolling fingerprint over the word tokens. */
+  def fingerprint(text: String): Column = expr(
+    s"aggregate(${wordTokens(text)}, 0L, " +
+      s"(acc, t) -> (acc * $TokB + ${tokenHash("t")}) % $HashM)")
+  def fingerprintSql(text: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(${wordTokensSql(text)}, t -> ${tokenHashSql("t")})), " +
+      s"(acc, h) -> (acc * $TokB + h) % $HashM)"
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  private def stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Fraction of word tokens that are stopwords (NULL on empty text). */
+  private def stopwordRatioStr(text: String): String =
+    s"cast(size(filter(${wordTokens(text)}, t -> t in ($stopList))) as double)" +
+      s" / nullif(size(${wordTokens(text)}), 0)"
+  def stopwordRatio(text: String): Column = expr(stopwordRatioStr(text))
+  def stopwordRatioSql(text: String): String =
+    s"len(list_filter(${wordTokensSql(text)}, t -> t in ($stopList)))::DOUBLE" +
+      s" / nullif(len(${wordTokensSql(text)}), 0)"
+
+  /** Mean token length = total token chars / token count. */
+  def meanTokenLen(text: String): Column = expr(
+    s"cast(aggregate(${wordTokens(text)}, 0, (a, t) -> a + length(t)) as double)" +
+      s" / nullif(size(${wordTokens(text)}), 0)")
+  def meanTokenLenSql(text: String): String =
+    s"list_reduce(list_prepend(0, list_transform(${wordTokensSql(text)}, " +
+      s"t -> length(t))), (a, b) -> a + b)::DOUBLE" +
+      s" / nullif(len(${wordTokensSql(text)}), 0)"
+
+  /** Composite quality score ∈ [0,1]: length saturation (50 tokens = full
+    * credit) damped by stopword density. */
+  def qualityScore(text: String): Column = expr(
+    s"least(1.0, size(${wordTokens(text)}) / 50.0) * " +
+      s"(1.0 - 0.5 * (${stopwordRatioStr(text)}))")
+  def qualityScoreSql(text: String): String =
+    s"least(1.0, len(${wordTokensSql(text)}) / 50.0) * " +
+      s"(1.0 - 0.5 * (${stopwordRatioSql(text)}))"
+
+  /** Marker-token language profiles for the n-gram-heuristic language ID.
+    * (The testdata corpus is synthetic English-ish filler for every lang
+    * label, so the interesting output is the mechanism + confusion matrix,
+    * not accuracy.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  private def markerCount(text: String, markers: Seq[String]): String = {
+    val list = markers.map(m => s"'$m'").mkString(", ")
+    s"size(filter(${wordTokens(text)}, t -> t in ($list)))"
+  }
+  private def markerCountSql(text: String, markers: Seq[String]): String = {
+    val list = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(${wordTokensSql(text)}, t -> t in ($list)))"
+  }
+
+  /** Predicted language: argmax marker count, first-profile-wins ties,
+    * 'und' (undetermined) when no marker hits at all. */
+  def langId(text: String): Column = {
+    val counts = LangMarkers.map { case (l, ms) => l -> markerCount(text, ms) }
+    caseChain(counts)
+  }
+  def langIdSql(text: String): String = {
+    val counts = LangMarkers.map { case (l, ms) => l -> markerCountSql(text, ms) }
+    caseChainStr(counts)
+  }
+
+  private def caseChain(counts: Seq[(String, String)]): Column =
+    expr(caseChainStr(counts))
+
+  private def caseChainStr(counts: Seq[(String, String)]): String = {
+    val exprs = counts.map(_._2)
+    val whens = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val others = exprs.zipWithIndex.collect { case (e, j) if j != i => e }
+      s"WHEN $c > 0 AND $c >= greatest(${others.mkString(", ")}) THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 'und' END"
+  }
+}
