@@ -18,7 +18,8 @@ object Catalog {
     queries.KnnQueries.qs ++
       queries.AggQueries.qs ++
       queries.FilterQueries.qs ++
-      queries.TextQueries.qs
+      queries.TextQueries.qs ++
+      queries.DedupQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis._
+
+/** Deduplication operators for training-data pipelines over a text corpus:
+  *
+  *  - exact dedup: md5 hash-groupBy (per-group keep-min + dup counts)
+  *  - MinHash + LSH: word 3-gram shingles → k minhashes → banded
+  *    signatures → bucket equi-join for candidates → exact Jaccard verify
+  *  - SimHash: 32-bit sign-of-weighted-bit-sums signature per document
+  *  - n-gram Jaccard: blocked all-pairs exact similarity
+  *
+  * All hash arithmetic is integer-exact (poly charHash mod 2^31−1, affine
+  * minhash permutations, Knuth-multiplier band mixing), so every stage has
+  * an identical DuckDB oracle.
+  *
+  * Scale design: the LSH candidate join shuffles on (band, signature) —
+  * at 100 TB that is the standard near-dup sweep shape (candidates ≪
+  * all-pairs); exact Jaccard runs only on bucket collisions. The blocked
+  * Jaccard/embedding variants express the block key as a join key so
+  * Catalyst plans a shuffle- (or broadcast-) hash join, never a cartesian.
+  */
+object Dedup {
+  val P: Long = HashM // 2^31 − 1, shared with TextAnalysis
+  val NumHashes = 8
+  val Bands = 4 // r = 2 rows per band
+  val Knuth = 2654435761L
+
+  /** Affine permutation constants for minhash i (deterministic, odd a). */
+  def hashA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % P | 1L
+  def hashB(i: Int): Long = (12345L * (i + 1) + 6789L) % P
+
+  // ---- shingling -----------------------------------------------------
+  /** Distinct hashed word 3-gram shingles; requires ≥ 3 tokens. */
+  private def shingleExpr(tokens: String): String = {
+    val sh = s"concat_ws(' ', slice($tokens, i + 1, 3))"
+    s"array_distinct(transform(sequence(0, size($tokens) - 3), i -> ${charHash(sh)}))"
+  }
+  private def shingleSql(tokens: String): String = {
+    val sh = s"array_to_string($tokens[i + 1 : i + 3], ' ')"
+    s"list_distinct(list_transform(range(0, len($tokens) - 2), i -> ${charHashSql(sh)}))"
+  }
+
+  /** doc_id + distinct shingle-hash array (docs with ≥ 3 word tokens). */
+  def shingled(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .selectExpr(idCol, s"${wordTokens("text")} as toks")
+      .where("size(toks) >= 3")
+      .selectExpr(idCol, s"${shingleExpr("toks")} as shingles")
+
+  /** DuckDB CTE body equivalent of [[shingled]] (relation `documents`). */
+  def shingledSql: String =
+    s"""SELECT doc_id, ${shingleSql("toks")} AS shingles
+       |FROM (SELECT doc_id, ${wordTokensSql("text")} AS toks FROM documents)
+       |WHERE len(toks) >= 3""".stripMargin
+
+  // ---- minhash + LSH -------------------------------------------------
+  private def minhashExpr(i: Int): String =
+    s"array_min(transform(shingles, h -> (h * ${hashA(i)} + ${hashB(i)}) % $P))"
+  private def minhashSql(i: Int): String =
+    s"list_min(list_transform(shingles, h -> (h * ${hashA(i)} + ${hashB(i)}) % $P))"
+
+  private def bandSig(j: Int, mh: Int => String): String =
+    s"(${mh(2 * j)} * $Knuth + ${mh(2 * j + 1)}) % $P"
+
+  /** (doc_id, shingles, band, sig) — one row per band per doc. */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val withMh = shingled(docs).selectExpr(
+      Seq("doc_id", "shingles") ++
+        (0 until NumHashes).map(i => s"${minhashExpr(i)} as mh$i"): _*)
+    val sigs = (0 until Bands)
+      .map(j => s"${bandSig(j, i => s"mh$i")} as sig$j")
+    val stack = (0 until Bands).map(j => s"$j, sig$j").mkString(", ")
+    withMh
+      .selectExpr(Seq("doc_id", "shingles") ++ sigs: _*)
+      .selectExpr("doc_id", "shingles", s"stack($Bands, $stack) as (band, sig)")
+  }
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::DOUBLE / " +
+      s"len(list_distinct(list_concat($a, $b)))"
+
+  /** LSH candidate pairs with exact-Jaccard verification, top-N. */
+  def minhashLshPairs(docs: DataFrame, topN: Int): DataFrame = {
+    val bands = lshBands(docs)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jac", round(jaccard(col("sha"), col("shb")), 6))
+      .select("doc_a", "doc_b", "jac")
+      .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
+  /** Full DuckDB oracle for [[minhashLshPairs]]. */
+  def minhashLshPairsSql(topN: Int): String = {
+    val mhs = (0 until NumHashes).map(i => s"${minhashSql(i)} AS mh$i")
+    val sigs = (0 until Bands).map(j => s"${bandSig(j, i => s"mh$i")} AS sig$j")
+    val bandRows = (0 until Bands)
+      .map(j => s"SELECT doc_id, shingles, $j AS band, sig$j AS sig FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sh AS ($shingledSql),
+       |mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
+       |sigs AS (SELECT doc_id, shingles, ${sigs.mkString(", ")} FROM mh),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         round(${jaccardSql("sa.shingles", "sb.shingles")}, 6) AS jac
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT * FROM pairs
+       |ORDER BY jac DESC, doc_a, doc_b LIMIT $topN""".stripMargin
+  }
+
+  // ---- simhash -------------------------------------------------------
+  val SimhashBits = 32
+
+  /** 32-bit SimHash per document: explode tokens, per-bit ±1 sums, sign →
+    * bit. The explode+groupBy is one shuffle on doc_id — map-side combine
+    * keeps it linear at scale.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .selectExpr("doc_id", s"explode(${wordTokens("text")}) as t")
+      .selectExpr("doc_id", s"${charHash("t")} as h")
+    val sums = (0 until SimhashBits).map(j =>
+      sum(expr(s"2 * ((shiftright(h, $j) & 1)) - 1")).as(s"s$j"))
+    val bits = (0 until SimhashBits)
+      .map(j => s"(case when s$j > 0 then ${1L << j}L else 0L end)")
+      .mkString(" + ")
+    tok.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .selectExpr("doc_id", s"$bits as simhash")
+  }
+
+  def simhashSql: String = {
+    val sums = (0 until SimhashBits).map(j =>
+      s"sum(case when (h >> $j) & 1 = 1 then 1 else -1 end) AS s$j")
+    val bits = (0 until SimhashBits)
+      .map(j => s"(case when s$j > 0 then ${1L << j} else 0 end)")
+      .mkString(" + ")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, unnest(${wordTokensSql("text")}) AS t FROM documents),
+       |tok AS (SELECT doc_id, ${charHashSql("t")} AS h FROM tok0),
+       |sums AS (SELECT doc_id, ${sums.mkString(", ")} FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions._
+
+/** Dedup catalog queries (exact, MinHash+LSH, SimHash, blocked n-gram
+  * Jaccard, embedding near-dup). Pair outputs are top-N by similarity with
+  * full (score, id, id) ordering so results are deterministic and
+  * non-empty at every scale factor.
+  */
+object DedupQueries {
+  private val TopN = 20
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "dedup_exact",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"), md5(col("text").cast("binary")).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct("h").as("n_distinct"),
+               (count(lit(1)) - countDistinct("h")).as("n_dups"))
+          .orderBy("source"),
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |       count(DISTINCT md5(text)) AS n_distinct,
+          |       count(*) - count(DISTINCT md5(text)) AS n_dups
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    Q(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), TopN),
+      Some(Dedup.minhashLshPairsSql(TopN)),
+      bench = true
+    ),
+    Q(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"${Dedup.simhashSql}\nORDER BY doc_id"),
+      bench = true
+    ),
+    Q(
+      "dedup_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = Dedup.shingled(docs)
+          .join(docs.select("doc_id", "source"), "doc_id")
+        val a = sh.as("a")
+        val b = sh.as("b")
+        // Block on source: the join key makes Catalyst plan a hash join
+        // on source, never a cartesian — the blocked all-pairs shape.
+        a.join(b, col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.source").as("source"),
+                  col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                  round(Dedup.jaccard(col("a.shingles"), col("b.shingles")), 6)
+                    .as("jac"))
+          .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
+          .limit(TopN)
+      },
+      Some(
+        s"""WITH sh AS (${Dedup.shingledSql}),
+           |shs AS (
+           |  SELECT sh.doc_id, d.source, sh.shingles
+           |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id)
+           |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       round(${Dedup.jaccardSql("a.shingles", "b.shingles")}, 6) AS jac
+           |FROM shs a JOIN shs b
+           |  ON a.source = b.source AND a.doc_id < b.doc_id
+           |ORDER BY jac DESC, doc_a, doc_b LIMIT $TopN""".stripMargin)
+    ),
+    Q(
+      "dedup_embedding",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val a = e.as("a")
+        val b = e.as("b")
+        // Block on label (coarse-cell analog); exact cosine inside blocks.
+        a.join(b, col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.label").as("label"),
+                  col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+                  round(cosineDistance(col("a.embedding"), col("b.embedding")), 6)
+                    .as("dist"))
+          .orderBy(col("dist"), col("vec_a"), col("vec_b"))
+          .limit(TopN)
+      },
+      Some(
+        s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       round(${cosineDistanceSql("a.embedding", "b.embedding", Tables.EmbeddingDim)}, 6) AS dist
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.label = b.label AND a.vec_id < b.vec_id
+           |ORDER BY dist, vec_a, vec_b LIMIT $TopN""".stripMargin),
+      bench = true
+    )
+  )
+}

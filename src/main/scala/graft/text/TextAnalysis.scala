@@ -34,22 +34,27 @@ object TextAnalysis {
   def wordTokensSql(text: String): String =
     s"regexp_extract_all(lower($text), '\\w+')"
 
-  /** Per-token polynomial hash: fold (acc·31 + ascii(char)) mod M. */
-  private def tokenHash(t: String): String =
-    s"aggregate(transform(sequence(1, length($t)), i -> ascii(substring($t, i, 1))), " +
-      s"0L, (a, c) -> (a * $CharB + c) % $HashM)"
+  /** Per-token polynomial hash: fold (acc·31 + ascii(char)) mod M.
+    * Public: the dedup operators hash shingles with the same kernel. */
+  // Lambda variables are deliberately obscure (`gci`/`gca`/`gcc`): the
+  // argument `t` is an arbitrary caller expression that may itself sit
+  // inside an outer lambda (e.g. the shingle window variable) — a generic
+  // `i` here would shadow the caller's `i` and silently hash garbage.
+  def charHash(t: String): String =
+    s"aggregate(transform(sequence(1, length($t)), gci -> ascii(substring($t, gci, 1))), " +
+      s"0L, (gca, gcc) -> (gca * $CharB + gcc) % $HashM)"
   // DuckDB list_reduce has no init value — prepend the 0 seed.
-  private def tokenHashSql(t: String): String =
+  def charHashSql(t: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($t)+1), " +
-      s"i -> ascii(substr($t, i, 1))::BIGINT)), (a, c) -> (a * $CharB + c) % $HashM)"
+      s"gci -> ascii(substr($t, gci, 1))::BIGINT)), (gca, gcc) -> (gca * $CharB + gcc) % $HashM)"
 
   /** Order-sensitive rolling fingerprint over the word tokens. */
   def fingerprint(text: String): Column = expr(
     s"aggregate(${wordTokens(text)}, 0L, " +
-      s"(acc, t) -> (acc * $TokB + ${tokenHash("t")}) % $HashM)")
+      s"(acc, t) -> (acc * $TokB + ${charHash("t")}) % $HashM)")
   def fingerprintSql(text: String): String =
     s"list_reduce(list_prepend(0::BIGINT, " +
-      s"list_transform(${wordTokensSql(text)}, t -> ${tokenHashSql("t")})), " +
+      s"list_transform(${wordTokensSql(text)}, t -> ${charHashSql("t")})), " +
       s"(acc, h) -> (acc * $TokB + h) % $HashM)"
 
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Int, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("minhash LSH surfaces an exact duplicate with jaccard 1.0") {
+    val d = docs(
+      1 -> "the quick brown fox jumps over the lazy dog today",
+      2 -> "the quick brown fox jumps over the lazy dog today",
+      3 -> "completely different words about spark query engines here",
+      4 -> "unrelated content mentioning vectors and embeddings and search")
+    val top = Dedup.minhashLshPairs(d, 5).collect()
+    assert(top.nonEmpty)
+    val best = top.head
+    assert((best.getInt(0), best.getInt(1)) == (1, 2))
+    assert(best.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical texts equal; disjoint texts differ") {
+    val d = docs(
+      1 -> "spark catalyst tungsten codegen shuffle partition",
+      2 -> "spark catalyst tungsten codegen shuffle partition",
+      3 -> "zebra yak xylophone wombat vulture uakari")
+    val m = Dedup.simhash(d).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m(1) == m(2))
+    assert(m(1) != m(3))
+  }
+
+  test("jaccard column: overlap arithmetic") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L))).toDF("a", "b")
+    val j = df.select(Dedup.jaccard(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("shingled drops short docs") {
+    val d = docs(1 -> "two words", 2 -> "three word doc")
+    val ids = Dedup.shingled(d).select("doc_id").collect().map(_.getInt(0))
+    assert(ids.toSeq == Seq(2))
+  }
+}
