@@ -19,7 +19,8 @@ object Catalog {
       queries.AggQueries.qs ++
       queries.FilterQueries.qs ++
       queries.TextQueries.qs ++
-      queries.DedupQueries.qs
+      queries.DedupQueries.qs ++
+      queries.Bm25Queries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,100 @@
+package graft.hybrid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.bm25.Bm25
+import graft.functions.VectorFunctions
+import graft.text.TextAnalysis.wordTokensSql
+
+/** Hybrid vector + keyword retrieval with the reference's blend semantics
+  * (jcolano/fastpyvectordb `hybrid_search.py:360-477`):
+  *
+  *  1. fetch k·5 candidates from each branch (vector: cosine distance
+  *     ascending; keyword: BM25 descending),
+  *  2. per-branch max normalization: v = 1 − d/max_d, kw = s/max_s
+  *     (`:427-441` — scores are *query-relative*),
+  *  3. union of candidate ids, a missing side contributes 0 (`:444-450`),
+  *  4. combined = α·v + (1−α)·kw, sort desc, top-k (`:453-477`).
+  *
+  * Spark shape: two independent top-k branches (each TakeOrderedAndProject),
+  * each crossJoined with its broadcast 1-row max, full-outer join on id,
+  * coalesce(.., 0), weighted sum, final top-k. Both branch top-ks order by
+  * (score, id) so the candidate SETS are deterministic — the full-outer
+  * join and blend then commute with any execution order at scale.
+  */
+object HybridSearch {
+  val FetchFactor = 5
+
+  def search(
+      spark: SparkSession,
+      corpus: DataFrame, // (doc_id, text, embedding)
+      queryTerms: Seq[String],
+      queryVec: Seq[Double],
+      k: Int,
+      alpha: Double): DataFrame = {
+    val fetch = k * FetchFactor
+    val qv = typedlit(queryVec)
+
+    val vecTop = corpus
+      .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
+      .select("doc_id", "d")
+      .orderBy(col("d"), col("doc_id"))
+      .limit(fetch)
+    val vecNorm = vecTop
+      .crossJoin(broadcast(vecTop.agg(max("d").as("max_d"))))
+      .select(col("doc_id"),
+        (lit(1.0) - col("d") / col("max_d")).as("vscore"))
+
+    val kwTop = Bm25.search(spark, corpus.select("doc_id", "text"), queryTerms, fetch)
+    val kwNorm = kwTop
+      .crossJoin(broadcast(kwTop.agg(max("score").as("max_s"))))
+      .select(col("doc_id"), (col("score") / col("max_s")).as("kscore"))
+
+    vecNorm
+      .join(kwNorm, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        round(coalesce(col("vscore"), lit(0.0)), 6).as("vector_score"),
+        round(coalesce(col("kscore"), lit(0.0)), 6).as("keyword_score"),
+        round(lit(alpha) * coalesce(col("vscore"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("kscore"), lit(0.0)), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle: corpus = documents ⋈ embeddings on doc_id = vec_id. */
+  def searchSql(
+      queryTerms: Seq[String],
+      queryVecKey: Long,
+      dim: Int,
+      k: Int,
+      alpha: Double): String = {
+    val fetch = k * FetchFactor
+    val dist = VectorFunctions.cosineDistanceSql("c.embedding", "q.v", dim)
+    // BM25 runs over the same joined corpus as the vector branch (inner
+    // WITH referencing the outer `corpus` CTE).
+    val bm25 = Bm25.searchSql(queryTerms, fetch, relation = "corpus")
+    s"""WITH corpus AS (
+       |  SELECT d.doc_id, d.text, e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |q AS (SELECT ${VectorFunctions.hashVectorSql(queryVecKey.toString, dim)} AS v),
+       |vec_top AS (
+       |  SELECT c.doc_id, $dist AS d
+       |  FROM corpus c, q
+       |  ORDER BY d, doc_id LIMIT $fetch),
+       |vec_norm AS (
+       |  SELECT doc_id, 1.0 - d / (SELECT max(d) FROM vec_top) AS vscore
+       |  FROM vec_top),
+       |kw_top AS (SELECT * FROM ($bm25)),
+       |kw_norm AS (
+       |  SELECT doc_id, score / (SELECT max(score) FROM kw_top) AS kscore
+       |  FROM kw_top)
+       |SELECT coalesce(v.doc_id, w.doc_id) AS doc_id,
+       |       round(coalesce(v.vscore, 0.0), 6) AS vector_score,
+       |       round(coalesce(w.kscore, 0.0), 6) AS keyword_score,
+       |       round($alpha * coalesce(v.vscore, 0.0)
+       |             + ${1.0 - alpha} * coalesce(w.kscore, 0.0), 6) AS score
+       |FROM vec_norm v FULL OUTER JOIN kw_norm w ON v.doc_id = w.doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}
