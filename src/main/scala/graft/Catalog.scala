@@ -20,7 +20,8 @@ object Catalog {
       queries.FilterQueries.qs ++
       queries.TextQueries.qs ++
       queries.DedupQueries.qs ++
-      queries.Bm25Queries.qs
+      queries.Bm25Queries.qs ++
+      queries.QuantQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,87 @@
+package graft.quant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (f32 → 8-bit codes): per-dimension min/max train,
+  * affine encode, decode-and-score search — the reference's
+  * `ScalarQuantizer` (jcolano/fastpyvectordb `quantization.py:85-181`)
+  * as pure DataFrame algebra.
+  *
+  * Train is one posexplode + groupBy(pos) aggregation (map-side combined,
+  * one shuffle of D×partitions rows); the per-dim stats collapse to a
+  * single broadcast row of arrays, so encode/search never shuffle the
+  * data side. All arithmetic has an exact DuckDB twin.
+  */
+object ScalarQuant {
+  val Levels = 255.0
+
+  /** Per-dim stats (pos 1-based, mn, mx) — the train step. */
+  def trainStats(emb: DataFrame, vecCol: String): DataFrame =
+    emb
+      .selectExpr(s"posexplode($vecCol) as (pos0, x)")
+      .selectExpr("pos0 + 1 as pos", "cast(x as double) as x")
+      .groupBy("pos")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+
+  def trainStatsSql(relation: String, vecCol: String, dim: Int): String =
+    s"""SELECT i AS pos, min($vecCol[i]::DOUBLE) AS mn, max($vecCol[i]::DOUBLE) AS mx
+       |FROM $relation, range(1, ${dim + 1}) t(i) GROUP BY i""".stripMargin
+
+  /** Single broadcast row: mns, scales arrays ordered by dimension. */
+  def statsRow(emb: DataFrame, vecCol: String): DataFrame =
+    trainStats(emb, vecCol).agg(
+      expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn) as mns"),
+      expr(s"transform(array_sort(collect_list(struct(pos, mx, mn))), s -> (s.mx - s.mn) / $Levels) as scales"))
+
+  /** Encode expression over `vecCol` given mns/scales columns in scope. */
+  def encodeExpr(vecCol: String, dim: Int): String =
+    s"transform(sequence(1, $dim), qi -> cast(least($Levels, greatest(0.0, " +
+      s"coalesce(round((cast(element_at($vecCol, qi) as double) - element_at(mns, qi))" +
+      s" / nullif(element_at(scales, qi), 0.0), 0), 0.0))) as int))"
+
+  def encodeSql(vecCol: String, dim: Int): String =
+    s"list_transform(range(1, ${dim + 1}), qi -> (least($Levels, greatest(0.0, " +
+      s"coalesce(round(($vecCol[qi]::DOUBLE - mns[qi]) / nullif(scales[qi], 0.0), 0), 0.0))))::INT)"
+
+  /** Approx-L2 search: encode the corpus, decode codes, L2 to the query.
+    * Returns (id, score) top-k, ascending.
+    */
+  def searchL2(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      dim: Int,
+      k: Int): DataFrame = {
+    val enc = emb
+      .crossJoin(broadcast(statsRow(emb, vecCol)))
+      .selectExpr(idCol, "mns", "scales", s"${encodeExpr(vecCol, dim)} as code")
+    val qvLit = queryVec.mkString("array(", "D, ", "D)")
+    enc
+      .selectExpr(idCol,
+        s"""round(sqrt(aggregate(transform(sequence(1, $dim), qi ->
+           |  pow(element_at(code, qi) * element_at(scales, qi) + element_at(mns, qi)
+           |      - element_at($qvLit, qi), 2.0)),
+           |  0D, (a, b) -> a + b)), 6) as score""".stripMargin)
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+  }
+
+  def searchL2Sql(
+      relation: String, vecCol: String, idCol: String,
+      queryVecSql: String, dim: Int, k: Int): String =
+    s"""WITH st AS (${trainStatsSql(relation, vecCol, dim)}),
+       |srow AS (SELECT list(mn ORDER BY pos) AS mns,
+       |                list((mx - mn) / $Levels ORDER BY pos) AS scales
+       |         FROM st),
+       |q AS (SELECT $queryVecSql AS v),
+       |enc AS (SELECT $idCol, mns, scales, ${encodeSql(vecCol, dim)} AS code
+       |        FROM $relation, srow)
+       |SELECT $idCol,
+       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), qi ->
+       |    pow(code[qi] * scales[qi] + mns[qi] - q.v[qi], 2.0))),
+       |    (a, b) -> a + b)), 6) AS score
+       |FROM enc, q
+       |ORDER BY score, $idCol LIMIT $k""".stripMargin
+}
