@@ -21,7 +21,8 @@ object Catalog {
       queries.TextQueries.qs ++
       queries.DedupQueries.qs ++
       queries.Bm25Queries.qs ++
-      queries.QuantQueries.qs
+      queries.QuantQueries.qs ++
+      queries.GraphQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

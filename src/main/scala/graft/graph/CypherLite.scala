@@ -1,0 +1,134 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Regex-parsed Cypher subset → DataFrame plan, mirroring the reference's
+  * `GraphDB.query` (jcolano/fastpyvectordb `graph.py:950-1111`):
+  *
+  *   MATCH (a:Label {prop: value})                       — node pattern
+  *   MATCH (a:L1)-[:TYPE]->(b:L2)                        — one-hop pattern
+  *   MATCH (a:L1)-[:TYPE*min..max]->(b:L2)               — var-length
+  *   [WHERE var.prop <op> value]  op ∈ = <> < > <= >=
+  *   RETURN var | var.prop [, ...]
+  *   [ORDER BY item] [LIMIT n]       — graft extension for determinism
+  *
+  * Compilation: node pattern = filter on the nodes DF; relationship =
+  * nodes ⋈ edges ⋈ nodes (Catalyst broadcasts the small side); var-length
+  * = bounded union of 1..k chained joins — a driver-side loop exactly as
+  * wide as the hop bound, never a recursive fixpoint.
+  */
+object CypherLite {
+
+  private val NodePat =
+    """\(\s*(\w+)\s*(?::(\w+))?\s*(\{[^}]*\})?\s*\)""".r
+  private val RelPat =
+    (NodePat.regex + """\s*-\[\s*(?::(\w+))?\s*(?:\*(\d+)\.\.(\d+))?\s*\]->\s*""" +
+      NodePat.regex).r
+  private val WherePat =
+    """WHERE\s+(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>)\s*(.+?)\s*(?=RETURN)""".r
+  private val ReturnPat = """RETURN\s+(.+?)\s*(?:ORDER BY\s+(.+?)\s*)?(?:LIMIT\s+(\d+)\s*)?$""".r
+
+  private def parseValue(s: String): Any = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+    else if (t.contains('.')) t.toDouble
+    else t.toLong
+  }
+
+  private def parseProps(s: String): Map[String, Any] =
+    if (s == null || s.isEmpty) Map.empty
+    else
+      s.stripPrefix("{").stripSuffix("}").split(",").filter(_.trim.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim -> parseValue(v)
+        }.toMap
+
+  private def nodeDf(g: Graph, label: String, props: Map[String, Any]): DataFrame = {
+    val base = Option(label).filter(_.nonEmpty)
+      .map(l => g.nodes.filter(col("label") === l)).getOrElse(g.nodes)
+    props.foldLeft(base) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+  }
+
+  /** Prefix every column with `var_`. */
+  private def prefixed(df: DataFrame, v: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${v}_$c"))
+
+  def query(g: Graph, cypher: String): DataFrame = {
+    val q = cypher.trim.replaceAll("\\s+", " ")
+    require(q.toUpperCase.startsWith("MATCH "), s"only MATCH supported: $q")
+    val body = q.substring(6)
+
+    // Bound variable frame: var -> prefixed node DF joined into `rows`.
+    var rows: DataFrame = null
+    var vars: Set[String] = Set.empty
+
+    RelPat.findFirstMatchIn(body) match {
+      case Some(m) =>
+        val (va, la, pa) = (m.group(1), m.group(2), m.group(3))
+        val (relType, minH, maxH) = (m.group(4), m.group(5), m.group(6))
+        val (vb, lb, pb) = (m.group(7), m.group(8), m.group(9))
+        val a = prefixed(nodeDf(g, la, parseProps(pa)), va)
+        val b = prefixed(nodeDf(g, lb, parseProps(pb)), vb)
+        val e = Option(relType)
+          .map(t => g.edges.filter(col("type") === t)).getOrElse(g.edges)
+        val hops: (Int, Int) =
+          if (minH != null) (minH.toInt, maxH.toInt) else (1, 1)
+        // endpoints(src, dst) reachable in minH..maxH hops
+        var step = e.select(col("src"), col("dst"))
+        var reach: DataFrame = null
+        for (h <- 1 to hops._2) {
+          if (h >= hops._1) reach = if (reach == null) step else reach.union(step)
+          if (h < hops._2)
+            step = step.join(
+                e.select(col("src").as("m_src"), col("dst").as("m_dst")),
+                col("dst") === col("m_src"))
+              .select(col("src"), col("m_dst").as("dst"))
+        }
+        val pairs = reach.distinct()
+        rows = a.join(pairs, col(s"${va}_id") === col("src"))
+          .join(b, col("dst") === col(s"${vb}_id"))
+          .drop("src", "dst")
+        vars = Set(va, vb)
+      case None =>
+        val m = NodePat.findFirstMatchIn(body).getOrElse(
+          throw new IllegalArgumentException(s"no pattern in: $q"))
+        val v = m.group(1)
+        rows = prefixed(nodeDf(g, m.group(2), parseProps(m.group(3))), v)
+        vars = Set(v)
+    }
+
+    WherePat.findFirstMatchIn(body).foreach { w =>
+      val (v, p, op, raw) = (w.group(1), w.group(2), w.group(3), w.group(4))
+      require(vars.contains(v), s"unbound variable $v")
+      val c = col(s"${v}_$p"); val value = lit(parseValue(raw))
+      val pred: Column = op match {
+        case "="  => c === value
+        case "<>" => c.isNotNull && c =!= value
+        case "<"  => c < value
+        case ">"  => c > value
+        case "<=" => c <= value
+        case ">=" => c >= value
+      }
+      rows = rows.filter(pred)
+    }
+
+    val rm = ReturnPat.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException(s"missing RETURN in: $q"))
+    def itemCol(item: String): (Column, String) = {
+      val t = item.trim
+      if (t.contains('.')) {
+        val Array(v, p) = t.split("\\.", 2)
+        (col(s"${v}_$p"), s"${v}_$p")
+      } else (col(s"${t}_id"), s"${t}_id") // bare var → its id
+    }
+    val items = rm.group(1).split(",").map(itemCol)
+    var out = rows.select(items.map { case (c, n) => c.as(n) }: _*)
+    Option(rm.group(2)).foreach { ob =>
+      out = out.orderBy(ob.split(",").map(i => itemCol(i)._2).map(col): _*)
+    }
+    Option(rm.group(3)).foreach(n => out = out.limit(n.toInt))
+    out
+  }
+}

@@ -1,0 +1,173 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Property graph over two DataFrames — the reference's GraphDB
+  * (jcolano/fastpyvectordb `graph.py`) re-expressed relationally:
+  *
+  *   nodes(id, label, name, num, seg)  — uniform typed property columns
+  *   edges(src, dst, type)             — directed
+  *
+  * The reference maintains five hash indexes (label/property/adjacency/
+  * edge-type/hyperedge-node, `graph.py:253-488`); in Spark those are just
+  * join/filter keys — Catalyst picks broadcast vs shuffle joins and the
+  * scans prune on pushed filters. Traversals are bounded driver-side
+  * loops of joins (depth ≤ 3/10 like the reference defaults).
+  */
+final case class Graph(nodes: DataFrame, edges: DataFrame)
+
+/** Derives the test graph from the TPC-H-ish tables:
+  * Customer/Supplier/Nation/Part/Order nodes; edges PLACED_BY (o→c),
+  * IN_NATION (c→n, s→n), HAS_PART (o→p), SUPPLIED_BY (p→s).
+  */
+object TpchGraph {
+  def build(spark: SparkSession, dir: String): Graph = {
+    val c = Tables.customer(spark, dir).selectExpr(
+      "concat('c:', c_custkey) as id", "'Customer' as label",
+      "c_name as name", "c_acctbal as num", "c_mktsegment as seg")
+    val s = Tables.supplier(spark, dir).selectExpr(
+      "concat('s:', s_suppkey) as id", "'Supplier' as label",
+      "s_name as name", "s_acctbal as num", "cast(null as string) as seg")
+    val n = Tables.nation(spark, dir).selectExpr(
+      "concat('n:', n_nationkey) as id", "'Nation' as label",
+      "n_name as name", "cast(null as double) as num", "cast(null as string) as seg")
+    val p = Tables.part(spark, dir).selectExpr(
+      "concat('p:', p_partkey) as id", "'Part' as label",
+      "p_name as name", "p_retailprice as num", "p_brand as seg")
+    val o = Tables.orders(spark, dir).selectExpr(
+      "concat('o:', o_orderkey) as id", "'Order' as label",
+      "o_orderpriority as name", "o_totalprice as num", "o_orderstatus as seg")
+    val nodes = c.union(s).union(n).union(p).union(o)
+
+    val li = Tables.lineitem(spark, dir)
+    val placedBy = Tables.orders(spark, dir).selectExpr(
+      "concat('o:', o_orderkey) as src", "concat('c:', o_custkey) as dst",
+      "'PLACED_BY' as type")
+    val custNation = Tables.customer(spark, dir).selectExpr(
+      "concat('c:', c_custkey) as src", "concat('n:', c_nationkey) as dst",
+      "'IN_NATION' as type")
+    val suppNation = Tables.supplier(spark, dir).selectExpr(
+      "concat('s:', s_suppkey) as src", "concat('n:', s_nationkey) as dst",
+      "'IN_NATION' as type")
+    val hasPart = li.selectExpr(
+        "concat('o:', l_orderkey) as src", "concat('p:', l_partkey) as dst",
+        "'HAS_PART' as type").distinct()
+    val suppliedBy = li.selectExpr(
+        "concat('p:', l_partkey) as src", "concat('s:', l_suppkey) as dst",
+        "'SUPPLIED_BY' as type").distinct()
+    Graph(nodes,
+      placedBy.union(custNation).union(suppNation).union(hasPart).union(suppliedBy))
+  }
+
+  /** DuckDB CTEs defining the same nodes/edges relations. */
+  val ctesSql: String =
+    """nodes AS (
+      |  SELECT 'c:' || c_custkey AS id, 'Customer' AS label, c_name AS name,
+      |         c_acctbal AS num, c_mktsegment AS seg FROM customer
+      |  UNION ALL
+      |  SELECT 's:' || s_suppkey, 'Supplier', s_name, s_acctbal, NULL FROM supplier
+      |  UNION ALL
+      |  SELECT 'n:' || n_nationkey, 'Nation', n_name, NULL, NULL FROM nation
+      |  UNION ALL
+      |  SELECT 'p:' || p_partkey, 'Part', p_name, p_retailprice, p_brand FROM part
+      |  UNION ALL
+      |  SELECT 'o:' || o_orderkey, 'Order', o_orderpriority, o_totalprice,
+      |         o_orderstatus FROM orders),
+      |edges AS (
+      |  SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst,
+      |         'PLACED_BY' AS type FROM orders
+      |  UNION ALL
+      |  SELECT 'c:' || c_custkey, 'n:' || c_nationkey, 'IN_NATION' FROM customer
+      |  UNION ALL
+      |  SELECT 's:' || s_suppkey, 'n:' || s_nationkey, 'IN_NATION' FROM supplier
+      |  UNION ALL
+      |  SELECT DISTINCT 'o:' || l_orderkey, 'p:' || l_partkey, 'HAS_PART' FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT 'p:' || l_partkey, 's:' || l_suppkey, 'SUPPLIED_BY' FROM lineitem)"""
+      .stripMargin
+}
+
+object GraphOps {
+
+  /** 1-hop neighbors (reference `graph.py:818-842`): direction out/in/
+    * both, optional edge-type filter. Returns neighbor node rows.
+    */
+  def neighbors(g: Graph, nodeId: String, direction: String = "out",
+      edgeType: Option[String] = None): DataFrame = {
+    val e = edgeType.map(t => g.edges.filter(col("type") === t)).getOrElse(g.edges)
+    val outN = e.filter(col("src") === nodeId).select(col("dst").as("nid"))
+    val inN = e.filter(col("dst") === nodeId).select(col("src").as("nid"))
+    val ids = direction match {
+      case "out"  => outN
+      case "in"   => inN
+      case "both" => outN.union(inN)
+      case d      => throw new IllegalArgumentException(s"direction $d")
+    }
+    g.nodes.join(ids.distinct(), col("id") === col("nid")).drop("nid")
+  }
+
+  /** All outward paths from `start` up to `maxDepth`, cycle-free
+    * (reference `traverse`, `graph.py:844-869`). Returns
+    * (depth, path, end_id) with path = "a->b->c".
+    */
+  def traverse(g: Graph, start: String, maxDepth: Int,
+      edgeType: Option[String] = None): DataFrame = {
+    val e = edgeType.map(t => g.edges.filter(col("type") === t)).getOrElse(g.edges)
+    var frontier = g.nodes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(start, start, Seq(start))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seen", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+    var acc: Option[DataFrame] = None
+    for (d <- 1 to maxDepth) {
+      val next = frontier
+        .join(e, col("node") === col("src"))
+        .filter(!array_contains(col("seen"), col("dst")))
+        .select(
+          col("dst").as("node"),
+          concat(col("path"), lit("->"), col("dst")).as("path"),
+          array_append(col("seen"), col("dst")).as("seen"))
+      val step = next.select(lit(d).as("depth"), col("path"), col("node").as("end_id"))
+      acc = Some(acc.map(_.union(step)).getOrElse(step))
+      frontier = next
+    }
+    acc.get
+  }
+
+  /** Minimal-depth reachability with canonical (lexicographically least)
+    * path per target — the deterministic form of BFS shortest path
+    * (reference `shortest_path`, `graph.py:871-902`). Returns
+    * (target, depth, path) for targets matching `targetLabel`.
+    */
+  def bfsPaths(g: Graph, start: String, maxDepth: Int,
+      targetLabel: Option[String] = None): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    var frontier = Seq((start, start)).toDF("node", "path")
+    var visited = Seq(start).toDF("vnode")
+    var acc: Option[DataFrame] = None
+    for (d <- 1 to maxDepth) {
+      val next = frontier
+        .join(g.edges, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          concat(col("path"), lit("->"), col("dst")).as("path"))
+        .join(visited, col("node") === col("vnode"), "left_anti")
+        .groupBy("node").agg(min("path").as("path"))
+      val step = next.select(col("node").as("target"), lit(d).as("depth"),
+        col("path"))
+      acc = Some(acc.map(_.union(step)).getOrElse(step))
+      visited = visited.union(next.select(col("node").as("vnode")))
+      frontier = next.localCheckpoint()
+    }
+    val all = acc.get
+    targetLabel match {
+      case Some(l) =>
+        all.join(g.nodes.filter(col("label") === l).select(col("id")),
+          col("target") === col("id")).drop("id")
+      case None => all
+    }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.graph.{CypherLite, GraphOps, TpchGraph}
+
+/** Graph catalog queries over the TPC-H-derived property graph:
+  * neighbors, bounded traversal, BFS minimal-depth paths, hyperedge
+  * membership, and three Cypher-lite shapes. Oracles rebuild the same
+  * nodes/edges relations as DuckDB CTEs.
+  */
+object GraphQueries {
+  private val C = TpchGraph.ctesSql
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "graph_neighbors",
+      (s, dir) =>
+        GraphOps.neighbors(TpchGraph.build(s, dir), "n:0", "in", Some("IN_NATION"))
+          .groupBy("label").agg(count(lit(1)).as("cnt"))
+          .orderBy("label"),
+      Some(
+        s"""WITH $C
+           |SELECT n.label, count(*) AS cnt
+           |FROM edges e JOIN nodes n ON n.id = e.src
+           |WHERE e.dst = 'n:0' AND e.type = 'IN_NATION'
+           |GROUP BY n.label ORDER BY n.label""".stripMargin)
+    ),
+    Q(
+      "graph_traverse",
+      (s, dir) =>
+        GraphOps.traverse(TpchGraph.build(s, dir), "o:1", 2)
+          .orderBy("depth", "path").limit(50),
+      Some(
+        s"""WITH $C,
+           |d1 AS (SELECT 1 AS depth, 'o:1->' || dst AS path, dst AS end_id
+           |       FROM edges WHERE src = 'o:1'),
+           |d2 AS (SELECT 2 AS depth, d1.path || '->' || e.dst AS path,
+           |              e.dst AS end_id
+           |       FROM d1 JOIN edges e ON e.src = d1.end_id
+           |       WHERE e.dst <> 'o:1' AND e.dst <> d1.end_id)
+           |SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+           |ORDER BY depth, path LIMIT 50""".stripMargin)
+    ),
+    Q(
+      "graph_shortest_paths",
+      (s, dir) =>
+        GraphOps.bfsPaths(TpchGraph.build(s, dir), "o:1", 3, Some("Nation"))
+          .orderBy("target"),
+      Some(
+        s"""WITH $C,
+           |p1 AS (SELECT dst AS target, 'o:1->' || dst AS path
+           |       FROM edges WHERE src = 'o:1'),
+           |r1 AS (SELECT target, min(path) AS path FROM p1 GROUP BY target),
+           |p2 AS (SELECT e.dst AS target, r1.path || '->' || e.dst AS path
+           |       FROM r1 JOIN edges e ON e.src = r1.target
+           |       WHERE e.dst <> 'o:1'
+           |         AND e.dst NOT IN (SELECT target FROM r1)),
+           |r2 AS (SELECT target, min(path) AS path FROM p2 GROUP BY target),
+           |p3 AS (SELECT e.dst AS target, r2.path || '->' || e.dst AS path
+           |       FROM r2 JOIN edges e ON e.src = r2.target
+           |       WHERE e.dst <> 'o:1'
+           |         AND e.dst NOT IN (SELECT target FROM r1)
+           |         AND e.dst NOT IN (SELECT target FROM r2)),
+           |r3 AS (SELECT target, min(path) AS path FROM p3 GROUP BY target),
+           |res AS (
+           |  SELECT target, 1 AS depth, path FROM r1
+           |  UNION ALL SELECT target, 2, path FROM r2
+           |  UNION ALL SELECT target, 3, path FROM r3)
+           |SELECT res.target, res.depth, res.path
+           |FROM res JOIN nodes n ON n.id = res.target
+           |WHERE n.label = 'Nation'
+           |ORDER BY res.target""".stripMargin)
+    ),
+    Q(
+      "graph_hyperedge_membership",
+      (s, dir) => {
+        val g = TpchGraph.build(s, dir)
+        // Hyperedge = an order spanning its parts (HAS_PART membership);
+        // query nodes = the 2 most-referenced parts; any-mode match with
+        // per-hyperedge matched count ("all" mode ⇔ n_matched = 2).
+        val mem = g.edges.filter(col("type") === "HAS_PART")
+          .select(col("src").as("he"), col("dst").as("node"))
+        val top2 = mem.groupBy("node").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("node")).limit(2).select("node")
+        mem.join(broadcast(top2), "node")
+          .groupBy("he").agg(count(lit(1)).as("n_matched"))
+          .orderBy(desc("n_matched"), col("he")).limit(20)
+      },
+      Some(
+        s"""WITH $C,
+           |mem AS (SELECT src AS he, dst AS node FROM edges
+           |        WHERE type = 'HAS_PART'),
+           |top2 AS (SELECT node FROM mem GROUP BY node
+           |         ORDER BY count(*) DESC, node LIMIT 2)
+           |SELECT he, count(*) AS n_matched
+           |FROM mem WHERE node IN (SELECT node FROM top2)
+           |GROUP BY he ORDER BY n_matched DESC, he LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "cypher_node",
+      (s, dir) =>
+        CypherLite.query(TpchGraph.build(s, dir),
+          "MATCH (c:Customer {seg: 'BUILDING'}) WHERE c.num > 1000 " +
+            "RETURN c.id, c.name ORDER BY c.id LIMIT 20"),
+      Some(
+        s"""WITH $C
+           |SELECT id AS c_id, name AS c_name FROM nodes
+           |WHERE label = 'Customer' AND seg = 'BUILDING' AND num > 1000
+           |ORDER BY c_id LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "cypher_edge",
+      (s, dir) =>
+        CypherLite.query(TpchGraph.build(s, dir),
+          "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) " +
+            "WHERE n.name = 'NATION_3' " +
+            "RETURN c.id, n.name ORDER BY c.id LIMIT 20"),
+      Some(
+        s"""WITH $C
+           |SELECT a.id AS c_id, b.name AS n_name
+           |FROM nodes a
+           |JOIN edges e ON e.src = a.id AND e.type = 'IN_NATION'
+           |JOIN nodes b ON b.id = e.dst
+           |WHERE a.label = 'Customer' AND b.label = 'Nation'
+           |  AND b.name = 'NATION_3'
+           |ORDER BY c_id LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "cypher_varlength",
+      (s, dir) =>
+        CypherLite.query(TpchGraph.build(s, dir),
+          "MATCH (o:Order {id: 'o:1'})-[*1..2]->(x) " +
+            "RETURN x.id, x.label ORDER BY x.id"),
+      Some(
+        s"""WITH $C,
+           |r AS (
+           |  SELECT dst FROM edges WHERE src = 'o:1'
+           |  UNION
+           |  SELECT e2.dst FROM edges e1
+           |  JOIN edges e2 ON e2.src = e1.dst
+           |  WHERE e1.src = 'o:1')
+           |SELECT n.id AS x_id, n.label AS x_label
+           |FROM r JOIN nodes n ON n.id = r.dst
+           |ORDER BY x_id""".stripMargin)
+    )
+  )
+}
