@@ -22,7 +22,8 @@ object Catalog {
       queries.DedupQueries.qs ++
       queries.Bm25Queries.qs ++
       queries.QuantQueries.qs ++
-      queries.GraphQueries.qs
+      queries.GraphQueries.qs ++
+      queries.GraphVectorQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
