@@ -23,7 +23,8 @@ object Catalog {
       queries.Bm25Queries.qs ++
       queries.QuantQueries.qs ++
       queries.GraphQueries.qs ++
-      queries.GraphVectorQueries.qs
+      queries.GraphVectorQueries.qs ++
+      queries.StreamQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
