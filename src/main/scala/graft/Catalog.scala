@@ -24,7 +24,8 @@ object Catalog {
       queries.QuantQueries.qs ++
       queries.GraphQueries.qs ++
       queries.GraphVectorQueries.qs ++
-      queries.StreamQueries.qs
+      queries.StreamQueries.qs ++
+      queries.CrudQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,142 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import graft.filter.Pred
+
+/** Parquet-backed vector collection + catalog — the reference's
+  * Collection/VectorDB storage layer (jcolano/fastpyvectordb
+  * `vectordb_optimized.py:207-818`) re-expressed as table management:
+  *
+  *   <root>/<name>/config.json      — {name, dimensions, metric}
+  *   <root>/<name>/data/…parquet    — current generation
+  *
+  * Mutations are whole-relation rewrites (insert = union, upsert =
+  * anti-join ∪ new, delete = filter) written to a staging dir and
+  * atomically renamed over the old generation — Spark cannot overwrite a
+  * path it is lazily reading, and at cluster scale the swap is what a
+  * table format (Delta/Iceberg) does under the hood; this is the minimal
+  * standalone version of the same idea. The reference's id↔label int maps
+  * and five hash indexes disappear: ids are just a column, lookups are
+  * pushed-down filters.
+  */
+final case class CollectionConfig(name: String, dimensions: Int, metric: String) {
+  def toJson: String =
+    s"""{"name": "$name", "dimensions": $dimensions, "metric": "$metric"}"""
+}
+
+object CollectionConfig {
+  private val P = """"(\w+)"\s*:\s*("([^"]*)"|\d+)""".r
+  def fromJson(s: String): CollectionConfig = {
+    val kv = P.findAllMatchIn(s).map { m =>
+      m.group(1) -> Option(m.group(3)).getOrElse(m.group(2))
+    }.toMap
+    CollectionConfig(kv("name"), kv("dimensions").toInt, kv("metric"))
+  }
+}
+
+final class VectorCollection(
+    val spark: SparkSession, val root: String, val config: CollectionConfig) {
+
+  private def fs = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+  private def dataPath = new Path(s"$root/${config.name}/data")
+  private def stagingPath = new Path(s"$root/${config.name}/data_staging")
+
+  def df: DataFrame = spark.read.parquet(dataPath.toString)
+
+  def isEmpty: Boolean = !fs.exists(dataPath)
+
+  /** Replace the data generation atomically (write staging, swap). */
+  private def commit(newDf: DataFrame): Unit = {
+    fs.delete(stagingPath, true)
+    newDf.write.parquet(stagingPath.toString)
+    fs.delete(dataPath, true)
+    require(fs.rename(stagingPath, dataPath), s"swap failed for $dataPath")
+  }
+
+  /** Batch insert; rejects the whole batch on any duplicate id (the
+    * reference's set-intersection check, `vectordb_optimized.py:392-397`).
+    */
+  def insertBatch(rows: DataFrame): Unit = {
+    require(rows.select("id").distinct().count() == rows.count(),
+      "duplicate ids within batch")
+    if (isEmpty) commit(rows)
+    else {
+      val dups = rows.join(df, Seq("id"), "left_semi").count()
+      require(dups == 0, s"$dups ids already exist")
+      commit(df.unionByName(rows))
+    }
+  }
+
+  /** Delete-then-insert by id (reference upsert, `:418-423`). */
+  def upsert(rows: DataFrame): Unit =
+    if (isEmpty) commit(rows)
+    else commit(df.join(rows.select("id"), Seq("id"), "left_anti")
+      .unionByName(rows))
+
+  /** Delete rows matching the predicate; returns deleted count. */
+  def deleteWhere(pred: Pred): Long = {
+    val before = count()
+    commit(df.filter(!coalesce(pred.column, lit(false))))
+    before - count()
+  }
+
+  def deleteIds(ids: Seq[String]): Long = {
+    val before = count()
+    commit(df.filter(!col("id").isin(ids: _*)))
+    before - count()
+  }
+
+  def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
+
+  def peek(n: Int): DataFrame = df.orderBy("id").limit(n)
+
+  def count(): Long = if (isEmpty) 0L else df.count()
+
+  def listIds(limit: Int, offset: Int): Seq[String] =
+    df.select("id").orderBy("id").offset(offset).limit(limit)
+      .collect().map(_.getString(0)).toSeq
+}
+
+/** Collection catalog rooted at a directory (reference VectorDB,
+  * `vectordb_optimized.py:746-818`): discovery = subdirs with a
+  * config.json. */
+final class VectorDb(spark: SparkSession, root: String) {
+  private def fs = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  def createCollection(name: String, dimensions: Int,
+      metric: String = "cosine"): VectorCollection = {
+    val cfg = CollectionConfig(name, dimensions, metric)
+    val cfgPath = new Path(s"$root/$name/config.json")
+    val out = fs.create(cfgPath, true)
+    out.write(cfg.toJson.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    new VectorCollection(spark, root, cfg)
+  }
+
+  def getCollection(name: String): Option[VectorCollection] = {
+    val cfgPath = new Path(s"$root/$name/config.json")
+    if (!fs.exists(cfgPath)) None
+    else {
+      val in = fs.open(cfgPath)
+      val json = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      in.close()
+      Some(new VectorCollection(spark, root, CollectionConfig.fromJson(json)))
+    }
+  }
+
+  def listCollections(): Seq[String] =
+    if (!fs.exists(new Path(root))) Nil
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "config.json")))
+      .map(_.getPath.getName).sorted
+
+  def dropCollection(name: String): Boolean =
+    fs.delete(new Path(s"$root/$name"), true)
+}

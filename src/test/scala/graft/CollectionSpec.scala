@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.VectorDb
+import graft.filter.Eq
+import graft.functions.VectorFunctions
+
+/** Lifecycle test of the parquet-backed collection store: create, batch
+  * insert (dup rejection), upsert, delete, point lookup, persistence
+  * across catalog instances.
+  */
+class CollectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows(ids: (String, Int)*) =
+    ids.toSeq.toDF("id", "k")
+      .withColumn("vector", VectorFunctions.hashVector(col("k"), 8))
+      .withColumn("tag", concat(lit("t"), col("k") % 2))
+
+  test("full CRUD lifecycle with persistence round-trip") {
+    val root = Files.createTempDirectory("graft_vdb").toString
+    val db = new VectorDb(spark, root)
+
+    val coll = db.createCollection("docs", dimensions = 8)
+    assert(db.listCollections() == Seq("docs"))
+    assert(coll.count() == 0)
+
+    coll.insertBatch(rows("a" -> 1, "b" -> 2, "c" -> 3))
+    assert(coll.count() == 3)
+
+    // duplicate id in a second batch → whole batch rejected
+    assertThrows[IllegalArgumentException] {
+      coll.insertBatch(rows("c" -> 9, "d" -> 4))
+    }
+    assert(coll.count() == 3)
+
+    // upsert replaces b, adds d
+    coll.upsert(rows("b" -> 20, "d" -> 4))
+    assert(coll.count() == 4)
+    val bk = coll.get(Seq("b")).select("k").head().getInt(0)
+    assert(bk == 20)
+
+    // delete by filter-DSL predicate
+    val deleted = coll.deleteWhere(Eq("id", "a"))
+    assert(deleted == 1 && coll.count() == 3)
+
+    assert(coll.listIds(limit = 2, offset = 1) == Seq("c", "d"))
+    assert(coll.peek(2).select("id").collect().map(_.getString(0)).toSeq
+      == Seq("b", "c"))
+
+    // reopen from disk through a fresh catalog
+    val db2 = new VectorDb(spark, root)
+    val reopened = db2.getCollection("docs").get
+    assert(reopened.config.dimensions == 8)
+    assert(reopened.count() == 3)
+
+    assert(db2.dropCollection("docs"))
+    assert(db2.listCollections().isEmpty)
+  }
+}
