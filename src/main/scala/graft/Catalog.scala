@@ -25,7 +25,8 @@ object Catalog {
       queries.GraphQueries.qs ++
       queries.GraphVectorQueries.qs ++
       queries.StreamQueries.qs ++
-      queries.CrudQueries.qs
+      queries.CrudQueries.qs ++
+      queries.AnnQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
