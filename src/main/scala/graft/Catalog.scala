@@ -26,7 +26,8 @@ object Catalog {
       queries.GraphVectorQueries.qs ++
       queries.StreamQueries.qs ++
       queries.CrudQueries.qs ++
-      queries.AnnQueries.qs
+      queries.AnnQueries.qs ++
+      queries.EmbedQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

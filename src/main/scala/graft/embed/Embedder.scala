@@ -1,0 +1,72 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.text.TextAnalysis
+
+/** Embedding provider surface — the reference's `Embedder` trait +
+  * `MockEmbedder` + `CachedEmbedder` (jcolano/fastpyvectordb
+  * `embeddings.py:49-88, 343-448`). Remote providers (OpenAI/Cohere/...)
+  * are out of engine scope (network egress); the deterministic hash
+  * embedder is the test-time provider, exactly like the reference's
+  * MockEmbedder is for its pytest suite (`tests/test_client.py:33-36`).
+  */
+trait Embedder {
+  def dimensions: Int
+  def modelName: String
+  /** Column-level batch embedding (a whole DataFrame column at once —
+    * the engine-native analog of `embed_batch`). Takes the text column as
+    * a SQL expression string because the key hash composes SQL fragments.
+    */
+  def embed(textExpr: String): Column
+}
+
+/** Deterministic text embedder: key = rolling char hash of the text
+  * (mod 2^31−1), vector = LCG hash-vector of the key. The reference
+  * seeds numpy's RNG from sha256(text) (`embeddings.py:361-371`); graft
+  * uses pure integer arithmetic instead so a DuckDB oracle reproduces
+  * every vector bit-for-bit.
+  */
+final case class HashEmbedder(dimensions: Int) extends Embedder {
+  val modelName = "graft-hash"
+
+  def embed(textExpr: String): Column =
+    VectorFunctions.hashVector(textKey(textExpr), dimensions)
+
+  /** The text→key hash as a Column. */
+  def textKey(textExpr: String): Column =
+    expr(TextAnalysis.charHash(textExpr))
+
+  /** Driver-side embedding of one string (same arithmetic). */
+  def embedValue(text: String): Seq[Double] =
+    VectorFunctions.hashVectorValues(keyValue(text), dimensions)
+
+  def keyValue(text: String): Long =
+    text.foldLeft(0L)((a, c) => (a * TextAnalysis.CharB + c.toInt) % TextAnalysis.HashM)
+
+  /** DuckDB twins. */
+  def embedSql(textExpr: String): String =
+    VectorFunctions.hashVectorSql(TextAnalysis.charHashSql(textExpr), dimensions)
+}
+
+/** Cache-through embedding: reuse vectors for already-embedded texts,
+  * embed only the misses, return the union (reference `CachedEmbedder`,
+  * `embeddings.py:374-448` — sha256-keyed disk cache → here a cache
+  * *table* joined by text key, the batch-native form).
+  */
+object CachedEmbedder {
+  /** @param docs  (id, text)
+    * @param cache (key, vector) — previously embedded
+    * @return (id, text, vector, from_cache)
+    */
+  def embedWithCache(docs: DataFrame, cache: DataFrame, e: HashEmbedder): DataFrame = {
+    val keyed = docs.withColumn("key", e.textKey("text"))
+    val hits = keyed.join(cache, "key")
+      .select(col("id"), col("text"), col("vector"), lit(true).as("from_cache"))
+    val misses = keyed.join(cache.select("key"), Seq("key"), "left_anti")
+      .select(col("id"), col("text"),
+        e.embed("text").as("vector"), lit(false).as("from_cache"))
+    hits.unionByName(misses)
+  }
+}
