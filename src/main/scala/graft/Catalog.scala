@@ -27,7 +27,8 @@ object Catalog {
       queries.StreamQueries.qs ++
       queries.CrudQueries.qs ++
       queries.AnnQueries.qs ++
-      queries.EmbedQueries.qs
+      queries.EmbedQueries.qs ++
+      queries.MediaQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import graft.media.Multimodal
+import graft.text.TextAnalysis
+
+/** Multimodal plumbing queries. The decode stubs are integer arithmetic,
+  * so even the mapPartitions path has a DuckDB oracle — pinning schema,
+  * ordering, and batch plumbing despite the fake codec.
+  */
+object MediaQueries {
+  private val Dim = 16
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "media_features",
+      (s, dir) =>
+        Multimodal.extractFeatures(
+            Multimodal.mediaFromDocuments(Tables.documents(s, dir)), Dim)
+          .toDF()
+          .select(col("id"),
+            round(element_at(col("features"), 1), 6).as("f0"),
+            round(expr("aggregate(features, 0D, (a, b) -> a + b)"), 6)
+              .as("fsum")),
+      Some {
+        // payload bytes == UTF-8 text bytes (ASCII corpus) → byte hash ==
+        // char hash of the text; features = hash-vector of that key.
+        val key = TextAnalysis.charHashSql("text")
+        val vec = VectorFunctions.hashVectorSql(s"($key)", Dim)
+        s"""SELECT doc_id AS id,
+           |  round(($vec)[1], 6) AS f0,
+           |  round(list_reduce(list_prepend(0.0, $vec), (a, b) -> a + b), 6) AS fsum
+           |FROM documents""".stripMargin
+      }
+    ),
+    Q(
+      "media_frame_sample",
+      (s, dir) =>
+        Multimodal.frameSample(
+            Multimodal.mediaFromDocuments(Tables.documents(s, dir)), 4)
+          .toDF().orderBy("id", "frame_idx"),
+      Some(
+        """WITH v AS (SELECT doc_id AS id, text FROM documents
+          |           WHERE doc_id % 2 <> 0),
+          |f AS (SELECT id, i AS frame_idx,
+          |             ((i * (length(text) - 1)) // 3)::INT AS "offset", text
+          |      FROM v, range(0, 4) t(i) WHERE length(text) > 0)
+          |SELECT id, frame_idx, "offset",
+          |       ascii(substr(text, "offset" + 1, 1)) AS byte_val
+          |FROM f ORDER BY id, frame_idx""".stripMargin)
+    )
+  )
+}
