@@ -26,34 +26,38 @@ object Bm25 {
   val K1 = 1.5
   val B = 0.75
 
-  def postings(docs: DataFrame): DataFrame =
-    docs
-      .selectExpr("doc_id", s"explode(${wordTokens("text")}) as term")
+  /** (doc_id, toks) — tokenize once; postings, lengths, and stats all
+    * derive from this relation (persist it when several are needed). */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", s"${wordTokens("text")} as toks")
+
+  def postings(docs: DataFrame): DataFrame = postingsFromToks(tokenized(docs))
+
+  def postingsFromToks(toks: DataFrame): DataFrame =
+    toks
+      .selectExpr("doc_id", "explode(toks) as term")
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
 
-  def docLens(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", s"cast(size(${wordTokens("text")}) as double) as dl")
-
-  /** Single-row (n_docs, avgdl). */
-  def stats(docs: DataFrame): DataFrame =
-    docLens(docs).agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl"))
+  def docLensFromToks(toks: DataFrame): DataFrame =
+    toks.selectExpr("doc_id", "cast(size(toks) as double) as dl")
 
   /** BM25 top-k for a bag of query terms. Returns (doc_id, score). */
   def search(spark: SparkSession, docs: DataFrame, terms: Seq[String], k: Int)
       : DataFrame = {
     import spark.implicits._
     val q = broadcast(terms.distinct.toDF("term"))
-    val post = postings(docs)
-    val qPost = post.join(q, "term")
+    val toks = tokenized(docs).persist() // feeds postings + lengths + stats
+    val lens = docLensFromToks(toks)
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val qPost = postingsFromToks(toks).join(q, "term")
     val docFreq = qPost.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
     qPost
       .join(broadcast(docFreq), "term")
-      .join(docLens(docs), "doc_id")
-      .crossJoin(broadcast(stats(docs)))
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("w",
         col("idf") * col("tf") * (K1 + 1.0) /

@@ -33,22 +33,42 @@ object Dedup {
   def hashB(i: Int): Long = (12345L * (i + 1) + 6789L) % P
 
   // ---- shingling -----------------------------------------------------
-  /** Distinct hashed word 3-gram shingles; requires ≥ 3 tokens. */
-  private def shingleExpr(tokens: String): String = {
-    val sh = s"concat_ws(' ', slice($tokens, i + 1, 3))"
-    s"array_distinct(transform(sequence(0, size($tokens) - 3), i -> ${charHash(sh)}))"
-  }
   private def shingleSql(tokens: String): String = {
     val sh = s"array_to_string($tokens[i + 1 : i + 3], ' ')"
     s"list_distinct(list_transform(range(0, len($tokens) - 2), i -> ${charHashSql(sh)}))"
   }
 
+  /** Scala twins of the SQL hash kernels — identical integer arithmetic
+    * (ASCII corpus: char.toInt == ascii()). Shingle hashing over a corpus
+    * is the hot loop of every near-dup sweep; as interpreted higher-order
+    * expressions it was 10× slower than this typed kernel at sf0.1.
+    */
+  private val TokenRe = java.util.regex.Pattern.compile("\\w+")
+  def tokensOf(text: String): Array[String] = {
+    val m = TokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+  def charHashOf(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * CharB + c.toInt) % HashM)
+  def shinglesOf(text: String): Array[Long] =
+    tokensOf(text).sliding(3).map(w => charHashOf(w.mkString(" ")))
+      .toArray.distinct
+
   /** doc_id + distinct shingle-hash array (docs with ≥ 3 word tokens). */
-  def shingled(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
-    docs
-      .selectExpr(idCol, s"${wordTokens("text")} as toks")
-      .where("size(toks) >= 3")
-      .selectExpr(idCol, s"${shingleExpr("toks")} as shingles")
+  def shingled(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sh = shinglesOf(text)
+        if (sh.length > 0 && tokensOf(text).length >= 3) Some((id, sh.toSeq))
+        else None
+      })
+      .toDF(idCol, "shingles")
+  }
 
   /** DuckDB CTE body equivalent of [[shingled]] (relation `documents`). */
   def shingledSql: String =
@@ -65,29 +85,55 @@ object Dedup {
   private def bandSig(j: Int, mh: Int => String): String =
     s"(${mh(2 * j)} * $Knuth + ${mh(2 * j + 1)}) % $P"
 
-  /** (doc_id, shingles, band, sig) — one row per band per doc. */
+  /** (doc_id, shingles, band, sig) — one row per band per doc, computed
+    * in one typed pass (minhashes + band mixing are integer-exact twins
+    * of the SQL oracle's arithmetic). */
   def lshBands(docs: DataFrame): DataFrame = {
-    val withMh = shingled(docs).selectExpr(
-      Seq("doc_id", "shingles") ++
-        (0 until NumHashes).map(i => s"${minhashExpr(i)} as mh$i"): _*)
-    val sigs = (0 until Bands)
-      .map(j => s"${bandSig(j, i => s"mh$i")} as sig$j")
-    val stack = (0 until Bands).map(j => s"$j, sig$j").mkString(", ")
-    withMh
-      .selectExpr(Seq("doc_id", "shingles") ++ sigs: _*)
-      .selectExpr("doc_id", "shingles", s"stack($Bands, $stack) as (band, sig)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (nh, bands) = (NumHashes, Bands)
+    val as = (0 until nh).map(hashA).toArray
+    val bs = (0 until nh).map(hashB).toArray
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        if (tokensOf(text).length < 3) Iterator.empty
+        else {
+          val sh = shinglesOf(text)
+          val mh = Array.tabulate(nh) { i =>
+            var m = Long.MaxValue
+            var j = 0
+            while (j < sh.length) {
+              val v = (sh(j) * as(i) + bs(i)) % P
+              if (v < m) m = v
+              j += 1
+            }
+            m
+          }
+          (0 until bands).iterator.map { b =>
+            (id, sh.toSeq, b, (mh(2 * b) * Knuth + mh(2 * b + 1)) % P)
+          }
+        }
+      })
+      .toDF("doc_id", "shingles", "band", "sig")
   }
 
-  /** Jaccard similarity of two distinct-element arrays. */
+  /** Jaccard similarity of two distinct-element arrays, via
+    * |A∩B| / (|A| + |B| − |A∩B|) — avoids materializing the union array
+    * (identical value for distinct inputs; codegen subexpression
+    * elimination shares the one intersect). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
   def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b))::DOUBLE / " +
-      s"len(list_distinct(list_concat($a, $b)))"
+      s"(len($a) + len($b) - len(list_intersect($a, $b)))"
 
   /** LSH candidate pairs with exact-Jaccard verification, top-N. */
   def minhashLshPairs(docs: DataFrame, topN: Int): DataFrame = {
-    val bands = lshBands(docs)
+    // persist: the banded signatures feed both sides of the self-join —
+    // without the barrier the shingle hashing runs twice per row.
+    val bands = lshBands(docs).persist()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -97,7 +143,9 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.shingles").as("sha"), col("b.shingles").as("shb"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jac", round(jaccard(col("sha"), col("shb")), 6))
+      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", round(col("ni").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("ni")), 6))
       .select("doc_a", "doc_b", "jac")
       .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
       .limit(topN)

@@ -31,8 +31,17 @@ trait Embedder {
 final case class HashEmbedder(dimensions: Int) extends Embedder {
   val modelName = "graft-hash"
 
+  /** NOTE: inlines the key hash into all `dimensions` vector lambdas —
+    * fine for small batches (cache misses); for corpus-scale embedding
+    * materialize the key first: `.withColumn("key", e.textKey("text"))
+    * .withColumn("v", e.embedKey(col("key")))`. */
   def embed(textExpr: String): Column =
     VectorFunctions.hashVector(textKey(textExpr), dimensions)
+
+  /** Vector from an already-materialized key column (evaluates the text
+    * hash once per row instead of once per vector element). */
+  def embedKey(key: Column): Column =
+    VectorFunctions.hashVector(key, dimensions)
 
   /** The text→key hash as a Column. */
   def textKey(textExpr: String): Column =

@@ -39,6 +39,11 @@ object VectorFunctions {
     * ((key·A + i·B + C) mod M)/M − 0.5 ∈ [−0.5, 0.5). Pure int64/double
     * arithmetic ⇒ exactly reproducible in DuckDB SQL (see [[hashVectorSql]]).
     * `key` must be non-negative (all testdata keys are).
+    *
+    * PERF: the key expression is inlined into every element's lambda, so
+    * pass a cheap column reference — materialize an expensive key (e.g. a
+    * text hash) with a withColumn first, or the key recomputes dim times
+    * per row (measured 50× slowdown on embed_text_knn).
     */
   def hashVector(key: Column, dim: Int): Column =
     transform(

@@ -23,7 +23,16 @@ final case class Graph(nodes: DataFrame, edges: DataFrame)
   * IN_NATION (c→n, s→n), HAS_PART (o→p), SUPPLIED_BY (p→s).
   */
 object TpchGraph {
-  def build(spark: SparkSession, dir: String): Graph = {
+  // One graph build per (session, sf-dir): every catalog query calls
+  // build(), and without memoization each pays the lineitem-distinct
+  // shuffles again even though the persisted DFs already exist.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Graph]()
+
+  def build(spark: SparkSession, dir: String): Graph =
+    cache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
+      _ => buildUncached(spark, dir))
+
+  private def buildUncached(spark: SparkSession, dir: String): Graph = {
     val c = Tables.customer(spark, dir).selectExpr(
       "concat('c:', c_custkey) as id", "'Customer' as label",
       "c_name as name", "c_acctbal as num", "c_mktsegment as seg")
@@ -51,14 +60,20 @@ object TpchGraph {
     val suppNation = Tables.supplier(spark, dir).selectExpr(
       "concat('s:', s_suppkey) as src", "concat('n:', s_nationkey) as dst",
       "'IN_NATION' as type")
-    val hasPart = li.selectExpr(
-        "concat('o:', l_orderkey) as src", "concat('p:', l_partkey) as dst",
-        "'HAS_PART' as type").distinct()
-    val suppliedBy = li.selectExpr(
-        "concat('p:', l_partkey) as src", "concat('s:', l_suppkey) as dst",
-        "'SUPPLIED_BY' as type").distinct()
-    Graph(nodes,
-      placedBy.union(custNation).union(suppNation).union(hasPart).union(suppliedBy))
+    // distinct on the numeric key pairs BEFORE string concat: the shuffle
+    // moves 16-byte pairs instead of concatenated strings
+    val hasPart = li.select("l_orderkey", "l_partkey").distinct().selectExpr(
+      "concat('o:', l_orderkey) as src", "concat('p:', l_partkey) as dst",
+      "'HAS_PART' as type")
+    val suppliedBy = li.select("l_partkey", "l_suppkey").distinct().selectExpr(
+      "concat('p:', l_partkey) as src", "concat('s:', l_suppkey) as dst",
+      "'SUPPLIED_BY' as type")
+    // Both relations are re-joined several times by every traversal
+    // (each BFS hop, both var-length directions); persist so the
+    // lineitem-distinct shuffles run once per query, not once per hop.
+    Graph(nodes.persist(),
+      placedBy.union(custNation).union(suppNation).union(hasPart)
+        .union(suppliedBy).persist())
   }
 
   /** DuckDB CTEs defining the same nodes/edges relations. */
@@ -123,7 +138,7 @@ object GraphOps {
         org.apache.spark.sql.types.StructField("seen", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
     var acc: Option[DataFrame] = None
     for (d <- 1 to maxDepth) {
-      val next = frontier
+      val next = broadcast(frontier)
         .join(e, col("node") === col("src"))
         .filter(!array_contains(col("seen"), col("dst")))
         .select(
@@ -150,11 +165,13 @@ object GraphOps {
     var visited = Seq(start).toDF("vnode")
     var acc: Option[DataFrame] = None
     for (d <- 1 to maxDepth) {
-      val next = frontier
+      // broadcast the small frontier/visited sides: the edges table must
+      // not be shuffled once per hop (it is the 100 TB side at scale)
+      val next = broadcast(frontier)
         .join(g.edges, col("node") === col("src"))
         .select(col("dst").as("node"),
           concat(col("path"), lit("->"), col("dst")).as("path"))
-        .join(visited, col("node") === col("vnode"), "left_anti")
+        .join(broadcast(visited), col("node") === col("vnode"), "left_anti")
         .groupBy("node").agg(min("path").as("path"))
       val step = next.select(col("node").as("target"), lit(d).as("depth"),
         col("path"))

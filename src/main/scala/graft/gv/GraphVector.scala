@@ -63,10 +63,10 @@ object GraphVector {
     var acc = seeds.select(col("id"), round(col("sim"), 6).as("score"),
       lit(0).as("hop"))
     for (hop <- 1 to expandHops) {
-      val next = frontier
+      val next = broadcast(frontier)
         .join(und, col("id") === col("a"))
         .select(col("b").as("id")).distinct()
-        .join(visited, col("id") === col("vid"), "left_anti")
+        .join(broadcast(visited), col("id") === col("vid"), "left_anti")
         .localCheckpoint()
       acc = acc.union(
         next.crossJoin(broadcast(maxSeed))

@@ -34,8 +34,9 @@ object HybridSearch {
       alpha: Double): DataFrame = {
     val fetch = k * FetchFactor
     val qv = typedlit(queryVec)
+    val c = corpus.persist() // both branches scan it
 
-    val vecTop = corpus
+    val vecTop = c
       .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
       .select("doc_id", "d")
       .orderBy(col("d"), col("doc_id"))
@@ -45,7 +46,7 @@ object HybridSearch {
       .select(col("doc_id"),
         (lit(1.0) - col("d") / col("max_d")).as("vscore"))
 
-    val kwTop = Bm25.search(spark, corpus.select("doc_id", "text"), queryTerms, fetch)
+    val kwTop = Bm25.search(spark, c.select("doc_id", "text"), queryTerms, fetch)
     val kwNorm = kwTop
       .crossJoin(broadcast(kwTop.agg(max("score").as("max_s"))))
       .select(col("doc_id"), (col("score") / col("max_s")).as("kscore"))

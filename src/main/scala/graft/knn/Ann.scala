@@ -94,27 +94,36 @@ object Ann {
 
   final case class IvfModel(centroids: Seq[Seq[Double]])
 
+  /** Max rows sampled for centroid training; samples at or below
+    * LocalTrainThreshold run Lloyd's driver-side (MLlib schedules a job
+    * per iteration — pure overhead on small samples; see LocalKMeans). */
+  val SampleRows = 8192
+  val LocalTrainThreshold = 65536
+
   def trainIvf(emb: DataFrame, vecCol: String, cells: Int,
       seed: Long = 42L): IvfModel = {
-    val feats = emb.selectExpr(
-        s"transform($vecCol, x -> cast(x as double)) as f")
-      .select(array_to_vector(col("f")).as("features"))
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features").fit(feats)
-    IvfModel(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+    val sampleDf = emb.selectExpr(
+      s"transform($vecCol, x -> cast(x as double)) as f").limit(SampleRows)
+    if (SampleRows <= LocalTrainThreshold) {
+      val sample = sampleDf.collect().map(_.getSeq[Double](0)).toSeq
+      IvfModel(graft.quant.LocalKMeans.fit(sample, cells, iters = 10))
+    } else {
+      val feats = sampleDf.select(array_to_vector(col("f")).as("features"))
+        .persist()
+      val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("features").fit(feats)
+      feats.unpersist()
+      IvfModel(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+    }
   }
 
-  /** Argmin-cell expression against the literal centroid codebook. */
-  def cellExpr(vecCol: String, m: IvfModel): String = {
-    val dists = m.centroids.map { c =>
-      c.zipWithIndex.map { case (cv, d) =>
-        s"pow(cast(element_at($vecCol, ${d + 1}) as double) - ($cv), 2.0)"
-      }.mkString(" + ")
-    }.mkString("array(", ", ", ")")
-    s"cast(array_position($dists, array_min($dists)) - 1 as int)"
-  }
-
-  /** IVF search: probe the nprobe nearest cells, exact-rerank inside. */
+  /** IVF search: probe the nprobe nearest cells, exact-rerank inside.
+    * Cell assignment + rerank run as one typed mapPartitions pass (a
+    * literal-centroid Catalyst expression tree falls out of codegen and
+    * was measured far slower); no SQL oracle (k-means), recall-gated.
+    * At scale the cell id would be a stored partition column instead —
+    * assignment happens once at write time and probing prunes files.
+    */
   def ivfSearch(
       emb: DataFrame,
       vecCol: String,
@@ -126,14 +135,39 @@ object Ann {
     val probeCells = m.centroids.zipWithIndex.map { case (c, i) =>
       val d = c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
       (d, i)
-    }.sortBy(_._1).take(nprobe).map(_._2)
-    val qv = typedlit(queryVec)
-    emb
-      .withColumn("cell", expr(cellExpr(vecCol, m)))
-      .filter(col("cell").isin(probeCells: _*))
-      .withColumn("score",
-        round(VectorFunctions.cosineDistance(col(vecCol), qv), 6))
-      .select(idCol, "score")
+    }.sortBy(_._1).take(nprobe).map(_._2).toSet
+    val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
+    val q = queryVec.toArray
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, v) =>
+          val vec = v.toArray
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < vec.length) {
+              val x = vec(i) - cents(c)(i); d += x * x; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (!probeCells.contains(best)) None
+          else {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < vec.length) {
+              dot += vec(i) * q(i); na += vec(i) * vec(i); nb += q(i) * q(i)
+              i += 1
+            }
+            val cos = 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+            Some((id, math.round(cos * 1e6) / 1e6))
+          }
+        }
+      }
+      .toDF(idCol, "score")
       .orderBy(col("score"), col(idCol))
       .limit(k)
   }

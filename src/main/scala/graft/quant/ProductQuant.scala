@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   * recall gate in QuantSpec pins behavior against exact kNN instead.
   */
 object ProductQuant {
+  /** Max rows sampled for codebook training. */
+  val SampleRows = 4096
+  /** Samples at or below this size train driver-side (LocalKMeans). */
+  val LocalTrainThreshold = 65536
 
   /** cb(m)(k)(d): M codebooks of K centroids each. */
   final case class Codebooks(m: Int, k: Int, subDim: Int,
@@ -30,37 +34,40 @@ object ProductQuant {
       seed: Long = 42L): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by M=$m")
     val subDim = dim / m
-    val cbs = (0 until m).map { mi =>
-      val sub = emb.selectExpr(
-        s"transform(slice($vecCol, ${mi * subDim + 1}, $subDim), x -> cast(x as double)) as sub")
-      val feats = sub.select(array_to_vector(col("sub")).as("features"))
-      val model = new KMeans()
-        .setK(k).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
-        .fit(feats)
-      model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    // Train on a bounded sample (the reference also subsamples,
+    // quantization.py:472-478). Below the threshold the sample is
+    // collected and Lloyd's runs on the driver (MLlib costs ~a job per
+    // iteration — pure overhead at this size); above it, MLlib per
+    // subspace keeps the cluster-scale path.
+    val sampleDf = emb.selectExpr(
+      s"transform($vecCol, x -> cast(x as double)) as v").limit(SampleRows)
+    if (SampleRows <= LocalTrainThreshold) {
+      val sample = sampleDf.collect().map(_.getSeq[Double](0))
+      val cbs = (0 until m).map { mi =>
+        val subs = sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim)).toSeq
+        LocalKMeans.fit(subs, k, iters = 10)
+      }
+      Codebooks(m, k, subDim, cbs)
+    } else {
+      val cached = sampleDf.persist()
+      val cbs = (0 until m).map { mi =>
+        val feats = cached
+          .selectExpr(s"slice(v, ${mi * subDim + 1}, $subDim) as sub")
+          .select(array_to_vector(col("sub")).as("features"))
+        new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+          .setFeaturesCol("features").fit(feats)
+          .clusterCenters.toSeq.map(_.toArray.toSeq)
+      }
+      cached.unpersist()
+      Codebooks(m, k, subDim, cbs)
     }
-    Codebooks(m, k, subDim, cbs)
   }
 
-  /** Squared L2 between a subvector expression and one centroid. */
-  private def subDistExpr(vecCol: String, base: Int, centroid: Seq[Double]): String =
-    centroid.zipWithIndex.map { case (c, d) =>
-      s"pow(cast(element_at($vecCol, ${base + d + 1}) as double) - ($c), 2.0)"
-    }.mkString(" + ")
-
-  /** Encode: per subspace, argmin centroid index (0-based). */
-  def encodeExpr(vecCol: String, cb: Codebooks): String = {
-    val codes = (0 until cb.m).map { mi =>
-      val base = mi * cb.subDim
-      val dists = cb.cb(mi).map(c => subDistExpr(vecCol, base, c))
-        .mkString("array(", ", ", ")")
-      s"cast(array_position($dists, array_min($dists)) - 1 as int)"
-    }
-    codes.mkString("array(", ", ", ")")
-  }
-
-  /** ADC search: LUT computed driver-side from the query, distance =
-    * sqrt(Σ_m lut[m][code_m]). Returns (id, score) ascending top-k.
+  /** ADC search: LUT computed driver-side from the query; encode + LUT
+    * lookup run as a typed mapPartitions kernel (a literal-codebook
+    * Catalyst expression was measured 10× slower: the ~1000-term tree
+    * falls out of codegen). Returns (id, score) ascending top-k; no SQL
+    * oracle (k-means), recall-gated in QuantSpec.
     */
   def searchAdc(
       emb: DataFrame,
@@ -69,22 +76,46 @@ object ProductQuant {
       cb: Codebooks,
       queryVec: Seq[Double],
       k: Int): DataFrame = {
-    val lut: Seq[Seq[Double]] = (0 until cb.m).map { mi =>
+    val lut: Array[Array[Double]] = (0 until cb.m).map { mi =>
       val base = mi * cb.subDim
       cb.cb(mi).map { c =>
         c.zipWithIndex.map { case (cv, d) =>
           val q = queryVec(base + d); (q - cv) * (q - cv)
         }.sum
+      }.toArray
+    }.toArray
+    val books: Array[Array[Array[Double]]] =
+      cb.cb.map(_.map(_.toArray).toArray).toArray
+    val (m, subDim) = (cb.m, cb.subDim)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          val vec = v.toArray
+          var dist = 0.0
+          var mi = 0
+          while (mi < m) {
+            val base = mi * subDim
+            val book = books(mi)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              var d = 0.0; var i = 0
+              while (i < subDim) {
+                val x = vec(base + i) - book(c)(i); d += x * x; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            dist += lut(mi)(best)
+            mi += 1
+          }
+          (id, math.round(math.sqrt(dist) * 1e6) / 1e6)
+        }
       }
-    }
-    val lutLit = lut.map(_.mkString("array(", "D, ", "D)"))
-      .mkString("array(", ", ", ")")
-    val encoded = emb.selectExpr(idCol, s"${encodeExpr(vecCol, cb)} as codes")
-    encoded
-      .selectExpr(idCol,
-        s"""round(sqrt(aggregate(transform(sequence(0, ${cb.m - 1}), mi ->
-           |  element_at(element_at($lutLit, mi + 1), element_at(codes, mi + 1) + 1)),
-           |  0D, (a, b) -> a + b)), 6) as score""".stripMargin)
+      .toDF(idCol, "score")
       .orderBy(col("score"), col(idCol))
       .limit(k)
   }

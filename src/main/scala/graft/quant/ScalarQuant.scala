@@ -54,14 +54,20 @@ object ScalarQuant {
       queryVec: Seq[Double],
       dim: Int,
       k: Int): DataFrame = {
-    val enc = emb
-      .crossJoin(broadcast(statsRow(emb, vecCol)))
-      .selectExpr(idCol, "mns", "scales", s"${encodeExpr(vecCol, dim)} as code")
     val qvLit = queryVec.mkString("array(", "D, ", "D)")
-    enc
+    // Encode, decode, and distance are FUSED into one per-element pass:
+    // a separate `code` column gets CollapseProject-inlined into the
+    // distance lambda and re-evaluates the whole 64-element encode once
+    // per distance element (64×64 evals/row — measured 5 s warm at
+    // 2000 rows; fused ≈ 64 evals/row).
+    val encodedElem =
+      s"least($Levels, greatest(0.0, coalesce(round((cast(element_at($vecCol, qi) as double)" +
+        s" - element_at(mns, qi)) / nullif(element_at(scales, qi), 0.0), 0), 0.0)))"
+    emb
+      .crossJoin(broadcast(statsRow(emb, vecCol)))
       .selectExpr(idCol,
         s"""round(sqrt(aggregate(transform(sequence(1, $dim), qi ->
-           |  pow(element_at(code, qi) * element_at(scales, qi) + element_at(mns, qi)
+           |  pow($encodedElem * element_at(scales, qi) + element_at(mns, qi)
            |      - element_at($qvLit, qi), 2.0)),
            |  0D, (a, b) -> a + b)), 6) as score""".stripMargin)
       .orderBy(col("score"), col(idCol))

@@ -49,6 +49,7 @@ object DedupQueries {
         val docs = Tables.documents(s, dir)
         val sh = Dedup.shingled(docs)
           .join(docs.select("doc_id", "source"), "doc_id")
+          .persist() // both sides of the blocked self-join
         val a = sh.as("a")
         val b = sh.as("b")
         // Block on source: the join key makes Catalyst plan a hash join
@@ -57,7 +58,13 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.source").as("source"),
                   col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                  round(Dedup.jaccard(col("a.shingles"), col("b.shingles")), 6)
+                  col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+          // ni is multi-referenced below, which keeps it in its own
+          // projection — one intersect per pair instead of two
+          .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+          .select(col("source"), col("doc_a"), col("doc_b"),
+                  round(col("ni").cast("double") /
+                    (size(col("sha")) + size(col("shb")) - col("ni")), 6)
                     .as("jac"))
           .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
           .limit(TopN)

@@ -23,8 +23,15 @@ object EmbedQueries {
       "embed_text_knn",
       (s, dir) => {
         val qv = typedlit(e.embedValue(QueryText))
-        Tables.documents(s, dir)
-          .withColumn("embedding", e.embed("text"))
+        // persist() is a real optimizer barrier: a plain withColumn gets
+        // CollapseProject-inlined back into all 64 vector lambdas and the
+        // O(len) text hash re-runs per element (measured 112 s -> ~2 s
+        // at sf0.1 with the barrier).
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), e.textKey("text").as("key"))
+          .persist()
+        keyed
+          .withColumn("embedding", e.embedKey(col("key")))
           .withColumn("score", round(cosineDistance(col("embedding"), qv), 6))
           .select("doc_id", "score")
           .orderBy(col("score"), col("doc_id"))

@@ -15,12 +15,16 @@ object TextQueries {
     Q(
       "text_token_stats",
       (s, dir) =>
-        Tables.documents(s, dir).selectExpr(
-          "doc_id",
-          s"size(${wsTokens("text")}) as n_ws_tokens",
-          s"size(${wordTokens("text")}) as n_word_tokens",
-          s"size(array_distinct(${wordTokens("text")})) as n_distinct_terms",
-          "length(text) as len_chars"),
+        // tokenize once: wt is referenced twice below so CollapseProject
+        // keeps it as its own projection (single regex pass per row)
+        Tables.documents(s, dir)
+          .selectExpr("doc_id", "text", s"${wordTokens("text")} as wt")
+          .selectExpr(
+            "doc_id",
+            s"size(${wsTokens("text")}) as n_ws_tokens",
+            "size(wt) as n_word_tokens",
+            "size(array_distinct(wt)) as n_distinct_terms",
+            "length(text) as len_chars"),
       Some(
         s"""SELECT doc_id,
            |  len(${wsTokensSql("text")}) AS n_ws_tokens,

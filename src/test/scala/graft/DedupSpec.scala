@@ -20,7 +20,7 @@ class DedupSpec extends AnyFunSuite {
     val top = Dedup.minhashLshPairs(d, 5).collect()
     assert(top.nonEmpty)
     val best = top.head
-    assert((best.getInt(0), best.getInt(1)) == (1, 2))
+    assert((best.getLong(0), best.getLong(1)) == (1L, 2L))
     assert(best.getDouble(2) == 1.0)
   }
 
@@ -43,7 +43,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("shingled drops short docs") {
     val d = docs(1 -> "two words", 2 -> "three word doc")
-    val ids = Dedup.shingled(d).select("doc_id").collect().map(_.getInt(0))
-    assert(ids.toSeq == Seq(2))
+    val ids = Dedup.shingled(d).select("doc_id").collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(2L))
   }
 }
