@@ -37,6 +37,19 @@ object Bm25Queries {
            |FROM tok GROUP BY term
            |ORDER BY df DESC, term LIMIT 20""".stripMargin)
     ),
+    // keyword search + metadata filter (reference keyword_search,
+    // hybrid_search.py:318-358 — but filtered BEFORE scoring: exact
+    // filtered top-k instead of over-fetch + post-filter)
+    Q(
+      "bm25_filtered",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(graft.filter.Eq("lang", "en").column)
+        Bm25.search(s, docs, QueryTerms, K)
+      },
+      Some(Bm25.searchSql(QueryTerms, K,
+        relation = "(SELECT * FROM documents WHERE lang = 'en')")),
+    ),
     Q(
       "hybrid_search",
       (s, dir) => {

@@ -98,6 +98,27 @@ object GraphQueries {
            |GROUP BY he ORDER BY n_matched DESC, he LIMIT 20""".stripMargin)
     ),
     Q(
+      "graph_stats",
+      (s, dir) => {
+        val g = TpchGraph.build(s, dir)
+        // counts + distinct labels/types (reference graph.py:917-926)
+        val n = g.nodes.agg(
+          count(lit(1)).as("n_nodes"),
+          countDistinct("label").as("n_labels"))
+        val e = g.edges.agg(
+          count(lit(1)).as("n_edges"),
+          countDistinct("type").as("n_edge_types"))
+        n.crossJoin(e)
+      },
+      Some(
+        s"""WITH $C,
+           |ns AS (SELECT count(*) AS n_nodes,
+           |              count(DISTINCT label) AS n_labels FROM nodes),
+           |es AS (SELECT count(*) AS n_edges,
+           |              count(DISTINCT type) AS n_edge_types FROM edges)
+           |SELECT * FROM ns, es""".stripMargin)
+    ),
+    Q(
       "cypher_node",
       (s, dir) =>
         CypherLite.query(TpchGraph.build(s, dir),

@@ -57,6 +57,31 @@ object QuantQueries {
         hashVectorSql("7", D), D, K)),
       bench = true
     ),
+    // memory accounting (reference quantization.py:183-194, 396-407,
+    // 599-615): bytes per vector raw vs quantized, compression ratios
+    Q(
+      "quant_memory",
+      (s, dir) =>
+        Tables.embeddings(s, dir).agg(count(lit(1)).as("n")).selectExpr(
+          "n",
+          s"n * $D * 4 as raw_bytes",
+          s"n * $D as sq_bytes",
+          s"cast($D * 4 as double) / $D as sq_ratio",
+          s"n * ${D / 8} as bq_bytes",
+          s"cast($D * 4 as double) / ${D / 8} as bq_ratio",
+          "n * 8 as pq_bytes",
+          s"cast($D * 4 as double) / 8 as pq_ratio"),
+      Some(
+        s"""SELECT count(*) AS n,
+           |  count(*) * $D * 4 AS raw_bytes,
+           |  count(*) * $D AS sq_bytes,
+           |  ($D * 4)::DOUBLE / $D AS sq_ratio,
+           |  count(*) * ${D / 8} AS bq_bytes,
+           |  ($D * 4)::DOUBLE / ${D / 8} AS bq_ratio,
+           |  count(*) * 8 AS pq_bytes,
+           |  ($D * 4)::DOUBLE / 8 AS pq_ratio
+           |FROM embeddings""".stripMargin)
+    ),
     Q(
       "pq_search",
       (s, dir) => {
