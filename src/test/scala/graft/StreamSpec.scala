@@ -46,6 +46,25 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful dedup emits exactly one first-seen row per key") {
+    val q = graft.stream.StatefulDedup
+      .firstSeenByKey(ChangeFeed.readStream(spark, sf), "user_id")
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("first_seen").collect()
+      val keys = rows.map(_.getLong(0))
+      assert(keys.length == keys.distinct.length, "one row per key")
+      // first-seen = the minimum event_id per user in the batch source
+      val expected = Tables.events(spark, sf)
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.min("event_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("subscription with empty type set matches all types") {
     val sub = Subscription(Nil, None)
     val n = ChangeFeed.matched(Tables.events(spark, sf), sub).count()
