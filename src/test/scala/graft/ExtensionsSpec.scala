@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library loads through spark.sql.extensions and its kernels are
+  * callable from plain SQL.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers the vector kernels for SQL") {
+    // getOrCreate() reuses any active session and would skip extensions —
+    // clear the active/default slots so a fresh session (sharing the
+    // JVM-wide SparkContext) is built with the extensions applied.
+    val prev = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       round(vec_cosine_distance(array(1.0D, 0.0D), array(0.0D, 1.0D)), 6) AS c,
+          |       vec_l2_distance(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l,
+          |       vec_ip_distance(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ip
+          |""".stripMargin).head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 1.0)
+      assert(r.getDouble(2) == 5.0)
+      assert(r.getDouble(3) == -11.0)
+      // SQL top-k over a vector column plans TakeOrderedAndProject
+      import s.implicits._
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+        .toDF("id", "v").createOrReplaceTempView("vt")
+      val top = s.sql(
+        """SELECT id FROM vt
+          |ORDER BY vec_cosine_distance(v, array(1.0D, 0.0D)) LIMIT 1""".stripMargin)
+      assert(top.head().getLong(0) == 1L)
+      assert(top.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"))
+    } finally {
+      // do not stop() (shared SparkContext); restore the original session
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}
