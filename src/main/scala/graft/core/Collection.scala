@@ -44,8 +44,30 @@ final class VectorCollection(
     spark.sparkContext.hadoopConfiguration)
   private def dataPath = new Path(s"$root/${config.name}/data")
   private def stagingPath = new Path(s"$root/${config.name}/data_staging")
+  private def changelogPath = s"$root/${config.name}/changelog"
 
   def df: DataFrame = spark.read.parquet(dataPath.toString)
+
+  /** CDC: every mutation appends (collection, event_type, id, ts) rows —
+    * the reference's ObservableCollection event emission (realtime.py:
+    * 325-442). Consume in batch via [[changelog]] or as a stream via
+    * [[changeFeed]] (the file source picks up each appended file as a
+    * microbatch).
+    */
+  private def logEvents(eventType: String, ids: DataFrame): Unit =
+    ids.select(
+        lit(config.name).as("collection"),
+        lit(eventType).as("event_type"),
+        col("id"),
+        current_timestamp().as("ts"))
+      .write.mode("append").parquet(changelogPath)
+
+  def changelog: DataFrame = spark.read.parquet(changelogPath)
+
+  def changeFeed: DataFrame =
+    spark.readStream.schema(
+      "collection string, event_type string, id string, ts timestamp")
+      .parquet(changelogPath)
 
   def isEmpty: Boolean = !fs.exists(dataPath)
 
@@ -69,25 +91,37 @@ final class VectorCollection(
       require(dups == 0, s"$dups ids already exist")
       commit(df.unionByName(rows))
     }
+    logEvents("insert", rows.select("id"))
   }
 
   /** Delete-then-insert by id (reference upsert, `:418-423`). */
-  def upsert(rows: DataFrame): Unit =
+  def upsert(rows: DataFrame): Unit = {
     if (isEmpty) commit(rows)
     else commit(df.join(rows.select("id"), Seq("id"), "left_anti")
       .unionByName(rows))
+    logEvents("upsert", rows.select("id"))
+  }
 
   /** Delete rows matching the predicate; returns deleted count. */
   def deleteWhere(pred: Pred): Long = {
     val before = count()
+    val doomed = df.filter(coalesce(pred.column, lit(false)))
+      .select("id").collect().map(_.getString(0)).toSeq
     commit(df.filter(!coalesce(pred.column, lit(false))))
+    if (doomed.nonEmpty)
+      logEvents("delete", spark.createDataset(doomed)(
+        org.apache.spark.sql.Encoders.STRING).toDF("id"))
     before - count()
   }
 
   def deleteIds(ids: Seq[String]): Long = {
     val before = count()
     commit(df.filter(!col("id").isin(ids: _*)))
-    before - count()
+    val after = count()
+    if (before != after)
+      logEvents("delete", spark.createDataset(ids)(
+        org.apache.spark.sql.Encoders.STRING).toDF("id"))
+    before - after
   }
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))

@@ -57,6 +57,14 @@ class CollectionSpec extends AnyFunSuite {
     assert(reopened.config.dimensions == 8)
     assert(reopened.count() == 3)
 
+    // CDC changelog recorded every mutation
+    val log = reopened.changelog
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(log("insert") == 3L, s"changelog: $log")
+    assert(log("upsert") == 2L)
+    assert(log("delete") == 1L)
+
     assert(db2.dropCollection("docs"))
     assert(db2.listCollections().isEmpty)
   }
