@@ -177,7 +177,7 @@ object GraphOps {
         col("path"))
       acc = Some(acc.map(_.union(step)).getOrElse(step))
       visited = visited.union(next.select(col("node").as("vnode")))
-      frontier = next.localCheckpoint()
+      frontier = next
     }
     val all = acc.get
     targetLabel match {

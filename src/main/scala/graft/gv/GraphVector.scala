@@ -67,7 +67,7 @@ object GraphVector {
         .join(und, col("id") === col("a"))
         .select(col("b").as("id")).distinct()
         .join(broadcast(visited), col("id") === col("vid"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint() // reused by acc + visited + next hop over the 2x-edges union
       acc = acc.union(
         next.crossJoin(broadcast(maxSeed))
           .selectExpr("id", s"round(${hopScore(vw, gw, hop)}, 6) as score",
