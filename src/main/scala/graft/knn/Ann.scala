@@ -117,6 +117,55 @@ object Ann {
     }
   }
 
+  /** Materialize the corpus partitioned by IVF cell: cell assignment runs
+    * once at write time (typed kernel), and the directory layout makes a
+    * probe read only nprobe/cells of the files — `PartitionFilters` in the
+    * scan, verified in AnnSpec. This is the durable form of [[ivfSearch]]
+    * for a corpus too large to score per query.
+    */
+  def writePartitioned(
+      emb: DataFrame, vecCol: String, idCol: String,
+      m: IvfModel, path: String): Unit = {
+    val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val vec = v.toArray
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < vec.length) { val x = vec(i) - cents(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (id, v, best)
+      }
+      .toDF(idCol, vecCol, "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Search the partitioned layout: cell predicate prunes whole files. */
+  def searchPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String, m: IvfModel,
+      queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val probeCells = m.centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    val qv = typedlit(queryVec)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("score",
+        round(VectorFunctions.cosineDistance(col(vecCol), qv), 6))
+      .select(idCol, "score")
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF search: probe the nprobe nearest cells, exact-rerank inside.
     * Cell assignment + rerank run as one typed mapPartitions pass (a
     * literal-centroid Catalyst expression tree falls out of codegen and

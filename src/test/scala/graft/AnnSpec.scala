@@ -25,6 +25,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall collapsed: $recall")
   }
 
+  test("IVF partitioned layout prunes files via partition filters") {
+    val model = Ann.trainIvf(emb, "embedding", cells = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ann.writePartitioned(emb, "embedding", "vec_id", model, path)
+    val q = Ann.searchPartitioned(spark, path, "embedding", "vec_id",
+      model, qv, nprobe = 4, k = 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("cell#"), plan)
+    // partitioned search ≡ in-memory ivf search on the same model
+    val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Ann.ivfSearch(emb, "embedding", "vec_id", model, qv, 4, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("IVF probing 4/16 cells keeps most of the exact top-10") {
     val model = Ann.trainIvf(emb, "embedding", cells = 16)
     val got = Ann.ivfSearch(emb, "embedding", "vec_id", model, qv, 4, 10)
