@@ -39,6 +39,35 @@ object AggQueries {
           |GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       bench = true
+    ),
+    // multi-table join pipeline: revenue by nation (broadcast the small
+    // dimension chain, shuffle-join the fact tables on their keys)
+    Q(
+      "q3_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+                 .as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some(
+        """SELECT n_name,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      bench = true
     )
   )
 }

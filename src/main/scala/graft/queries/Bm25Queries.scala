@@ -62,6 +62,21 @@ object Bm25Queries {
       },
       Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.6)),
       bench = true
-    )
+    ),
+    // alpha sweep (the reference's own test matrix, test_comprehensive
+    // suite 5 runs 0.2/0.5/0.8): keyword-dominant and vector-dominant
+    hybridAlpha(0.2), hybridAlpha(0.8)
+  )
+
+  private def hybridAlpha(alpha: Double): Q = Q(
+    f"hybrid_search_a${(alpha * 10).toInt}%02d",
+    (s, dir) => {
+      val corpus = Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select("doc_id", "text", "embedding")
+      HybridSearch.search(s, corpus, QueryTerms,
+        VectorFunctions.hashVectorValues(5L, D), K, alpha)
+    },
+    Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha))
   )
 }

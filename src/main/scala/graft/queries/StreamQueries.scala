@@ -52,6 +52,51 @@ object StreamQueries {
           |WHERE event_type IN ('click', 'purchase') AND user_id < 100
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
+    // gap-based sessionization: a session break is a >30 min silence per
+    // user (lag window -> boundary flag -> running session index). The
+    // canonical windowed-analytics shape over the event stream.
+    Q(
+      "events_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+              .otherwise(0))
+          .withColumn("sess_id", sum("new_sess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+               max("n_events").as("max_session_events"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT user_id, ts,
+          |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          |  FROM events),
+          |b AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN prev_ts IS NULL
+          |                OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM t),
+          |sess AS (
+          |  SELECT user_id,
+          |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          |  FROM b),
+          |per AS (SELECT user_id, sess_id, count(*) AS n_events
+          |        FROM sess GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_sessions,
+          |       max(n_events) AS max_session_events
+          |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
     Q(
       "events_history_tail",
       (s, dir) => ChangeFeed.historyTail(Tables.events(s, dir), 10),

@@ -64,6 +64,28 @@ object TextQueries {
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin)
     ),
+    // corpus-level rollup of the per-doc quality kernels
+    Q(
+      "text_corpus_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            stopwordRatio("text").as("sr"),
+            qualityScore("text").as("q"),
+            expr(s"size(${wordTokens("text")})").as("nt"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg("sr"), 6).as("avg_stop_ratio"),
+               round(avg("q"), 6).as("avg_quality"),
+               round(avg("nt"), 4).as("avg_tokens"))
+          .orderBy("lang"),
+      Some(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  round(avg(${stopwordRatioSql("text")}), 6) AS avg_stop_ratio,
+           |  round(avg(${qualityScoreSql("text")}), 6) AS avg_quality,
+           |  round(avg(len(${wordTokensSql("text")})), 4) AS avg_tokens
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
     Q(
       "text_fingerprint",
       (s, dir) =>
