@@ -65,6 +65,34 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session windows: streamed finalized sessions ⊆ batch sessions") {
+    val gap = "30 minutes"
+    val stream = ChangeFeed.readStream(spark, sf).withWatermark("ts", "1 minute")
+    val q = stream
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .count()
+      .selectExpr("user_id", "unix_timestamp(session_window.start) as ws", "count")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // session_window works identically on the batch table
+      val batch = Tables.events(spark, sf)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .count()
+        .selectExpr("user_id", "unix_timestamp(session_window.start) as ws", "count")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        "append mode must emit only finalized sessions, all present in batch")
+      val nUsers = batch.map(_._1).size
+      assert(streamed.size >= batch.size - nUsers,
+        "at most the last open session per user may be unemitted")
+    } finally q.stop()
+  }
+
   test("subscription with empty type set matches all types") {
     val sub = Subscription(Nil, None)
     val n = ChangeFeed.matched(Tables.events(spark, sf), sub).count()
