@@ -55,6 +55,26 @@ object KnnQueries {
            |WHERE label < 5
            |ORDER BY score, vec_id LIMIT $K""".stripMargin)
     ),
+    // include_vectors projection (reference include_vector flag,
+    // vectordb_optimized.py:425-465): return vector-derived columns with
+    // the hits (norm here — arrays don't hash portably in the oracle)
+    Q(
+      "knn_with_vectors",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Knn.search(e, col("embedding"), hashVectorLit(1, D), "cosine", K)
+          .withColumn("vec_norm",
+            round(sqrt(vecDot(col("embedding"), col("embedding"))), 6))
+          .select("vec_id", "label", "score", "vec_norm")
+      },
+      Some(
+        s"""WITH q AS (SELECT ${qvecSql(1)} AS v)
+           |SELECT vec_id, label,
+           |       round(${Knn.distanceSql("cosine", "embedding", "q.v", D)}, 6) AS score,
+           |       round(${normSql("embedding", D)}, 6) AS vec_norm
+           |FROM embeddings, q
+           |ORDER BY score, vec_id LIMIT $K""".stripMargin)
+    ),
     // batch: 3 broadcast query vectors, per-query top-k via ranking window
     // (reference batch GEMM search, parallel_search.py:246-311)
     Q(

@@ -97,6 +97,25 @@ object StreamQueries {
           |       max(n_events) AS max_session_events
           |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
+    // schemaless JSON metadata (the reference's metadata dicts): parse
+    // props at query time, filter + aggregate on an extracted field
+    Q(
+      "events_props_json",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .filter(col("k").isNotNull && col("k") >= 50)
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+          .orderBy("k_mod"),
+      Some(
+        """SELECT (k % 10) AS k_mod, count(*) AS n,
+          |       round(avg(value), 4) AS avg_value
+          |FROM (SELECT json_extract_string(props, '$.k')::BIGINT AS k, value
+          |      FROM events)
+          |WHERE k IS NOT NULL AND k >= 50
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
     Q(
       "events_history_tail",
       (s, dir) => ChangeFeed.historyTail(Tables.events(s, dir), 10),
