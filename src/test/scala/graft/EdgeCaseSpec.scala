@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bm25.Bm25
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions._
+import graft.hybrid.HybridSearch
+import graft.knn.Knn
+import graft.quant.ScalarQuant
+
+/** Degenerate-input behavior: empty corpora, k > n, constant dimensions,
+  * no-hit queries. None of these may throw; results follow the documented
+  * semantics.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val qv = hashVectorValues(1L, 4)
+
+  test("kNN on an empty corpus returns empty; k > n returns all rows") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Knn.search(empty, col("embedding"), typedlit(qv), "cosine", 5)
+      .count() == 0)
+    val tiny = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Knn.search(tiny, col("embedding"), typedlit(qv), "l2", 10)
+      .count() == 2)
+  }
+
+  test("BM25 with out-of-vocabulary terms returns empty, not an error") {
+    val docs = Seq((1, "alpha beta"), (2, "gamma delta")).toDF("doc_id", "text")
+    assert(Bm25.search(spark, docs, Seq("zzzznope"), 5).count() == 0)
+  }
+
+  test("hybrid search degrades to vector-only when keywords miss") {
+    val corpus = Seq(
+      (1, "alpha beta", Seq(1.0, 0.0)),
+      (2, "gamma delta", Seq(0.0, 1.0))).toDF("doc_id", "text", "embedding")
+    val res = HybridSearch.search(spark, corpus, Seq("zzzznope"),
+      Seq(1.0, 0.0), 2, alpha = 0.5).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getDouble(2) == 0.0), "keyword side must be 0")
+    assert(res.head.getInt(0) == 1, "vector side still ranks")
+  }
+
+  test("minhash LSH on an all-short corpus is empty, not an error") {
+    val docs = Seq((1, "too short"), (2, "also tiny")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(docs, 5).count() == 0)
+  }
+
+  test("scalar quantization survives constant dimensions (scale 0)") {
+    val df = Seq(
+      (1L, Seq(5.0f, 1.0f, 5.0f, 2.0f)),
+      (2L, Seq(5.0f, 3.0f, 5.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = ScalarQuant.searchL2(df, "embedding", "vec_id",
+      Seq(5.0, 2.0, 5.0, 3.0), 4, 2).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => !r.getDouble(1).isNaN),
+      "constant dims (mn=mx) must encode to 0, not NaN")
+  }
+}
