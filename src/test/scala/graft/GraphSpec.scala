@@ -59,6 +59,29 @@ class GraphSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", "b"), ("a", "c")))
   }
 
+  test("graph mutations: create/update/delete with cascade and FK check") {
+    import graft.graph.GraphMutations._
+    var g2 = createNode(g, "e", "W", "ne", Some(9.0), None)
+    assert(g2.nodes.filter($"id" === "e").count() == 1)
+
+    g2 = createEdge(g2, "e", "a", "T")
+    assert(g2.edges.filter($"src" === "e").count() == 1)
+    assertThrows[IllegalArgumentException] {
+      createEdge(g2, "e", "nosuch", "T") // FK check
+    }
+
+    g2 = updateNode(g2, "e", num = Some(42.0))
+    assert(g2.nodes.filter($"id" === "e").head().getDouble(3) == 42.0)
+
+    // cascade delete removes the node AND its incident edges
+    g2 = deleteNode(g2, "d")
+    assert(g2.nodes.filter($"id" === "d").count() == 0)
+    assert(g2.edges.filter($"src" === "d" || $"dst" === "d").count() == 0)
+
+    g2 = deleteEdge(g2, "a", "b", "T")
+    assert(g2.edges.filter($"src" === "a" && $"dst" === "b").count() == 0)
+  }
+
   test("cypher: var-length reaches 2 hops") {
     val out = CypherLite.query(g,
       "MATCH (s {id: 'a'})-[*1..2]->(t) RETURN t.id ORDER BY t.id")
