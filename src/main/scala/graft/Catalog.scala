@@ -30,5 +30,9 @@ object Catalog {
       queries.EmbedQueries.qs ++
       queries.MediaQueries.qs
 
-  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  lazy val byName: Map[String, Q] =
+    all.map(q => q.name -> q).toMap.withDefault { n =>
+      throw new NoSuchElementException(
+        s"unknown query '$n'; available: ${all.map(_.name).sorted.mkString(", ")}")
+    }
 }

@@ -26,7 +26,9 @@ object CypherLite {
     (NodePat.regex + """\s*-\[\s*(?::(\w+))?\s*(?:\*(\d+)\.\.(\d+))?\s*\]->\s*""" +
       NodePat.regex).r
   private val WherePat =
-    """WHERE\s+(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>)\s*(.+?)\s*(?=RETURN)""".r
+    """WHERE\s+(.+?)\s*(?=RETURN)""".r
+  private val CondPat =
+    """(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>)\s*(\S+)""".r
   private val ReturnPat = """RETURN\s+(.+?)\s*(?:ORDER BY\s+(.+?)\s*)?(?:LIMIT\s+(\d+)\s*)?$""".r
 
   private def parseValue(s: String): Any = {
@@ -105,19 +107,26 @@ object CypherLite {
         vars = Set(v)
     }
 
+    // WHERE supports a conjunction: `a.p > 1 AND b.q = 'x'` (the
+    // reference parses a single condition, graph.py:1061-1092 — AND is a
+    // graft extension).
     WherePat.findFirstMatchIn(body).foreach { w =>
-      val (v, p, op, raw) = (w.group(1), w.group(2), w.group(3), w.group(4))
-      require(vars.contains(v), s"unbound variable $v")
-      val c = col(s"${v}_$p"); val value = lit(parseValue(raw))
-      val pred: Column = op match {
-        case "="  => c === value
-        case "<>" => c.isNotNull && c =!= value
-        case "<"  => c < value
-        case ">"  => c > value
-        case "<=" => c <= value
-        case ">=" => c >= value
+      w.group(1).split("(?i)\\s+AND\\s+").foreach { condStr =>
+        val m = CondPat.findFirstMatchIn(condStr).getOrElse(
+          throw new IllegalArgumentException(s"bad WHERE condition: $condStr"))
+        val (v, p, op, raw) = (m.group(1), m.group(2), m.group(3), m.group(4))
+        require(vars.contains(v), s"unbound variable $v")
+        val c = col(s"${v}_$p"); val value = lit(parseValue(raw))
+        val pred: Column = op match {
+          case "="  => c === value
+          case "<>" => c.isNotNull && c =!= value
+          case "<"  => c < value
+          case ">"  => c > value
+          case "<=" => c <= value
+          case ">=" => c >= value
+        }
+        rows = rows.filter(pred)
       }
-      rows = rows.filter(pred)
     }
 
     val rm = ReturnPat.findFirstMatchIn(body).getOrElse(

@@ -82,6 +82,14 @@ class GraphSpec extends AnyFunSuite {
     assert(g2.edges.filter($"src" === "a" && $"dst" === "b").count() == 0)
   }
 
+  test("cypher: WHERE conjunction filters on both variables") {
+    val out = CypherLite.query(g,
+      "MATCH (x:X)-[:T]->(y) WHERE x.num >= 1.0 AND y.num > 2.5 " +
+        "RETURN x.id, y.id ORDER BY y.id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "c")))
+  }
+
   test("cypher: var-length reaches 2 hops") {
     val out = CypherLite.query(g,
       "MATCH (s {id: 'a'})-[*1..2]->(t) RETURN t.id ORDER BY t.id")
