@@ -34,6 +34,44 @@ object KnnQueries {
   )
 
   val qs: Seq[Q] = Seq(
+    // kNN self-join: every vector gets its top-3 neighbors (label-blocked
+    // like the near-dup sweep, ranked by a per-source window). This is the
+    // all-rows batch form of search — the shape a pipeline uses to attach
+    // neighbors to every training example.
+    Q(
+      "knn_self_join",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val a = e.as("a")
+        val b = e.as("b")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a.vec_id"))
+          .orderBy(col("dist"), col("b.vec_id"))
+        a.join(b, col("a.label") === col("b.label") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+          .withColumn("dist",
+            round(cosineDistance(col("a.embedding"), col("b.embedding")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+            col("rank"), col("dist"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id, b.vec_id AS nbr_id,
+           |         round(${cosineDistanceSql("a.embedding", "b.embedding", D)}, 6) AS dist
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT vec_id, nbr_id, dist,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY dist, nbr_id) AS rank
+           |  FROM pairs)
+           |SELECT vec_id, nbr_id, rank, dist FROM ranked
+           |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+      bench = true
+    ),
     knnQ("knn_cosine", "cosine", 1),
     knnQ("knn_l2", "l2", 2),
     knnQ("knn_ip", "ip", 3),
