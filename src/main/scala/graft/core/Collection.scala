@@ -77,6 +77,10 @@ final class VectorCollection(
     newDf.write.parquet(stagingPath.toString)
     fs.delete(dataPath, true)
     require(fs.rename(stagingPath, dataPath), s"swap failed for $dataPath")
+    // Spark's FileStatusCache keeps the old listing for this path — a
+    // reader created after the swap would still see the previous
+    // generation's files (observed: stale search hits after upsert).
+    spark.catalog.refreshByPath(dataPath.toString)
   }
 
   /** Batch insert; rejects the whole batch on any duplicate id (the

@@ -48,10 +48,16 @@ object VectorFunctions {
   def hashVector(key: Column, dim: Int): Column =
     transform(
       sequence(lit(0), lit(dim - 1)),
-      i =>
-        ((key.cast("long") * lit(HashA) + i.cast("long") * lit(HashB) +
-          lit(HashC)) % lit(HashM)).cast("double") / lit(HashM.toDouble) -
-          lit(0.5))
+      i => {
+        // raw is affine in i; the square-mix makes elements nonlinear in
+        // the index — without it every vector is the same mod-M ramp
+        // shifted by the key, and all keys embed near-parallel (cosine
+        // distance between ANY two texts ≈ 0; caught by ClientJourneySpec).
+        val raw = (key.cast("long") * lit(HashA) + i.cast("long") * lit(HashB) +
+          lit(HashC)) % lit(HashM)
+        ((raw * raw + raw) % lit(HashM)).cast("double") / lit(HashM.toDouble) -
+          lit(0.5)
+      })
 
   /** Driver-side evaluation of [[hashVector]] for a constant key — use
     * `typedlit(hashVectorValues(k, d))` for single-query search so the
@@ -60,7 +66,8 @@ object VectorFunctions {
     */
   def hashVectorValues(key: Long, dim: Int): Seq[Double] =
     (0 until dim).map { i =>
-      ((key * HashA + i * HashB + HashC) % HashM).toDouble / HashM - 0.5
+      val raw = (key * HashA + i * HashB + HashC) % HashM
+      ((raw * raw + raw) % HashM).toDouble / HashM - 0.5
     }
 
   /** Constant query vector as a literal column (codegen-friendly). */
@@ -68,10 +75,11 @@ object VectorFunctions {
     typedlit(hashVectorValues(key, dim))
 
   /** DuckDB SQL fragment computing [[hashVector]] for key expression `key`. */
-  def hashVectorSql(key: String, dim: Int): String =
+  def hashVectorSql(key: String, dim: Int): String = {
+    val raw = s"((($key)::BIGINT * $HashA + i * $HashB + $HashC) % $HashM)"
     s"list_transform(range($dim), i -> " +
-      s"((($key)::BIGINT * $HashA + i * $HashB + $HashC) % $HashM)::DOUBLE" +
-      s" / $HashM.0 - 0.5)"
+      s"((($raw * $raw + $raw) % $HashM))::DOUBLE / $HashM.0 - 0.5)"
+  }
 
   /** DuckDB fragments for the distance kernels over 1-indexed lists `a`,`b`
     * of dimension `dim` — same left-to-right double accumulation as the
