@@ -44,9 +44,19 @@ final class VectorCollection(
     spark.sparkContext.hadoopConfiguration)
   private def dataPath = new Path(s"$root/${config.name}/data")
   private def stagingPath = new Path(s"$root/${config.name}/data_staging")
+  private def oldPath = new Path(s"$root/${config.name}/data_old")
   private def changelogPath = s"$root/${config.name}/changelog"
 
-  def df: DataFrame = spark.read.parquet(dataPath.toString)
+  def df: DataFrame = { recover(); spark.read.parquet(dataPath.toString) }
+
+  /** Crash recovery: if a swap died between retiring the old generation
+    * and promoting the new one, exactly one of data_old/data_staging holds
+    * the surviving generation — restore it. */
+  private def recover(): Unit =
+    if (!fs.exists(dataPath)) {
+      if (fs.exists(oldPath)) fs.rename(oldPath, dataPath)
+      else if (fs.exists(stagingPath)) fs.rename(stagingPath, dataPath)
+    }
 
   /** CDC: every mutation appends (collection, event_type, id, ts) rows —
     * the reference's ObservableCollection event emission (realtime.py:
@@ -69,14 +79,23 @@ final class VectorCollection(
       "collection string, event_type string, id string, ts timestamp")
       .parquet(changelogPath)
 
-  def isEmpty: Boolean = !fs.exists(dataPath)
+  def isEmpty: Boolean = { recover(); !fs.exists(dataPath) }
 
-  /** Replace the data generation atomically (write staging, swap). */
+  /** Replace the data generation: write staging, retire the old
+    * generation to data_old, promote staging, drop data_old. A crash at
+    * any point leaves a recoverable state ([[recover]]) — the previous
+    * generation is never deleted before the new one is in place. */
   private def commit(newDf: DataFrame): Unit = {
     fs.delete(stagingPath, true)
     newDf.write.parquet(stagingPath.toString)
-    fs.delete(dataPath, true)
-    require(fs.rename(stagingPath, dataPath), s"swap failed for $dataPath")
+    fs.delete(oldPath, true)
+    if (fs.exists(dataPath))
+      require(fs.rename(dataPath, oldPath), s"retire failed for $dataPath")
+    if (!fs.rename(stagingPath, dataPath)) {
+      if (fs.exists(oldPath)) fs.rename(oldPath, dataPath) // roll back
+      throw new IllegalStateException(s"swap failed for $dataPath")
+    }
+    fs.delete(oldPath, true)
     // Spark's FileStatusCache keeps the old listing for this path — a
     // reader created after the swap would still see the previous
     // generation's files (observed: stale search hits after upsert).
@@ -119,13 +138,15 @@ final class VectorCollection(
   }
 
   def deleteIds(ids: Seq[String]): Long = {
-    val before = count()
+    // capture the ids that actually exist BEFORE the rewrite — CDC must
+    // not announce deletes for ids that were never in the collection
+    val existing = df.filter(col("id").isin(ids: _*))
+      .select("id").collect().map(_.getString(0)).toSeq
     commit(df.filter(!col("id").isin(ids: _*)))
-    val after = count()
-    if (before != after)
-      logEvents("delete", spark.createDataset(ids)(
+    if (existing.nonEmpty)
+      logEvents("delete", spark.createDataset(existing)(
         org.apache.spark.sql.Encoders.STRING).toDF("id"))
-    before - after
+    existing.length.toLong
   }
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))

@@ -52,8 +52,8 @@ object Dedup {
   }
   def charHashOf(s: String): Long =
     s.foldLeft(0L)((a, c) => (a * CharB + c.toInt) % HashM)
-  def shinglesOf(text: String): Array[Long] =
-    tokensOf(text).sliding(3).map(w => charHashOf(w.mkString(" ")))
+  def shinglesOf(tokens: Array[String]): Array[Long] =
+    tokens.sliding(3).map(w => charHashOf(w.mkString(" ")))
       .toArray.distinct
 
   /** doc_id + distinct shingle-hash array (docs with ≥ 3 word tokens). */
@@ -63,9 +63,8 @@ object Dedup {
     docs.select(col(idCol).cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val sh = shinglesOf(text)
-        if (sh.length > 0 && tokensOf(text).length >= 3) Some((id, sh.toSeq))
-        else None
+        val toks = tokensOf(text) // tokenize once: length check + shingles
+        if (toks.length < 3) None else Some((id, shinglesOf(toks).toSeq))
       })
       .toDF(idCol, "shingles")
   }
@@ -77,8 +76,6 @@ object Dedup {
        |WHERE len(toks) >= 3""".stripMargin
 
   // ---- minhash + LSH -------------------------------------------------
-  private def minhashExpr(i: Int): String =
-    s"array_min(transform(shingles, h -> (h * ${hashA(i)} + ${hashB(i)}) % $P))"
   private def minhashSql(i: Int): String =
     s"list_min(list_transform(shingles, h -> (h * ${hashA(i)} + ${hashB(i)}) % $P))"
 
@@ -97,9 +94,10 @@ object Dedup {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        if (tokensOf(text).length < 3) Iterator.empty
+        val toks = tokensOf(text)
+        if (toks.length < 3) Iterator.empty
         else {
-          val sh = shinglesOf(text)
+          val sh = shinglesOf(toks)
           val mh = Array.tabulate(nh) { i =>
             var m = Long.MaxValue
             var j = 0

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   *
   * Accumulation is strictly left-to-right in double precision so the DuckDB
   * oracle (`list_reduce` fold) reproduces results bit-for-bit.
-  * Array elements are assumed non-null (vectors are dense).
+  * Array elements are assumed non-null (vectors are dense); mismatched
+  * dimensions throw (the reference validates dims at insert and query,
+  * vectordb_optimized.py:346-351, 518-522 — silently truncating to the
+  * shorter prefix would return plausible but wrong scores).
   */
 abstract class VectorDistanceExpr extends BinaryExpression {
 
@@ -42,6 +45,20 @@ abstract class VectorDistanceExpr extends BinaryExpression {
           s"got ${left.dataType} and ${right.dataType}")
   }
 
+  protected final def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    n
+  }
+
+  protected final def dimCheckJava(a: String, b: String): String =
+    s"""if ($a.numElements() != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: dimension mismatch " + $a.numElements() + " vs " + $b.numElements());
+       |}""".stripMargin
+
   @inline protected final def get(a: ArrayData, et: DataType, i: Int): Double =
     et match {
       case FloatType => a.getFloat(i).toDouble
@@ -63,7 +80,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val lt = elementType(left); val rt = elementType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += get(a, lt, i) * get(b, rt, i); i += 1 }
@@ -75,7 +92,8 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimCheckJava(a, b)}
+         |int $n = $a.numElements();
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (${getterJava(elementType(left), a, i)}) *
@@ -98,7 +116,7 @@ case class CosineDistance(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val lt = elementType(left); val rt = elementType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -116,7 +134,8 @@ case class CosineDistance(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimCheckJava(a, b)}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${getterJava(elementType(left), a, i)};
@@ -141,7 +160,7 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val lt = elementType(left); val rt = elementType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -157,7 +176,8 @@ case class L2Distance(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimCheckJava(a, b)}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (${getterJava(elementType(left), a, i)}) -

@@ -85,7 +85,8 @@ object CypherLite {
         val ec = e.select(col("src"), col("dst")).persist()
         var frontier = a.select(col(s"${va}_id").as("a_id"),
           col(s"${va}_id").as("cur")).distinct()
-        var reach: DataFrame = null
+        // *0..N includes the zero-length path (a reaches itself)
+        var reach: DataFrame = if (hops._1 == 0) frontier else null
         for (h <- 1 to hops._2) {
           frontier = broadcast(frontier)
             .join(ec, col("cur") === col("src"))
@@ -94,6 +95,7 @@ object CypherLite {
           if (h >= hops._1)
             reach = if (reach == null) frontier else reach.union(frontier)
         }
+        require(reach != null, s"empty hop range *${hops._1}..${hops._2}")
         val pairs = reach.distinct()
         rows = a.join(pairs, col(s"${va}_id") === col("a_id"))
           .join(b, col("cur") === col(s"${vb}_id"))

@@ -29,7 +29,9 @@ object TpchGraph {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Graph]()
 
   def build(spark: SparkSession, dir: String): Graph =
-    cache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
+    // applicationId is unique per SparkContext, so a new context never
+    // collides with a stopped one's cached (and now invalid) Graph
+    cache.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir",
       _ => buildUncached(spark, dir))
 
   private def buildUncached(spark: SparkSession, dir: String): Graph = {

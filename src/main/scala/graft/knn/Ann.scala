@@ -101,10 +101,10 @@ object Ann {
   val LocalTrainThreshold = 65536
 
   def trainIvf(emb: DataFrame, vecCol: String, cells: Int,
-      seed: Long = 42L): IvfModel = {
+      seed: Long = 42L, sampleRows: Int = SampleRows): IvfModel = {
     val sampleDf = emb.selectExpr(
-      s"transform($vecCol, x -> cast(x as double)) as f").limit(SampleRows)
-    if (SampleRows <= LocalTrainThreshold) {
+      s"transform($vecCol, x -> cast(x as double)) as f").limit(sampleRows)
+    if (sampleRows <= LocalTrainThreshold) {
       val sample = sampleDf.collect().map(_.getSeq[Double](0)).toSeq
       IvfModel(graft.quant.LocalKMeans.fit(sample, cells, iters = 10))
     } else {

@@ -55,17 +55,24 @@ object BinaryQuant {
       dim: Int,
       k: Int): DataFrame = {
     require(dim == 2 * WordBits, s"packed layout expects dim=${2 * WordBits}")
-    val qvLit = queryVec.mkString("array(", "D, ", "D)")
+    // The thresholds are one tiny aggregated row: collect them and pack
+    // the query on the driver — per-row work is then only the corpus-side
+    // packing plus two xor/popcounts (previously the query's two
+    // 32-element packing aggregates re-ran per corpus row).
+    val thrs = thresholdRow(emb, vecCol).collect()(0)
+      .getSeq[Double](0)
+    def packQuery(base: Int): Long =
+      (0 until WordBits).foldLeft(0L)((acc, bi) =>
+        if (queryVec(base + bi) > thrs(base + bi)) acc + (1L << bi) else acc)
+    val (qw0, qw1) = (packQuery(0), packQuery(WordBits))
     val packed = emb
       .crossJoin(broadcast(thresholdRow(emb, vecCol)))
-      .selectExpr(idCol, "thrs",
+      .selectExpr(idCol,
         s"${packWordExpr(vecCol, 0)} as w0",
-        s"${packWordExpr(vecCol, WordBits)} as w1",
-        s"${packWordExpr(qvLit, 0)} as qw0",
-        s"${packWordExpr(qvLit, WordBits)} as qw1")
+        s"${packWordExpr(vecCol, WordBits)} as w1")
     packed
       .selectExpr(idCol,
-        "cast(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) as int) as hamming")
+        s"cast(bit_count(w0 ^ ${qw0}L) + bit_count(w1 ^ ${qw1}L) as int) as hamming")
       .orderBy(col("hamming"), col(idCol))
       .limit(k)
   }

@@ -31,7 +31,7 @@ object ProductQuant {
       cb: Seq[Seq[Seq[Double]]])
 
   def train(emb: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
-      seed: Long = 42L): Codebooks = {
+      seed: Long = 42L, sampleRows: Int = SampleRows): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by M=$m")
     val subDim = dim / m
     // Train on a bounded sample (the reference also subsamples,
@@ -40,8 +40,8 @@ object ProductQuant {
     // iteration — pure overhead at this size); above it, MLlib per
     // subspace keeps the cluster-scale path.
     val sampleDf = emb.selectExpr(
-      s"transform($vecCol, x -> cast(x as double)) as v").limit(SampleRows)
-    if (SampleRows <= LocalTrainThreshold) {
+      s"transform($vecCol, x -> cast(x as double)) as v").limit(sampleRows)
+    if (sampleRows <= LocalTrainThreshold) {
       val sample = sampleDf.collect().map(_.getSeq[Double](0))
       val cbs = (0 until m).map { mi =>
         val subs = sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim)).toSeq

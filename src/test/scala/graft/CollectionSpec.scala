@@ -57,6 +57,9 @@ class CollectionSpec extends AnyFunSuite {
     assert(reopened.config.dimensions == 8)
     assert(reopened.count() == 3)
 
+    // deleteIds must not CDC-log ids that never existed
+    assert(reopened.deleteIds(Seq("nosuchid")) == 0)
+
     // CDC changelog recorded every mutation
     val log = reopened.changelog
       .groupBy("event_type").count()

@@ -96,4 +96,11 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(out.toSeq == Seq("b", "c", "d"))
   }
+
+  test("cypher: *0..N includes the zero-length path") {
+    val out = CypherLite.query(g,
+      "MATCH (s {id: 'a'})-[*0..1]->(t) RETURN t.id ORDER BY t.id")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a", "b", "c"))
+  }
 }

@@ -36,6 +36,15 @@ class KnnSpec extends AnyFunSuite {
     assert(r.getDouble(3) === -32.0)
   }
 
+  test("distance kernels reject mismatched dimensions") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(cosineDistance($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("hashVector is deterministic and in range") {
     val v = spark.range(1).select(hashVector(lit(7), 16)).head()
       .getSeq[Double](0)
