@@ -45,6 +45,30 @@ class GraphSpec extends AnyFunSuite {
     assert(!rows.contains("a"), "start is never re-reported")
   }
 
+  test("hyperedges: any/all membership, create validation, delete") {
+    import graft.graph.Hyperedges._
+    val mem = Seq(
+      ("h1", "a"), ("h1", "b"), ("h2", "b"), ("h2", "c"), ("h3", "a"))
+      .toDF("he_id", "node")
+
+    assert(byNode(mem, "a").collect().map(_.getString(0)).toSet == Set("h1", "h3"))
+
+    val any = byNodes(mem, Seq("a", "c"), "any")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(any == Map("h1" -> 1L, "h2" -> 1L, "h3" -> 1L))
+
+    val all = byNodes(mem, Seq("a", "b"), "all")
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("h1"))
+
+    val grown = create(g, mem, "h4", Seq("c", "d"))
+    assert(grown.filter($"he_id" === "h4").count() == 2)
+    assertThrows[IllegalArgumentException] {
+      create(g, mem, "h5", Seq("a", "ghost"))
+    }
+    assert(delete(grown, "h1").filter($"he_id" === "h1").count() == 0)
+  }
+
   test("cypher: node pattern with props + where") {
     val out = CypherLite.query(g,
       "MATCH (v:Y) WHERE v.num > 2.5 RETURN v.id, v.name")
