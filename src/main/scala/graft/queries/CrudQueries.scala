@@ -35,7 +35,8 @@ object CrudQueries {
           |  UNION ALL SELECT * FROM updates)
           |SELECT o_orderstatus, count(*) AS n,
           |       round(sum(o_totalprice), 2) AS sum_price
-          |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+          |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true
     ),
     // delete-by-filter = retain the complement
     Q(

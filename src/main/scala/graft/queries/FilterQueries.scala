@@ -33,7 +33,8 @@ object FilterQueries {
           |WHERE (l_returnflag = 'R' AND l_quantity > 30)
           |   OR (NOT l_linestatus = 'F' AND l_discount <= 0.02)
           |GROUP BY l_returnflag, l_linestatus
-          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true
     ),
     Q(
       "filter_text_ops",

@@ -24,7 +24,8 @@ object GraphQueries {
            |SELECT n.label, count(*) AS cnt
            |FROM edges e JOIN nodes n ON n.id = e.src
            |WHERE e.dst = 'n:0' AND e.type = 'IN_NATION'
-           |GROUP BY n.label ORDER BY n.label""".stripMargin)
+           |GROUP BY n.label ORDER BY n.label""".stripMargin),
+      bench = true
     ),
     Q(
       "graph_traverse",

@@ -95,7 +95,8 @@ object StreamQueries {
           |        FROM sess GROUP BY 1, 2)
           |SELECT user_id, count(*) AS n_sessions,
           |       max(n_events) AS max_session_events
-          |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)
+          |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin),
+      bench = true
     ),
     // schemaless JSON metadata (the reference's metadata dicts): parse
     // props at query time, filter + aggregate on an extracted field
