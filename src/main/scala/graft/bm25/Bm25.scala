@@ -42,7 +42,11 @@ object Bm25 {
   def docLensFromToks(toks: DataFrame): DataFrame =
     toks.selectExpr("doc_id", "cast(size(toks) as double) as dl")
 
-  /** BM25 top-k for a bag of query terms. Returns (doc_id, score). */
+  /** BM25 top-k for a bag of query terms. Returns (doc_id, score).
+    * NOTE: persists the tokenized corpus for the duration of the query;
+    * long-lived sessions should release intermediates between requests
+    * (`spark.catalog.clearCache()` — graft.Verify does this per query).
+    */
   def search(spark: SparkSession, docs: DataFrame, terms: Seq[String], k: Int)
       : DataFrame = {
     import spark.implicits._
