@@ -64,6 +64,25 @@ object TextQueries {
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin)
     ),
+    // text extraction from multiple string fields (reference
+    // _extract_text, hybrid_search.py:266-281: concat string metadata
+    // into one searchable text) — here customer name + segment
+    Q(
+      "text_extract",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .selectExpr("c_custkey",
+            "concat_ws(' ', c_name, c_mktsegment) as extracted")
+          .selectExpr("c_custkey",
+            s"size(${wordTokens("extracted")}) as n_tokens",
+            "lower(extracted) as extracted_lower")
+          .orderBy("c_custkey").limit(20),
+      Some(
+        s"""SELECT c_custkey,
+           |  len(${wordTokensSql("concat_ws(' ', c_name, c_mktsegment)")}) AS n_tokens,
+           |  lower(concat_ws(' ', c_name, c_mktsegment)) AS extracted_lower
+           |FROM customer ORDER BY c_custkey LIMIT 20""".stripMargin)
+    ),
     // corpus-level rollup of the per-doc quality kernels
     Q(
       "text_corpus_stats",
