@@ -36,20 +36,24 @@ object HybridSearch {
     val qv = typedlit(queryVec)
     val c = corpus.persist() // both branches scan it
 
+    // per-branch max via a global window: the branch top-k is ≤ fetch
+    // rows, so one single-partition window beats a separate broadcast
+    // aggregation job per branch (2 fewer jobs per query)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val vecTop = c
       .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
       .select("doc_id", "d")
       .orderBy(col("d"), col("doc_id"))
       .limit(fetch)
     val vecNorm = vecTop
-      .crossJoin(broadcast(vecTop.agg(max("d").as("max_d"))))
       .select(col("doc_id"),
-        (lit(1.0) - col("d") / col("max_d")).as("vscore"))
+        (lit(1.0) - col("d") / max("d").over(all)).as("vscore"))
 
     val kwTop = Bm25.search(spark, c.select("doc_id", "text"), queryTerms, fetch)
     val kwNorm = kwTop
-      .crossJoin(broadcast(kwTop.agg(max("score").as("max_s"))))
-      .select(col("doc_id"), (col("score") / col("max_s")).as("kscore"))
+      .select(col("doc_id"), (col("score") / max("score").over(all)).as("kscore"))
 
     vecNorm
       .join(kwNorm, Seq("doc_id"), "full_outer")
