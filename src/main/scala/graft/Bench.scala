@@ -22,6 +22,10 @@ object Bench {
     } catch { case _: Throwable => () }
     // headline queries only (Q.bench flag) — one per capability pillar;
     // the full catalog runs under the correctness gate (graft.Verify).
+    // Caches are deliberately NOT cleared between queries: the only
+    // intended cross-query reuse is the pre-built graph index (above);
+    // other persisted intermediates are per-query plans that later
+    // queries cannot match, and steady-state timing is the point.
     val results = Catalog.all.filter(_.bench).map(q => q.name -> q.run).toMap
       .map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -22,8 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist() intermediates (corpora, tokens, signatures);
-      // release them between queries so a 50+-query run stays bounded
+      // release them between queries so a 50+-query run stays bounded.
+      // The graph memo must be invalidated with the cache, else later
+      // graph queries run against unpersisted (but memoized) relations.
       spark.catalog.clearCache()
+      graph.TpchGraph.invalidate()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -47,6 +47,8 @@ object Hyperedges {
       nodes: Seq[String]): DataFrame = {
     val spark = membership.sparkSession
     import spark.implicits._
+    require(membership.filter(col("he_id") === heId).isEmpty,
+      s"hyperedge '$heId' already exists") // reference graph.py:769-770
     val members = nodes.distinct.toDF("node")
     val missing = members
       .join(g.nodes.select(col("id").as("node")), Seq("node"), "left_anti")

@@ -28,6 +28,12 @@ object TpchGraph {
   // shuffles again even though the persisted DFs already exist.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Graph]()
 
+  /** Drop all memoized graphs (pairs with spark.catalog.clearCache():
+    * clearing the cache alone would leave memoized Graphs whose persist
+    * markers are gone, silently losing the one-build-per-session
+    * invariant — the next build() re-persists instead). */
+  def invalidate(): Unit = cache.clear()
+
   def build(spark: SparkSession, dir: String): Graph =
     // applicationId is unique per SparkContext, so a new context never
     // collides with a stopped one's cached (and now invalid) Graph

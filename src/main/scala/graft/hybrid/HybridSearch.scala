@@ -17,8 +17,9 @@ import graft.text.TextAnalysis.wordTokensSql
   *  4. combined = α·v + (1−α)·kw, sort desc, top-k (`:453-477`).
   *
   * Spark shape: two independent top-k branches (each TakeOrderedAndProject),
-  * each crossJoined with its broadcast 1-row max, full-outer join on id,
-  * coalesce(.., 0), weighted sum, final top-k. Both branch top-ks order by
+  * each max-normalized by a single-partition window over its ≤ k·5 rows,
+  * full-outer join on id, coalesce(.., 0), weighted sum, final top-k.
+  * Both branch top-ks order by
   * (score, id) so the candidate SETS are deterministic — the full-outer
   * join and blend then commute with any execution order at scale.
   */
