@@ -174,6 +174,89 @@ object Dedup {
        |ORDER BY jac DESC, doc_a, doc_b LIMIT $topN""".stripMargin
   }
 
+  // ---- near-dup components -------------------------------------------
+  val ComponentIters = 5
+  val ComponentJaccard = 0.5
+
+  /** Connected components over the LSH candidate pairs with exact
+    * Jaccard ≥ threshold: bounded min-label propagation (exactly
+    * [[ComponentIters]] rounds in BOTH engines, so results match even if
+    * a pathological chain hasn't fully converged). Output
+    * (doc_id, component) where component = min doc id reached — the
+    * dedup keep-list is then "keep doc_id == component".
+    */
+  def nearDupComponents(docs: DataFrame): DataFrame = {
+    val bands = lshBands(docs).persist()
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .dropDuplicates("x", "y")
+      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("ni").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("ni")) >= ComponentJaccard)
+      .select("x", "y")
+      .persist()
+    val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+    var labels = pairs.select(col("x").as("node"))
+      .union(pairs.select(col("y").as("node")))
+      .distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to ComponentIters) {
+      labels = labels
+        .select(col("node"), col("lbl"))
+        .union(sym.join(labels, col("y") === col("node"))
+          .select(col("x").as("node"), col("lbl")))
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint() // bounded loop; cut the doubling lineage
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("component"))
+  }
+
+  /** DuckDB oracle: the identical propagation, unrolled. */
+  def nearDupComponentsSql: String = {
+    val mhs = (0 until NumHashes).map(i => s"${minhashSql(i)} AS mh$i")
+    val sigs = (0 until Bands).map(j => s"${bandSig(j, i => s"mh$i")} AS sig$j")
+    val bandRows = (0 until Bands)
+      .map(j => s"SELECT doc_id, shingles, $j AS band, sig$j AS sig FROM sigs")
+      .mkString("\nUNION ALL\n")
+    val iters = (1 to ComponentIters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT sym.x AS node, l${i - 1}.lbl
+         |    FROM sym JOIN l${i - 1} ON l${i - 1}.node = sym.y)
+         |  GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS ($shingledSql),
+       |mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
+       |sigs AS (SELECT doc_id, shingles, ${sigs.mkString(", ")} FROM mh),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.x, c.y FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.x
+       |  JOIN sh sb ON sb.doc_id = c.y
+       |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+       |        (len(sa.shingles) + len(sb.shingles)
+       |         - len(list_intersect(sa.shingles, sb.shingles)))
+       |        >= $ComponentJaccard),
+       |sym AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+       |l0 AS (
+       |  SELECT node, node AS lbl FROM (
+       |    SELECT x AS node FROM pairs UNION SELECT y FROM pairs)),
+       |$iters
+       |SELECT node AS doc_id, lbl AS component FROM l$ComponentIters""".stripMargin
+  }
+
   // ---- simhash -------------------------------------------------------
   val SimhashBits = 32
 

@@ -38,6 +38,12 @@ object DedupQueries {
       bench = true
     ),
     Q(
+      "dedup_components",
+      (s, dir) =>
+        Dedup.nearDupComponents(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"${Dedup.nearDupComponentsSql}\nORDER BY doc_id")
+    ),
+    Q(
       "dedup_simhash",
       (s, dir) => Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"${Dedup.simhashSql}\nORDER BY doc_id"),
