@@ -23,11 +23,18 @@ import graft.filter.Pred
   * pushed-down filters.
   */
 final case class CollectionConfig(name: String, dimensions: Int, metric: String) {
+  require(CollectionConfig.NameOk.matches(name),
+    s"collection name must match [A-Za-z0-9_-]+: '$name'")
   def toJson: String =
     s"""{"name": "$name", "dimensions": $dimensions, "metric": "$metric"}"""
 }
 
 object CollectionConfig {
+  /** Names are path components and raw JSON string values — restricting
+    * them makes toJson/fromJson exact inverses with no escaping layer
+    * (a quote or backslash in the name would otherwise write invalid
+    * JSON that the regex parser cannot read back). */
+  val NameOk = """[A-Za-z0-9_-]+""".r
   private val P = """"(\w+)"\s*:\s*("([^"]*)"|\d+)""".r
   def fromJson(s: String): CollectionConfig = {
     val kv = P.findAllMatchIn(s).map { m =>
@@ -51,11 +58,16 @@ final class VectorCollection(
 
   /** Crash recovery: if a swap died between retiring the old generation
     * and promoting the new one, exactly one of data_old/data_staging holds
-    * the surviving generation — restore it. */
+    * the surviving generation — restore it. Staging is only trusted when
+    * its _SUCCESS marker exists (a first-commit crash mid-write leaves a
+    * partial staging dir with no marker — that must not become the live
+    * generation); an unmarked staging dir is torn down instead. */
   private def recover(): Unit =
     if (!fs.exists(dataPath)) {
       if (fs.exists(oldPath)) fs.rename(oldPath, dataPath)
-      else if (fs.exists(stagingPath)) fs.rename(stagingPath, dataPath)
+      else if (fs.exists(new Path(stagingPath, "_SUCCESS")))
+        fs.rename(stagingPath, dataPath)
+      else fs.delete(stagingPath, true)
     }
 
   /** CDC: every mutation appends (collection, event_type, id, ts) rows —
@@ -117,36 +129,50 @@ final class VectorCollection(
     logEvents("insert", rows.select("id"))
   }
 
-  /** Delete-then-insert by id (reference upsert, `:418-423`). */
+  /** Delete-then-insert by id (reference upsert, `:418-423`). Rejects
+    * intra-batch duplicate ids: the anti-join∪union below would otherwise
+    * append BOTH duplicates and silently break the unique-id invariant
+    * (the reference's dict-based upsert cannot express two rows per id).
+    */
   def upsert(rows: DataFrame): Unit = {
+    require(rows.select("id").distinct().count() == rows.count(),
+      "duplicate ids within batch")
     if (isEmpty) commit(rows)
     else commit(df.join(rows.select("id"), Seq("id"), "left_anti")
       .unionByName(rows))
     logEvents("upsert", rows.select("id"))
   }
 
-  /** Delete rows matching the predicate; returns deleted count. */
+  /** Delete rows matching the predicate; returns deleted count.
+    *
+    * The doomed-id set is materialized distributed (localCheckpoint:
+    * executor-storage backed, lineage truncated so CDC logging after the
+    * generation swap cannot re-read the deleted files) — never collected
+    * to the driver, so a delete matching 10⁹ rows stays executor-sized.
+    * When nothing matches, the whole-relation rewrite is skipped.
+    */
   def deleteWhere(pred: Pred): Long = {
-    val before = count()
     val doomed = df.filter(coalesce(pred.column, lit(false)))
-      .select("id").collect().map(_.getString(0)).toSeq
-    commit(df.filter(!coalesce(pred.column, lit(false))))
-    if (doomed.nonEmpty)
-      logEvents("delete", spark.createDataset(doomed)(
-        org.apache.spark.sql.Encoders.STRING).toDF("id"))
-    before - count()
+      .select("id").localCheckpoint()
+    val n = doomed.count()
+    if (n > 0) {
+      commit(df.filter(!coalesce(pred.column, lit(false))))
+      logEvents("delete", doomed)
+    }
+    n
   }
 
   def deleteIds(ids: Seq[String]): Long = {
     // capture the ids that actually exist BEFORE the rewrite — CDC must
     // not announce deletes for ids that were never in the collection
-    val existing = df.filter(col("id").isin(ids: _*))
-      .select("id").collect().map(_.getString(0)).toSeq
-    commit(df.filter(!col("id").isin(ids: _*)))
-    if (existing.nonEmpty)
-      logEvents("delete", spark.createDataset(existing)(
-        org.apache.spark.sql.Encoders.STRING).toDF("id"))
-    existing.length.toLong
+    val doomed = df.filter(col("id").isin(ids: _*))
+      .select("id").localCheckpoint()
+    val n = doomed.count()
+    if (n > 0) {
+      commit(df.filter(!col("id").isin(ids: _*)))
+      logEvents("delete", doomed)
+    }
+    n
   }
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))

@@ -48,9 +48,13 @@ object HybridSearch {
       .select("doc_id", "d")
       .orderBy(col("d"), col("doc_id"))
       .limit(fetch)
+    // guard max_d == 0 (every candidate identical to the query): the
+    // reference assigns similarity 1 (`hybrid_search.py:430-433`); an
+    // unguarded 0/0 would yield NaN and poison the blended ordering
     val vecNorm = vecTop
       .select(col("doc_id"),
-        (lit(1.0) - col("d") / max("d").over(all)).as("vscore"))
+        when(max("d").over(all) === 0.0, lit(1.0))
+          .otherwise(lit(1.0) - col("d") / max("d").over(all)).as("vscore"))
 
     val kwTop = Bm25.search(spark, c.select("doc_id", "text"), queryTerms, fetch)
     val kwNorm = kwTop
@@ -89,7 +93,9 @@ object HybridSearch {
        |  FROM corpus c, q
        |  ORDER BY d, doc_id LIMIT $fetch),
        |vec_norm AS (
-       |  SELECT doc_id, 1.0 - d / (SELECT max(d) FROM vec_top) AS vscore
+       |  SELECT doc_id,
+       |         CASE WHEN (SELECT max(d) FROM vec_top) = 0 THEN 1.0
+       |              ELSE 1.0 - d / (SELECT max(d) FROM vec_top) END AS vscore
        |  FROM vec_top),
        |kw_top AS (SELECT * FROM ($bm25)),
        |kw_norm AS (

@@ -55,10 +55,12 @@ object BinaryQuant {
       dim: Int,
       k: Int): DataFrame = {
     require(dim == 2 * WordBits, s"packed layout expects dim=${2 * WordBits}")
-    // The thresholds are one tiny aggregated row: collect them and pack
-    // the query on the driver — per-row work is then only the corpus-side
-    // packing plus two xor/popcounts (previously the query's two
-    // 32-element packing aggregates re-ran per corpus row).
+    // The thresholds are one tiny aggregated row: collect it ONCE and use
+    // the collected values both to pack the query on the driver and as a
+    // literal `thrs` column for the corpus-side packing — per-row work is
+    // then only the packing plus two xor/popcounts, and the full
+    // per-dimension exact-percentile aggregation job runs a single time
+    // (previously it ran twice: once collected, once as a crossJoin).
     val thrs = thresholdRow(emb, vecCol).collect()(0)
       .getSeq[Double](0)
     def packQuery(base: Int): Long =
@@ -66,7 +68,7 @@ object BinaryQuant {
         if (queryVec(base + bi) > thrs(base + bi)) acc + (1L << bi) else acc)
     val (qw0, qw1) = (packQuery(0), packQuery(WordBits))
     val packed = emb
-      .crossJoin(broadcast(thresholdRow(emb, vecCol)))
+      .withColumn("thrs", typedlit(thrs))
       .selectExpr(idCol,
         s"${packWordExpr(vecCol, 0)} as w0",
         s"${packWordExpr(vecCol, WordBits)} as w1")

@@ -71,4 +71,42 @@ class CollectionSpec extends AnyFunSuite {
     assert(db2.dropCollection("docs"))
     assert(db2.listCollections().isEmpty)
   }
+
+  test("upsert rejects intra-batch duplicate ids") {
+    val root = Files.createTempDirectory("graft_vdb_dup").toString
+    val db = new VectorDb(spark, root)
+    val coll = db.createCollection("dups", dimensions = 8)
+    coll.insertBatch(rows("a" -> 1))
+    assertThrows[IllegalArgumentException] {
+      coll.upsert(rows("b" -> 2).unionByName(rows("b" -> 3)))
+    }
+    assert(coll.count() == 1) // batch rejected atomically
+  }
+
+  test("recover() refuses a partial staging dir without _SUCCESS") {
+    val root = Files.createTempDirectory("graft_vdb_rec").toString
+    val db = new VectorDb(spark, root)
+    val coll = db.createCollection("crashy", dimensions = 8)
+    // simulate a first-commit crash mid-write: staging has data files but
+    // no _SUCCESS marker, and no live/old generation exists
+    val staging = java.nio.file.Paths.get(root, "crashy", "data_staging")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(coll.isEmpty) // partial staging was NOT promoted
+    assert(!Files.exists(staging)) // and was torn down
+    // a real insert afterwards works and survives reopen
+    coll.insertBatch(rows("a" -> 1))
+    assert(coll.count() == 1)
+  }
+
+  test("collection names are validated (path + JSON safety)") {
+    val root = Files.createTempDirectory("graft_vdb_name").toString
+    val db = new VectorDb(spark, root)
+    assertThrows[IllegalArgumentException] {
+      db.createCollection("""bad"name""", dimensions = 8)
+    }
+    assertThrows[IllegalArgumentException] {
+      db.createCollection("bad/name", dimensions = 8)
+    }
+  }
 }
