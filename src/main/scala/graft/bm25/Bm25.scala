@@ -42,7 +42,36 @@ object Bm25 {
   def docLensFromToks(toks: DataFrame): DataFrame =
     toks.selectExpr("doc_id", "cast(size(toks) as double) as dl")
 
-  /** BM25 top-k for a bag of query terms. Returns (doc_id, score).
+  /** idf = ln((N − df + 0.5)/(df + 0.5) + 1) over (df, n_docs) columns. */
+  def idfCol: org.apache.spark.sql.Column =
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+
+  /** Per-(term, doc) BM25 weight over (idf, tf, dl, avgdl) columns. */
+  def weightCol: org.apache.spark.sql.Column =
+    col("idf") * col("tf") * (K1 + 1.0) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+
+  /** Score + top-k from index-shaped relations: query-term postings
+    * (term, doc_id, tf), per-term document frequencies (term, df), doc
+    * lengths (doc_id, dl), and the single-row corpus stats
+    * (n_docs, avgdl). Shared by the build-on-the-fly [[search]] and the
+    * prebuilt-index path (graft.index.Bm25Index). */
+  def scoreParts(qPost: DataFrame, docFreq: DataFrame, lens: DataFrame,
+      stats: DataFrame, k: Int): DataFrame =
+    qPost
+      .join(broadcast(docFreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", idfCol)
+      .withColumn("w", weightCol)
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+
+  /** BM25 top-k for a bag of query terms, tokenizing the corpus in-query.
+    * Returns (doc_id, score). For repeated queries over the same corpus
+    * use graft.index.Bm25Index — build once, search many times.
     * NOTE: persists the tokenized corpus for the duration of the query;
     * long-lived sessions should release intermediates between requests
     * (`spark.catalog.clearCache()` — graft.Verify does this per query).
@@ -58,18 +87,7 @@ object Bm25 {
     val qPost = postingsFromToks(toks).join(q, "term")
     val docFreq = qPost.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
-    qPost
-      .join(broadcast(docFreq), "term")
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("w",
-        col("idf") * col("tf") * (K1 + 1.0) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(round(sum("w"), 6).as("score"))
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(k)
+    scoreParts(qPost, docFreq, lens, stats, k)
   }
 
   /** DuckDB oracle for [[search]] over `relation(doc_id, text)`. */

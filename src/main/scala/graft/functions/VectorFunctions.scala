@@ -95,6 +95,14 @@ object VectorFunctions {
   def cosineDistanceSql(a: String, b: String, dim: Int): String =
     s"(1.0 - ${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}))"
 
+  /** squared L2 distance Σ(a−b)², same left-to-right accumulation as the
+    * typed IVF/PQ kernels (loop from 0.0; list_reduce seeds with the first
+    * element, and 0.0 + x == x exactly for the non-negative squares). */
+  def sqL2Sql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range($dim), i -> " +
+      s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE) * " +
+      s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE)), (x, y) -> x + y)"
+
   def l2DistanceSql(a: String, b: String, dim: Int): String =
     s"sqrt(list_reduce(list_transform(range($dim), i -> " +
       s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE) * " +

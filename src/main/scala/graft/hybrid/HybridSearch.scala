@@ -26,28 +26,18 @@ import graft.text.TextAnalysis.wordTokensSql
 object HybridSearch {
   val FetchFactor = 5
 
-  def search(
-      spark: SparkSession,
-      corpus: DataFrame, // (doc_id, text, embedding)
-      queryTerms: Seq[String],
-      queryVec: Seq[Double],
-      k: Int,
-      alpha: Double): DataFrame = {
-    val fetch = k * FetchFactor
-    val qv = typedlit(queryVec)
-    val c = corpus.persist() // both branches scan it
-
+  /** Normalize both branch top-ks and blend (steps 2–4 above): shared by
+    * the in-query [[search]] and the prebuilt-index [[searchIndexed]].
+    * vecTop = (doc_id, d) cosine distances; kwTop = (doc_id, score) BM25.
+    */
+  def blend(vecTop: DataFrame, kwTop: DataFrame, k: Int, alpha: Double)
+      : DataFrame = {
     // per-branch max via a global window: the branch top-k is ≤ fetch
     // rows, so one single-partition window beats a separate broadcast
     // aggregation job per branch (2 fewer jobs per query)
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy()
       .rowsBetween(Long.MinValue, Long.MaxValue)
-    val vecTop = c
-      .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
-      .select("doc_id", "d")
-      .orderBy(col("d"), col("doc_id"))
-      .limit(fetch)
     // guard max_d == 0 (every candidate identical to the query): the
     // reference assigns similarity 1 (`hybrid_search.py:430-433`); an
     // unguarded 0/0 would yield NaN and poison the blended ordering
@@ -55,11 +45,8 @@ object HybridSearch {
       .select(col("doc_id"),
         when(max("d").over(all) === 0.0, lit(1.0))
           .otherwise(lit(1.0) - col("d") / max("d").over(all)).as("vscore"))
-
-    val kwTop = Bm25.search(spark, c.select("doc_id", "text"), queryTerms, fetch)
     val kwNorm = kwTop
       .select(col("doc_id"), (col("score") / max("score").over(all)).as("kscore"))
-
     vecNorm
       .join(kwNorm, Seq("doc_id"), "full_outer")
       .select(
@@ -70,6 +57,49 @@ object HybridSearch {
           lit(1.0 - alpha) * coalesce(col("kscore"), lit(0.0)), 6).as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
+  }
+
+  def search(
+      spark: SparkSession,
+      corpus: DataFrame, // (doc_id, text, embedding)
+      queryTerms: Seq[String],
+      queryVec: Seq[Double],
+      k: Int,
+      alpha: Double): DataFrame = {
+    val fetch = k * FetchFactor
+    val qv = typedlit(queryVec)
+    val c = corpus.persist() // both branches scan it
+    val vecTop = c
+      .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
+      .select("doc_id", "d")
+      .orderBy(col("d"), col("doc_id"))
+      .limit(fetch)
+    val kwTop = Bm25.search(spark, c.select("doc_id", "text"), queryTerms, fetch)
+    blend(vecTop, kwTop, k, alpha)
+  }
+
+  /** Hybrid search against a prebuilt corpus index
+    * (graft.index.Indexes.hybrid): the vector branch scans the
+    * materialized (doc_id, embedding) table, the keyword branch probes the
+    * persistent BM25 postings — nothing is tokenized or joined at query
+    * time. This is what the reference's own benchmarks time: search
+    * against an already-built index (`hybrid_search.py:77-117`). */
+  def searchIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queryTerms: Seq[String],
+      queryVec: Seq[Double],
+      k: Int,
+      alpha: Double): DataFrame = {
+    val fetch = k * FetchFactor
+    val qv = typedlit(queryVec)
+    val vecTop = spark.read.parquet(s"$indexPath/vectors")
+      .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
+      .select("doc_id", "d")
+      .orderBy(col("d"), col("doc_id"))
+      .limit(fetch)
+    val kwTop = graft.index.Bm25Index.search(spark, indexPath, queryTerms, fetch)
+    blend(vecTop, kwTop, k, alpha)
   }
 
   /** DuckDB oracle: corpus = documents ⋈ embeddings on doc_id = vec_id. */

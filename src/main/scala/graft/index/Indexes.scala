@@ -1,0 +1,67 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.knn.Ann
+
+/** Build-once wiring of the persistent indexes to a testdata directory:
+  * each accessor returns the index path, building it only when absent or
+  * when the source parquet generation changed (IndexStore fingerprint).
+  * Catalog queries call these instead of re-deriving index relations per
+  * query — search cost is then probe + rerank, with build amortized across
+  * every query of a session and across sessions (the tables are on disk).
+  */
+object Indexes {
+  private val D = Tables.EmbeddingDim
+  val IvfCells = 16
+
+  /** BM25 inverted index over the documents table. */
+  def bm25Docs(spark: SparkSession, dir: String): String =
+    IndexStore.ensure(spark,
+      IndexStore.path(spark, dir, "bm25docs", Seq(s"$dir/documents.parquet"))) {
+      p => Bm25Index.build(spark, Tables.documents(spark, dir), p)
+    }
+
+  /** Hybrid corpus index: materialized (doc_id, embedding) vectors table
+    * plus a BM25 index, both over the documents⋈embeddings corpus (at
+    * sf0.1 only 2000 of 5000 docs carry embeddings — the hybrid corpus is
+    * the join, exactly the relation the oracle's corpus CTE defines). */
+  def hybrid(spark: SparkSession, dir: String): String =
+    IndexStore.ensure(spark,
+      IndexStore.path(spark, dir, "hybrid",
+        Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet"))) { p =>
+      val corpus = Tables.documents(spark, dir)
+        .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+        .select("doc_id", "text", "embedding")
+        .persist()
+      try {
+        corpus.select("doc_id", "embedding")
+          .write.mode("overwrite").parquet(s"$p/vectors")
+        Bm25Index.build(spark, corpus.select("doc_id", "text"), p)
+      } finally { corpus.unpersist(); () }
+    }
+
+  /** LSH bucket index over the embeddings table. */
+  def lshEmb(spark: SparkSession, dir: String): String =
+    IndexStore.ensure(spark,
+      IndexStore.path(spark, dir, "lshemb", Seq(s"$dir/embeddings.parquet"))) {
+      p => LshIndex.build(spark, Tables.embeddings(spark, dir),
+        "embedding", "vec_id", D, p)
+    }
+
+  /** IVF cell-partitioned index over the embeddings table (fixed
+    * deterministic codebook — see Ann.fixedIvfModel). */
+  def ivfEmb(spark: SparkSession, dir: String): String =
+    IndexStore.ensure(spark,
+      IndexStore.path(spark, dir, "ivfemb", Seq(s"$dir/embeddings.parquet"))) {
+      p => IvfIndex.build(spark, Tables.embeddings(spark, dir),
+        "embedding", "vec_id", Ann.fixedIvfModel(IvfCells, D), p)
+    }
+
+  /** Force-build every index for a directory (bench build phase). */
+  def buildAll(spark: SparkSession, dir: String): Unit = {
+    bm25Docs(spark, dir); hybrid(spark, dir); lshEmb(spark, dir)
+    ivfEmb(spark, dir); ()
+  }
+}

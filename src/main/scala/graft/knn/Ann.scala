@@ -94,6 +94,58 @@ object Ann {
 
   final case class IvfModel(centroids: Seq[Seq[Double]])
 
+  /** Deterministic, data-independent coarse quantizer: centroid c is the
+    * hash vector of key CentroidKeyBase + c — the same generator family as
+    * the LSH hyperplanes. On a uniform corpus (no cluster structure)
+    * recall@10 measured identical to trained k-means at sf0.01 (0.5 at
+    * nprobe=4/16), and determinism buys a bit-exact DuckDB oracle for the
+    * whole IVF path. [[trainIvf]] remains the clustered-corpus scale path
+    * (recall-gated in AnnSpec). */
+  val CentroidKeyBase = 2000L
+
+  def fixedIvfModel(cells: Int, dim: Int): IvfModel =
+    IvfModel((0 until cells).map(c =>
+      VectorFunctions.hashVectorValues(CentroidKeyBase + c, dim)))
+
+  /** DuckDB oracle for [[ivfSearch]]/[[graft.index.IvfIndex.search]] with
+    * the fixed codebook: literal-key centroids, first-min argmin cell
+    * assignment (row_number ties broken by cell, matching the kernel's
+    * strict `<`), nprobe nearest cells, exact cosine rerank. `roundSql`
+    * must mirror the searcher's rounding: the mapPartitions kernel uses
+    * `math.round(x·1e6)/1e6` = `floor(x*1e6 + 0.5)/1e6`; the partitioned
+    * reader uses `round(x, 6)`. */
+  def ivfSearchSql(
+      relation: String, vecCol: String, idCol: String,
+      queryVecSql: String, dim: Int, cells: Int, nprobe: Int, k: Int,
+      floorRounding: Boolean): String = {
+    val d2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
+    val qd2 = VectorFunctions.sqL2Sql("c.cv", "q.v", dim)
+    val cos = VectorFunctions.cosineDistanceSql(s"e.$vecCol", "q.v", dim)
+    val score =
+      if (floorRounding) s"floor(($cos) * 1000000 + 0.5) / 1000000.0"
+      else s"round($cos, 6)"
+    s"""WITH q AS (SELECT $queryVecSql AS v),
+       |cents AS (
+       |  SELECT cell, ${VectorFunctions.hashVectorSql(s"$CentroidKeyBase + cell", dim)} AS cv
+       |  FROM range($cells) t(cell)),
+       |dists AS (
+       |  SELECT e.$idCol, c.cell, $d2 AS d2
+       |  FROM $relation e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT $idCol, cell FROM (
+       |    SELECT $idCol, cell,
+       |           row_number() OVER (PARTITION BY $idCol ORDER BY d2, cell) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |probe AS (
+       |  SELECT c.cell FROM cents c, q ORDER BY $qd2, c.cell LIMIT $nprobe)
+       |SELECT e.$idCol, $score AS score
+       |FROM $relation e
+       |JOIN assign a ON a.$idCol = e.$idCol
+       |CROSS JOIN q
+       |WHERE a.cell IN (SELECT cell FROM probe)
+       |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
+  }
+
   /** Max rows sampled for centroid training; samples at or below
     * LocalTrainThreshold run Lloyd's driver-side (MLlib schedules a job
     * per iteration — pure overhead on small samples; see LocalKMeans). */

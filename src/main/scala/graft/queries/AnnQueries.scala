@@ -3,10 +3,15 @@ package graft.queries
 import graft.Q
 import graft.core.Tables
 import graft.functions.VectorFunctions._
+import graft.index.{Indexes, IndexStore, IvfIndex, LshIndex}
 import graft.knn.Ann
 
-/** ANN catalog queries: LSH (oracled end-to-end) and IVF (k-means; recall
-  * gated in AnnSpec, rows-only check here).
+/** ANN catalog queries: LSH and IVF, each in two forms — computed
+  * in-query (the correctness kernel) and against the prebuilt persistent
+  * index (the 100 TB shape: signatures/cells assigned once at build,
+  * probes prune partitions). All four are DuckDB-oracled; the IVF paths
+  * use the fixed deterministic codebook (Ann.fixedIvfModel — trained
+  * k-means stays recall-gated in AnnSpec).
   */
 object AnnQueries {
   private val D = Tables.EmbeddingDim
@@ -22,15 +27,38 @@ object AnnQueries {
         hashVectorSql("11", D), D, K)),
       bench = true
     ),
+    // same semantics, served from the persistent bucket table: build once,
+    // probe 4 of 64 partitions per query (PartitionFilters)
+    Q(
+      "ann_lsh_indexed",
+      (s, dir) =>
+        LshIndex.search(s, Indexes.lshEmb(s, dir), "embedding", "vec_id",
+          hashVectorValues(11L, D), D, K),
+      Some(Ann.lshSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, K)),
+      bench = true
+    ),
     Q(
       "ann_ivf_search",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val model = Ann.trainIvf(emb, "embedding", cells = 16)
-        Ann.ivfSearch(emb, "embedding", "vec_id", model,
-          hashVectorValues(11L, D), nprobe = 4, K)
-      },
-      None // k-means cells not SQL-reproducible; recall gate in AnnSpec
+      (s, dir) =>
+        Ann.ivfSearch(Tables.embeddings(s, dir), "embedding", "vec_id",
+          Ann.fixedIvfModel(Indexes.IvfCells, D),
+          hashVectorValues(11L, D), nprobe = 4, K),
+      Some(Ann.ivfSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = true))
+    ),
+    // the durable form: corpus partitioned by cell at build time, probe
+    // reads nprobe/cells of the files
+    Q(
+      "ann_ivf_partitioned",
+      (s, dir) =>
+        IvfIndex.search(s, Indexes.ivfEmb(s, dir), "embedding", "vec_id",
+          hashVectorValues(11L, D), nprobe = 4, K),
+      Some(Ann.ivfSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false)),
+      bench = true
     )
   )
 }

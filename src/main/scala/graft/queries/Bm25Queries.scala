@@ -5,29 +5,52 @@ import graft.Q
 import graft.core.Tables
 import graft.bm25.Bm25
 import graft.hybrid.HybridSearch
+import graft.index.{Bm25Index, Indexes, IndexStore}
 import graft.functions.VectorFunctions
 import graft.text.TextAnalysis.wordTokensSql
 
-/** BM25 keyword search, inverted-index stats, and the hybrid blend. */
+/** BM25 keyword search, the persistent inverted index, and the hybrid
+  * blend — all searches run against the prebuilt index tables
+  * (graft.index.Bm25Index): build once, search many times, exactly the
+  * regime the reference benchmarks (`hybrid_search.py:77-117` builds its
+  * index at load and maintains it incrementally).
+  */
 object Bm25Queries {
   private val QueryTerms = Seq("spark", "join", "filter")
   private val K = 10
   private val D = Tables.EmbeddingDim
 
   val qs: Seq[Q] = Seq(
+    // dedicated index build: force-rebuilds the documents BM25 index and
+    // returns a one-row summary pinning every index table (the oracle
+    // recomputes the same four scalars from the raw corpus)
+    Q(
+      "bm25_index_build",
+      (s, dir) => {
+        val p = IndexStore.path(s, dir, "bm25docs", Seq(s"$dir/documents.parquet"))
+        IndexStore.invalidate(s, p)
+        Bm25Index.buildSummary(s, Indexes.bm25Docs(s, dir))
+      },
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${wordTokensSql("text")}) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1)
+           |SELECT (SELECT count(*) FROM dl) AS n_docs,
+           |       (SELECT round(avg(dl), 6) FROM dl) AS avgdl,
+           |       (SELECT count(DISTINCT term) FROM tf) AS n_terms,
+           |       (SELECT count(*) FROM tf) AS n_postings""".stripMargin)
+    ),
     Q(
       "bm25_search",
-      (s, dir) => Bm25.search(s, Tables.documents(s, dir), QueryTerms, K),
+      (s, dir) => Bm25Index.search(s, Indexes.bm25Docs(s, dir), QueryTerms, K),
       Some(Bm25.searchSql(QueryTerms, K)),
       bench = true
     ),
     Q(
       "bm25_index_stats",
       (s, dir) =>
-        Bm25.postings(Tables.documents(s, dir))
-          .groupBy("term")
-          .agg(countDistinct("doc_id").as("df"),
-               sum("tf").cast("long").as("total_tf"))
+        Bm25Index.termStats(s, Indexes.bm25Docs(s, dir))
           .orderBy(desc("df"), col("term"))
           .limit(20),
       Some(
@@ -38,28 +61,26 @@ object Bm25Queries {
            |ORDER BY df DESC, term LIMIT 20""".stripMargin)
     ),
     // keyword search + metadata filter (reference keyword_search,
-    // hybrid_search.py:318-358 — but filtered BEFORE scoring: exact
-    // filtered top-k instead of over-fetch + post-filter)
+    // hybrid_search.py:318-358 — but filtered BEFORE scoring: df and
+    // corpus stats recomputed over the allowed subset, served from the
+    // prebuilt postings)
     Q(
       "bm25_filtered",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val allowed = Tables.documents(s, dir)
           .filter(graft.filter.Eq("lang", "en").column)
-        Bm25.search(s, docs, QueryTerms, K)
+          .select("doc_id")
+        Bm25Index.searchFiltered(s, Indexes.bm25Docs(s, dir), allowed,
+          QueryTerms, K)
       },
       Some(Bm25.searchSql(QueryTerms, K,
         relation = "(SELECT * FROM documents WHERE lang = 'en')")),
     ),
     Q(
       "hybrid_search",
-      (s, dir) => {
-        val corpus = Tables.documents(s, dir)
-          .join(Tables.embeddings(s, dir),
-            col("doc_id") === col("vec_id"))
-          .select("doc_id", "text", "embedding")
-        HybridSearch.search(s, corpus, QueryTerms,
-          VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.6)
-      },
+      (s, dir) =>
+        HybridSearch.searchIndexed(s, Indexes.hybrid(s, dir), QueryTerms,
+          VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.6),
       Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.6)),
       bench = true
     ),
@@ -70,13 +91,9 @@ object Bm25Queries {
 
   private def hybridAlpha(alpha: Double): Q = Q(
     f"hybrid_search_a${(alpha * 10).toInt}%02d",
-    (s, dir) => {
-      val corpus = Tables.documents(s, dir)
-        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-        .select("doc_id", "text", "embedding")
-      HybridSearch.search(s, corpus, QueryTerms,
-        VectorFunctions.hashVectorValues(5L, D), K, alpha)
-    },
+    (s, dir) =>
+      HybridSearch.searchIndexed(s, Indexes.hybrid(s, dir), QueryTerms,
+        VectorFunctions.hashVectorValues(5L, D), K, alpha),
     Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha))
   )
 }

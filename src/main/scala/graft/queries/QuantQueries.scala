@@ -82,15 +82,18 @@ object QuantQueries {
            |  ($D * 4)::DOUBLE / 8 AS pq_ratio
            |FROM embeddings""".stripMargin)
     ),
+    // PQ with the fixed deterministic codebooks: full encode + ADC oracle
+    // (the trained-k-means path stays recall-gated in QuantSpec)
     Q(
       "pq_search",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val cb = ProductQuant.train(emb, "embedding", D, m = 8, k = 16)
+        val cb = ProductQuant.fixedCodebooks(D, 8, 16)
         ProductQuant.searchAdc(emb, "embedding", "vec_id", cb,
           hashVectorValues(7L, D), K)
       },
-      None // k-means not SQL-reproducible; recall-gated in QuantSpec
+      Some(ProductQuant.searchAdcSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("7", D), D, 8, 16, K))
     )
   )
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bm25.Bm25
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import graft.hybrid.HybridSearch
+import graft.index.{Bm25Index, Indexes, IndexStore, LshIndex}
+import graft.knn.Ann
+
+/** Persistent-index layer: indexed search must equal the build-on-the-fly
+  * operators row-for-row, probes must prune partitions, incremental append
+  * must equal a full rebuild, and a partial build must never be served.
+  */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  private val D = Tables.EmbeddingDim
+  private val terms = Seq("spark", "join", "filter")
+
+  test("indexed BM25 search equals build-on-the-fly search") {
+    val p = Indexes.bm25Docs(spark, sf)
+    val a = Bm25Index.search(spark, p, terms, 10).collect().toSeq
+    val b = Bm25.search(spark, Tables.documents(spark, sf), terms, 10)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("indexed BM25 probe prunes postings partitions by term bucket") {
+    val p = Indexes.bm25Docs(spark, sf)
+    val plan = Bm25Index.search(spark, p, terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("term_bucket"), plan)
+  }
+
+  test("filtered indexed search equals search over the filtered corpus") {
+    val docs = Tables.documents(spark, sf)
+    val allowed = docs.filter(col("lang") === "en").select("doc_id")
+    val p = Indexes.bm25Docs(spark, sf)
+    val a = Bm25Index.searchFiltered(spark, p, allowed, terms, 10)
+      .collect().toSeq
+    val b = Bm25.search(spark, docs.filter(col("lang") === "en"), terms, 10)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("incremental append equals a full rebuild") {
+    val docs = Tables.documents(spark, sf).orderBy("doc_id").limit(40).cache()
+    val first = docs.filter(col("doc_id") < 20)
+    val rest = docs.filter(col("doc_id") >= 20)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString
+    val incr = s"$tmp/incr"; val full = s"$tmp/full"
+    IndexStore.ensure(spark, incr)(p => Bm25Index.build(spark, first, p))
+    IndexStore.mutate(spark, incr)(p => Bm25Index.append(spark, rest, p))
+    IndexStore.ensure(spark, full)(p => Bm25Index.build(spark, docs, p))
+    val a = Bm25Index.search(spark, incr, terms, 10).collect().toSeq
+    val b = Bm25Index.search(spark, full, terms, 10).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("indexed LSH search equals in-query LSH and prunes band partitions") {
+    val qv = hashVectorValues(11L, D)
+    val p = Indexes.lshEmb(spark, sf)
+    val q = LshIndex.search(spark, p, "embedding", "vec_id", qv, D, 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("band_"), plan)
+    val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Ann.lshSearch(Tables.embeddings(spark, sf), "embedding", "vec_id",
+      qv, D, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("indexed hybrid equals in-query hybrid") {
+    val qv = hashVectorValues(5L, D)
+    val corpus = Tables.documents(spark, sf)
+      .join(Tables.embeddings(spark, sf), col("doc_id") === col("vec_id"))
+      .select("doc_id", "text", "embedding")
+    val a = HybridSearch.searchIndexed(spark, Indexes.hybrid(spark, sf),
+      terms, qv, 10, 0.6).collect().toSeq
+    val b = HybridSearch.search(spark, corpus, terms, qv, 10, 0.6)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("a crashed build (no READY marker) is rebuilt, not served") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
+    val p = s"$tmp/idx_abc"
+    var builds = 0
+    // simulate: builder writes tables then dies before the marker
+    try {
+      IndexStore.ensure(spark, p) { path =>
+        builds += 1
+        Bm25Index.build(spark,
+          Tables.documents(spark, sf).limit(5), path)
+        throw new RuntimeException("crash before marker")
+      }
+      fail("expected crash")
+    } catch { case e: RuntimeException if e.getMessage.contains("crash") => () }
+    assert(!IndexStore.ready(spark, p))
+    IndexStore.resetMemo()
+    IndexStore.ensure(spark, p) { path =>
+      builds += 1
+      Bm25Index.build(spark, Tables.documents(spark, sf).limit(5), path)
+    }
+    assert(builds == 2 && IndexStore.ready(spark, p))
+  }
+}
