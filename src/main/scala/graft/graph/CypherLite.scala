@@ -88,7 +88,13 @@ object CypherLite {
         // *0..N includes the zero-length path (a reaches itself)
         var reach: DataFrame = if (hops._1 == 0) frontier else null
         for (h <- 1 to hops._2) {
-          frontier = broadcast(frontier)
+          // No broadcast hint: the frontier starts as ALL nodes matching
+          // the `a` pattern (unbounded for a broad label) and each hop's
+          // .distinct() is a shuffle, so AQE has exact runtime sizes and
+          // converts to a broadcast join exactly when the frontier is
+          // small (the pinned-{id:'x'} case) without risking a forced
+          // broadcast of millions of rows at scale.
+          frontier = frontier
             .join(ec, col("cur") === col("src"))
             .select(col("a_id"), col("dst").as("cur"))
             .distinct()

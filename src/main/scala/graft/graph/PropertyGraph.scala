@@ -146,7 +146,13 @@ object GraphOps {
         org.apache.spark.sql.types.StructField("seen", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
     var acc: Option[DataFrame] = None
     for (d <- 1 to maxDepth) {
-      val next = broadcast(frontier)
+      // Hint broadcast only for the hop-1 frontier (a single pinned row).
+      // Later frontiers are unbounded — a hop-2 frontier can be millions
+      // of nodes at scale and a forced broadcast is a driver OOM; AQE
+      // still picks a broadcast join at runtime whenever the frontier
+      // turns out small, so the edges side is never shuffled needlessly.
+      val f = if (d == 1) broadcast(frontier) else frontier
+      val next = f
         .join(e, col("node") === col("src"))
         .filter(!array_contains(col("seen"), col("dst")))
         .select(
@@ -173,14 +179,26 @@ object GraphOps {
     var visited = Seq(start).toDF("vnode")
     var acc: Option[DataFrame] = None
     for (d <- 1 to maxDepth) {
-      // broadcast the small frontier/visited sides: the edges table must
-      // not be shuffled once per hop (it is the 100 TB side at scale)
-      val next = broadcast(frontier)
+      // Hop 1: frontier and visited are the single start row — hint the
+      // broadcast. Later hops: the frontier is unbounded and visited grows
+      // monotonically with the reachable set, so a forced broadcast is a
+      // driver/executor OOM at scale — leave both unhinted and let AQE
+      // choose broadcast at runtime when the actual sizes allow (the
+      // edges side then still avoids a per-hop shuffle).
+      val (f, v) =
+        if (d == 1) (broadcast(frontier), broadcast(visited))
+        else (frontier, visited)
+      val next = f
         .join(g.edges, col("node") === col("src"))
         .select(col("dst").as("node"),
           concat(col("path"), lit("->"), col("dst")).as("path"))
-        .join(broadcast(visited), col("node") === col("vnode"), "left_anti")
+        .join(v, col("node") === col("vnode"), "left_anti")
         .groupBy("node").agg(min("path").as("path"))
+        // materialize the hop: next feeds acc, visited AND the next
+        // frontier — without the checkpoint each later hop re-executes
+        // every earlier hop's joins (lineage growth), and AQE sees exact
+        // frontier sizes for its join-strategy choice
+        .localCheckpoint()
       val step = next.select(col("node").as("target"), lit(d).as("depth"),
         col("path"))
       acc = Some(acc.map(_.union(step)).getOrElse(step))

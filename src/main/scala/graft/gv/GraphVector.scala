@@ -63,10 +63,17 @@ object GraphVector {
     var acc = seeds.select(col("id"), round(col("sim"), 6).as("score"),
       lit(0).as("hop"))
     for (hop <- 1 to expandHops) {
-      val next = broadcast(frontier)
+      // Hop 1: frontier and visited are both the seed set (≤ 2k rows) —
+      // hint the broadcast. Later hops are unbounded (a hop-2 frontier can
+      // be millions of nodes at scale); leave unhinted so AQE broadcasts
+      // only when the runtime size allows instead of OOMing the driver.
+      val (f, v) =
+        if (hop == 1) (broadcast(frontier), broadcast(visited))
+        else (frontier, visited)
+      val next = f
         .join(und, col("id") === col("a"))
         .select(col("b").as("id")).distinct()
-        .join(broadcast(visited), col("id") === col("vid"), "left_anti")
+        .join(v, col("id") === col("vid"), "left_anti")
         .localCheckpoint() // reused by acc + visited + next hop over the 2x-edges union
       acc = acc.union(
         next.crossJoin(broadcast(maxSeed))
