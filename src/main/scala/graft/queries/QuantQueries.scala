@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.Tables
 import graft.functions.VectorFunctions._
-import graft.quant.{BinaryQuant, ProductQuant, ScalarQuant}
+import graft.quant.{BinaryQuant, ProductQuant, ScalarQuant, StorageCompression}
 
 /** Quantization catalog queries over `embeddings`: SQ train + approx
   * search, BQ thresholds + Hamming search (both DuckDB-oracled), and PQ
@@ -36,6 +36,24 @@ object QuantQueries {
       Some(ScalarQuant.searchL2Sql("embeddings", "embedding", "vec_id",
         hashVectorSql("7", D), D, K)),
       bench = true
+    ),
+    // the reference's other two SQ metrics (quantization.py:145-181):
+    // cosine and dot over the reconstructed vectors, query quantized too
+    Q(
+      "sq_search_cosine",
+      (s, dir) =>
+        ScalarQuant.searchCosine(Tables.embeddings(s, dir), "embedding",
+          "vec_id", hashVectorValues(7L, D), D, K),
+      Some(ScalarQuant.searchCosineSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("7", D), D, K))
+    ),
+    Q(
+      "sq_search_dot",
+      (s, dir) =>
+        ScalarQuant.searchDot(Tables.embeddings(s, dir), "embedding",
+          "vec_id", hashVectorValues(7L, D), D, K),
+      Some(ScalarQuant.searchDotSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("7", D), D, K))
     ),
     Q(
       "bq_train",
@@ -81,6 +99,17 @@ object QuantQueries {
            |  count(*) * 8 AS pq_bytes,
            |  ($D * 4)::DOUBLE / 8 AS pq_ratio
            |FROM embeddings""".stripMargin)
+    ),
+    // storage compression (binary_persistence.py:333-385): fp16/int8
+    // encode-decode transforms; the summary pins sizes, ratios, and the
+    // int8 reconstruction error (fp16 reconstruction is spec-gated —
+    // no half floats in SQL)
+    Q(
+      "storage_compression",
+      (s, dir) =>
+        StorageCompression.summary(Tables.embeddings(s, dir), "embedding",
+          "vec_id", D),
+      Some(StorageCompression.summarySql("embeddings", "embedding", D))
     ),
     // PQ with the fixed deterministic codebooks: full encode + ADC oracle
     // (the trained-k-means path stays recall-gated in QuantSpec)
