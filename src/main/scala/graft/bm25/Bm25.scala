@@ -72,15 +72,15 @@ object Bm25 {
   /** BM25 top-k for a bag of query terms, tokenizing the corpus in-query.
     * Returns (doc_id, score). For repeated queries over the same corpus
     * use graft.index.Bm25Index — build once, search many times.
-    * NOTE: persists the tokenized corpus for the duration of the query;
-    * long-lived sessions should release intermediates between requests
-    * (`spark.catalog.clearCache()` — graft.Verify does this per query).
+    * The tokenized corpus is localCheckpoint'ed (feeds postings + lengths
+    * + stats): the storage is GC-scoped, so repeated ad-hoc searches in a
+    * long-lived session stay bounded without explicit unpersist calls.
     */
   def search(spark: SparkSession, docs: DataFrame, terms: Seq[String], k: Int)
       : DataFrame = {
     import spark.implicits._
     val q = broadcast(terms.distinct.toDF("term"))
-    val toks = tokenized(docs).persist() // feeds postings + lengths + stats
+    val toks = tokenized(docs).localCheckpoint()
     val lens = docLensFromToks(toks)
     val stats = lens.agg(
       count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))

@@ -129,9 +129,12 @@ object Dedup {
 
   /** LSH candidate pairs with exact-Jaccard verification, top-N. */
   def minhashLshPairs(docs: DataFrame, topN: Int): DataFrame = {
-    // persist: the banded signatures feed both sides of the self-join —
-    // without the barrier the shingle hashing runs twice per row.
-    val bands = lshBands(docs).persist()
+    // localCheckpoint: the banded signatures feed both sides of the
+    // self-join — without the barrier the shingle hashing runs twice per
+    // row. Checkpoint (not persist): storage is released by GC when the
+    // query's result is dropped, instead of leaking in the CacheManager
+    // until an explicit unpersist, so a long-lived session stays bounded.
+    val bands = lshBands(docs).localCheckpoint()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -186,7 +189,8 @@ object Dedup {
     * dedup keep-list is then "keep doc_id == component".
     */
   def nearDupComponents(docs: DataFrame): DataFrame = {
-    val bands = lshBands(docs).persist()
+    // localCheckpoint not persist — see minhashLshPairs (GC-scoped storage)
+    val bands = lshBands(docs).localCheckpoint()
     val a = bands.as("a")
     val b = bands.as("b")
     val pairs = a.join(b,
@@ -199,7 +203,7 @@ object Dedup {
       .filter(col("ni").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("ni")) >= ComponentJaccard)
       .select("x", "y")
-      .persist()
+      .localCheckpoint() // reused every propagation round
     val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
     var labels = pairs.select(col("x").as("node"))
       .union(pairs.select(col("y").as("node")))

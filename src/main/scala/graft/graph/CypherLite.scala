@@ -82,7 +82,10 @@ object CypherLite {
         // transitive materialization: when the pattern pins `a` (e.g.
         // {id: 'x'}) each hop joins a tiny frontier against edges
         // (19 s -> sub-second on the sf0.1 2-hop query).
-        val ec = e.select(col("src"), col("dst")).persist()
+        // localCheckpoint (not persist): reused once per hop, and the
+        // storage is GC-scoped instead of CacheManager-held — a session
+        // running many Cypher queries stays bounded without unpersist
+        val ec = e.select(col("src"), col("dst")).localCheckpoint()
         var frontier = a.select(col(s"${va}_id").as("a_id"),
           col(s"${va}_id").as("cur")).distinct()
         // *0..N includes the zero-length path (a reaches itself)

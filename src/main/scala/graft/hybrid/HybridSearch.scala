@@ -68,7 +68,9 @@ object HybridSearch {
       alpha: Double): DataFrame = {
     val fetch = k * FetchFactor
     val qv = typedlit(queryVec)
-    val c = corpus.persist() // both branches scan it
+    // both branches scan the corpus; checkpoint (GC-scoped) not persist
+    // (CacheManager-held until unpersist) so ad-hoc queries don't leak
+    val c = corpus.localCheckpoint()
     val vecTop = c
       .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
       .select("doc_id", "d")
