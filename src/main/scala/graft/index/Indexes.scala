@@ -59,9 +59,23 @@ object Indexes {
         "embedding", "vec_id", Ann.fixedIvfModel(IvfCells, D), p)
     }
 
-  /** Force-build every index for a directory (bench build phase). */
+  /** Build every index for a directory (bench build phase). */
   def buildAll(spark: SparkSession, dir: String): Unit = {
     bm25Docs(spark, dir); hybrid(spark, dir); lshEmb(spark, dir)
     ivfEmb(spark, dir); ()
+  }
+
+  /** Drop every index for a directory so the next buildAll pays the full
+    * construction cost (bench measures build and search separately). */
+  def invalidateAll(spark: SparkSession, dir: String): Unit = {
+    IndexStore.invalidate(spark,
+      IndexStore.path(spark, dir, "bm25docs", Seq(s"$dir/documents.parquet")))
+    IndexStore.invalidate(spark,
+      IndexStore.path(spark, dir, "hybrid",
+        Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet")))
+    IndexStore.invalidate(spark,
+      IndexStore.path(spark, dir, "lshemb", Seq(s"$dir/embeddings.parquet")))
+    IndexStore.invalidate(spark,
+      IndexStore.path(spark, dir, "ivfemb", Seq(s"$dir/embeddings.parquet")))
   }
 }
