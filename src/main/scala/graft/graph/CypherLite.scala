@@ -142,19 +142,30 @@ object CypherLite {
 
     val rm = ReturnPat.findFirstMatchIn(body).getOrElse(
       throw new IllegalArgumentException(s"missing RETURN in: $q"))
-    def itemCol(item: String): (Column, String) = {
+    // RETURN v yields the node WITH its properties (the reference returns
+    // node.to_dict(), graph.py:1094-1111) — all uniform property columns,
+    // prefixed; RETURN v.prop yields the single column.
+    def itemCols(item: String): Seq[(Column, String)] = {
       val t = item.trim
       if (t.contains('.')) {
         val Array(v, p) = t.split("\\.", 2)
-        (col(s"${v}_$p"), s"${v}_$p")
-      } else (col(s"${t}_id"), s"${t}_id") // bare var → its id
+        Seq((col(s"${v}_$p"), s"${v}_$p"))
+      } else NodeCols.map(c => (col(s"${t}_$c"), s"${t}_$c"))
     }
-    val items = rm.group(1).split(",").map(itemCol)
+    // ORDER BY on a bare var orders by its id (deterministic proxy)
+    def orderCol(item: String): String = {
+      val t = item.trim
+      if (t.contains('.')) t.replace('.', '_') else s"${t}_id"
+    }
+    val items = rm.group(1).split(",").flatMap(itemCols)
     var out = rows.select(items.map { case (c, n) => c.as(n) }: _*)
     Option(rm.group(2)).foreach { ob =>
-      out = out.orderBy(ob.split(",").map(i => itemCol(i)._2).map(col): _*)
+      out = out.orderBy(ob.split(",").map(orderCol).map(col): _*)
     }
     Option(rm.group(3)).foreach(n => out = out.limit(n.toInt))
     out
   }
+
+  /** The uniform node property columns (Graph.nodes schema). */
+  val NodeCols: Seq[String] = Seq("id", "label", "name", "num", "seg")
 }

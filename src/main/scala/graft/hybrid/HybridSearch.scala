@@ -26,6 +26,43 @@ import graft.text.TextAnalysis.wordTokensSql
 object HybridSearch {
   val FetchFactor = 5
 
+  /** Explicit weight parameters override alpha: α = vw/(vw+kw), or 0.5
+    * when the weights sum to zero (`hybrid_search.py:393-396`). */
+  def resolveAlpha(vectorWeight: Option[Double], keywordWeight: Option[Double],
+      alpha: Double): Double =
+    (vectorWeight, keywordWeight) match {
+      case (Some(vw), Some(kw)) =>
+        val t = vw + kw; if (t > 0) vw / t else 0.5
+      case _ => alpha
+    }
+
+  /** No-text fallback (`hybrid_search.py:397-411`): pure vector search —
+    * score is the RAW similarity (not max-normalized, unlike the blended
+    * path), keyword_score is 0. `vecs` = (doc_id, embedding). */
+  private def vectorOnly(vecs: DataFrame, queryVec: Seq[Double], k: Int)
+      : DataFrame = {
+    val qv = typedlit(queryVec)
+    vecs
+      .withColumn("sim", round(
+        lit(1.0) - VectorFunctions.cosineDistance(col("embedding"), qv), 6))
+      .select(col("doc_id"), col("sim").as("vector_score"),
+        lit(0.0).as("keyword_score"), col("sim").as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for the no-text fallback. */
+  def vectorOnlySql(queryVecKey: Long, dim: Int, k: Int): String = {
+    val dist = VectorFunctions.cosineDistanceSql("c.embedding", "q.v", dim)
+    s"""WITH corpus AS (
+       |  SELECT d.doc_id, e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |q AS (SELECT ${VectorFunctions.hashVectorSql(queryVecKey.toString, dim)} AS v),
+       |scored AS (SELECT c.doc_id, round(1.0 - $dist, 6) AS s FROM corpus c, q)
+       |SELECT doc_id, s AS vector_score, 0.0::DOUBLE AS keyword_score, s AS score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Normalize both branch top-ks and blend (steps 2–4 above): shared by
     * the in-query [[search]] and the prebuilt-index [[searchIndexed]].
     * vecTop = (doc_id, d) cosine distances; kwTop = (doc_id, score) BM25.
@@ -65,7 +102,12 @@ object HybridSearch {
       queryTerms: Seq[String],
       queryVec: Seq[Double],
       k: Int,
-      alpha: Double): DataFrame = {
+      alpha: Double,
+      vectorWeight: Option[Double] = None,
+      keywordWeight: Option[Double] = None): DataFrame = {
+    val a = resolveAlpha(vectorWeight, keywordWeight, alpha)
+    if (queryTerms.isEmpty)
+      return vectorOnly(corpus.select("doc_id", "embedding"), queryVec, k)
     val fetch = k * FetchFactor
     val qv = typedlit(queryVec)
     // both branches scan the corpus; checkpoint (GC-scoped) not persist
@@ -77,7 +119,7 @@ object HybridSearch {
       .orderBy(col("d"), col("doc_id"))
       .limit(fetch)
     val kwTop = Bm25.search(spark, c.select("doc_id", "text"), queryTerms, fetch)
-    blend(vecTop, kwTop, k, alpha)
+    blend(vecTop, kwTop, k, a)
   }
 
   /** Hybrid search against a prebuilt corpus index
@@ -92,7 +134,12 @@ object HybridSearch {
       queryTerms: Seq[String],
       queryVec: Seq[Double],
       k: Int,
-      alpha: Double): DataFrame = {
+      alpha: Double,
+      vectorWeight: Option[Double] = None,
+      keywordWeight: Option[Double] = None): DataFrame = {
+    val a = resolveAlpha(vectorWeight, keywordWeight, alpha)
+    if (queryTerms.isEmpty)
+      return vectorOnly(spark.read.parquet(s"$indexPath/vectors"), queryVec, k)
     val fetch = k * FetchFactor
     val qv = typedlit(queryVec)
     val vecTop = spark.read.parquet(s"$indexPath/vectors")
@@ -101,7 +148,7 @@ object HybridSearch {
       .orderBy(col("d"), col("doc_id"))
       .limit(fetch)
     val kwTop = graft.index.Bm25Index.search(spark, indexPath, queryTerms, fetch)
-    blend(vecTop, kwTop, k, alpha)
+    blend(vecTop, kwTop, k, a)
   }
 
   /** DuckDB oracle: corpus = documents ⋈ embeddings on doc_id = vec_id. */

@@ -86,7 +86,25 @@ object Bm25Queries {
     ),
     // alpha sweep (the reference's own test matrix, test_comprehensive
     // suite 5 runs 0.2/0.5/0.8): keyword-dominant and vector-dominant
-    hybridAlpha(0.2), hybridAlpha(0.8)
+    hybridAlpha(0.2), hybridAlpha(0.8),
+    // explicit weight params: α = vw/(vw+kw) (hybrid_search.py:393-396)
+    Q(
+      "hybrid_search_weighted",
+      (s, dir) =>
+        HybridSearch.searchIndexed(s, Indexes.hybrid(s, dir), QueryTerms,
+          VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.5,
+          vectorWeight = Some(3.0), keywordWeight = Some(1.0)),
+      Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.75))
+    ),
+    // no query text → pure vector fallback with raw similarity scores
+    // (hybrid_search.py:397-411)
+    Q(
+      "hybrid_search_notext",
+      (s, dir) =>
+        HybridSearch.searchIndexed(s, Indexes.hybrid(s, dir), Seq.empty,
+          VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.6),
+      Some(HybridSearch.vectorOnlySql(5L, D, K))
+    )
   )
 
   private def hybridAlpha(alpha: Double): Q = Q(

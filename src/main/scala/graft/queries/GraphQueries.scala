@@ -131,6 +131,22 @@ object GraphQueries {
            |WHERE label = 'Customer' AND seg = 'BUILDING' AND num > 1000
            |ORDER BY c_id LIMIT 20""".stripMargin)
     ),
+    // bare-var RETURN yields the node WITH its properties (the reference
+    // returns node.to_dict(), graph.py:1094-1111)
+    Q(
+      "cypher_return_node",
+      (s, dir) =>
+        CypherLite.query(TpchGraph.build(s, dir),
+          "MATCH (n:Nation) WHERE n.name <= 'NATION_3' " +
+            "RETURN n ORDER BY n.id"),
+      Some(
+        s"""WITH $C
+           |SELECT id AS n_id, label AS n_label, name AS n_name,
+           |       num AS n_num, seg AS n_seg
+           |FROM nodes
+           |WHERE label = 'Nation' AND name <= 'NATION_3'
+           |ORDER BY n_id""".stripMargin)
+    ),
     Q(
       "cypher_edge",
       (s, dir) =>
