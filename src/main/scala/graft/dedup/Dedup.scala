@@ -178,15 +178,21 @@ object Dedup {
   }
 
   // ---- near-dup components -------------------------------------------
-  val ComponentIters = 5
+  /** Hard ceiling on propagation rounds (a runaway-guard, not the
+    * expected stop: the loop exits as soon as a round changes nothing).
+    * Label propagation halves the effective chain length only linearly,
+    * so the ceiling bounds pathological diameter-2^k chains. */
+  val MaxComponentIters = 50
   val ComponentJaccard = 0.5
 
   /** Connected components over the LSH candidate pairs with exact
-    * Jaccard ≥ threshold: bounded min-label propagation (exactly
-    * [[ComponentIters]] rounds in BOTH engines, so results match even if
-    * a pathological chain hasn't fully converged). Output
-    * (doc_id, component) where component = min doc id reached — the
-    * dedup keep-list is then "keep doc_id == component".
+    * Jaccard ≥ threshold: min-label propagation iterated UNTIL STABLE (a
+    * round that changes no label terminates the loop), so the result is
+    * the true fixed point at any component diameter — the oracle computes
+    * the same fixed point via a recursive transitive closure, making the
+    * two equal by construction rather than by matching round counts.
+    * Output (doc_id, component) where component = min doc id reachable —
+    * the dedup keep-list is then "keep doc_id == component".
     */
   def nearDupComponents(docs: DataFrame): DataFrame = {
     // localCheckpoint not persist — see minhashLshPairs (GC-scoped storage)
@@ -205,39 +211,43 @@ object Dedup {
       .select("x", "y")
       .localCheckpoint() // reused every propagation round
     val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint() // joined every round
     var labels = pairs.select(col("x").as("node"))
       .union(pairs.select(col("y").as("node")))
       .distinct()
       .withColumn("lbl", col("node"))
-    for (_ <- 1 to ComponentIters) {
-      labels = labels
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < MaxComponentIters) {
+      val next = labels
         .select(col("node"), col("lbl"))
         .union(sym.join(labels, col("y") === col("node"))
           .select(col("x").as("node"), col("lbl")))
         .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint() // bounded loop; cut the doubling lineage
+        .localCheckpoint() // cut the doubling lineage; reused thrice below
+      // labels are monotone non-increasing, so "no label decreased" is
+      // the fixed point; the check is one aggregate over the round's join
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.lbl") < col("p.lbl"))
+        .isEmpty
+      labels = next
+      it += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("component"))
   }
 
-  /** DuckDB oracle: the identical propagation, unrolled. */
+  /** DuckDB oracle: exact components via a recursive transitive closure —
+    * component = min reachable node. Equal to the converged propagation
+    * at any diameter (both compute the same fixed point). */
   def nearDupComponentsSql: String = {
     val mhs = (0 until NumHashes).map(i => s"${minhashSql(i)} AS mh$i")
     val sigs = (0 until Bands).map(j => s"${bandSig(j, i => s"mh$i")} AS sig$j")
     val bandRows = (0 until Bands)
       .map(j => s"SELECT doc_id, shingles, $j AS band, sig$j AS sig FROM sigs")
       .mkString("\nUNION ALL\n")
-    val iters = (1 to ComponentIters).map { i =>
-      s"""l$i AS (
-         |  SELECT node, min(lbl) AS lbl FROM (
-         |    SELECT node, lbl FROM l${i - 1}
-         |    UNION ALL
-         |    SELECT sym.x AS node, l${i - 1}.lbl
-         |    FROM sym JOIN l${i - 1} ON l${i - 1}.node = sym.y)
-         |  GROUP BY node)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""WITH sh AS ($shingledSql),
+    s"""WITH RECURSIVE sh AS ($shingledSql),
        |mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
        |sigs AS (SELECT doc_id, shingles, ${sigs.mkString(", ")} FROM mh),
        |bands AS ($bandRows),
@@ -254,11 +264,13 @@ object Dedup {
        |         - len(list_intersect(sa.shingles, sb.shingles)))
        |        >= $ComponentJaccard),
        |sym AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
-       |l0 AS (
+       |reach(node, lbl) AS (
        |  SELECT node, node AS lbl FROM (
-       |    SELECT x AS node FROM pairs UNION SELECT y FROM pairs)),
-       |$iters
-       |SELECT node AS doc_id, lbl AS component FROM l$ComponentIters""".stripMargin
+       |    SELECT x AS node FROM pairs UNION SELECT y FROM pairs)
+       |  UNION
+       |  SELECT sym.x, reach.lbl FROM sym JOIN reach ON reach.node = sym.y)
+       |SELECT node AS doc_id, min(lbl) AS component
+       |FROM reach GROUP BY node""".stripMargin
   }
 
   // ---- simhash -------------------------------------------------------
