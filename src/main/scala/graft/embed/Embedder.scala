@@ -79,3 +79,25 @@ object CachedEmbedder {
     hits.unionByName(misses)
   }
 }
+
+/** Provider factory — the reference's `get_embedder`
+  * (`embeddings.py:455-514`): resolves a provider name to an Embedder.
+  * Remote providers (openai/cohere/sentence-transformers) are declared
+  * but out of engine scope (no network egress): requesting one raises,
+  * exactly like the reference does without the client library/API key;
+  * "auto" therefore resolves to the deterministic hash embedder (the
+  * reference's auto-fallback to MockEmbedder when nothing is installed).
+  */
+object Embedders {
+  val RemoteProviders = Set("openai", "cohere", "sentence-transformers")
+
+  def get(provider: String = "auto", dimensions: Int = 64): Embedder =
+    provider match {
+      case "auto" | "mock" | "hash" => HashEmbedder(dimensions)
+      case p if RemoteProviders(p) =>
+        throw new UnsupportedOperationException(
+          s"provider '$p' requires network egress — out of engine scope " +
+            "(SURVEY §2.9); use the deterministic 'hash' provider")
+      case p => throw new IllegalArgumentException(s"unknown provider: $p")
+    }
+}

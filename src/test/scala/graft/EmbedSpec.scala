@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.embed.{CachedEmbedder, HashEmbedder}
+import graft.embed.{CachedEmbedder, Embedders, HashEmbedder}
 
 class EmbedSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -27,5 +27,12 @@ class EmbedSpec extends AnyFunSuite {
     assert(out(1)._2 && out(1)._1 == Seq(9.0, 9.0), "hit keeps cached vector")
     assert(!out(2)._2 && out(2)._1 == e.embedValue("bbb"))
     assert(!out(3)._2 && out(3)._1 == e.embedValue("ccc"))
+  }
+
+  test("get_embedder factory resolves providers") {
+    assert(Embedders.get("auto", 32).dimensions == 32)
+    assert(Embedders.get("hash", 16).modelName == "graft-hash")
+    assertThrows[UnsupportedOperationException](Embedders.get("openai"))
+    assertThrows[IllegalArgumentException](Embedders.get("nope"))
   }
 }
