@@ -114,6 +114,11 @@ object TpchGraph {
 
 object GraphOps {
 
+  /** Broadcast-hint ceiling for measured frontier/visited sizes: sets
+    * whose EXACT materialized row count is at or below this are hinted
+    * (a few MB of ids); larger sets shuffle. */
+  val FrontierHintRows = 200000L
+
   /** 1-hop neighbors (reference `graph.py:818-842`): direction out/in/
     * both, optional edge-type filter. Returns neighbor node rows.
     */
@@ -178,16 +183,17 @@ object GraphOps {
     var frontier = Seq((start, start)).toDF("node", "path")
     var visited = Seq(start).toDF("vnode")
     var acc: Option[DataFrame] = None
+    // Frontiers are localCheckpoint'ed, so exact sizes are cheap driver
+    // facts: hint the broadcast only when the MEASURED size is bounded
+    // (hop 1 is the single start row; a reachable-set-sized frontier at
+    // scale skips the hint and shuffles — the right plan at that size).
+    var frontierRows = 1L
+    var visitedRows = 1L
     for (d <- 1 to maxDepth) {
-      // Hop 1: frontier and visited are the single start row — hint the
-      // broadcast. Later hops: the frontier is unbounded and visited grows
-      // monotonically with the reachable set, so a forced broadcast is a
-      // driver/executor OOM at scale — leave both unhinted and let AQE
-      // choose broadcast at runtime when the actual sizes allow (the
-      // edges side then still avoids a per-hop shuffle).
-      val (f, v) =
-        if (d == 1) (broadcast(frontier), broadcast(visited))
-        else (frontier, visited)
+      val f = if (frontierRows <= FrontierHintRows)
+        broadcast(frontier) else frontier
+      val v = if (visitedRows <= FrontierHintRows)
+        broadcast(visited) else visited
       val next = f
         .join(g.edges, col("node") === col("src"))
         .select(col("dst").as("node"),
@@ -196,9 +202,11 @@ object GraphOps {
         .groupBy("node").agg(min("path").as("path"))
         // materialize the hop: next feeds acc, visited AND the next
         // frontier — without the checkpoint each later hop re-executes
-        // every earlier hop's joins (lineage growth), and AQE sees exact
-        // frontier sizes for its join-strategy choice
+        // every earlier hop's joins (lineage growth)
         .localCheckpoint()
+      val n = next.count() // materialized: metadata-cheap
+      frontierRows = n
+      visitedRows += n
       val step = next.select(col("node").as("target"), lit(d).as("depth"),
         col("path"))
       acc = Some(acc.map(_.union(step)).getOrElse(step))

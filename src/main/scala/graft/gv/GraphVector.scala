@@ -62,19 +62,26 @@ object GraphVector {
     var frontier = seeds.select(col("id"))
     var acc = seeds.select(col("id"), round(col("sim"), 6).as("score"),
       lit(0).as("hop"))
+    // Every frontier is localCheckpoint'ed, so its exact row count is a
+    // cheap driver-side fact — hint the broadcast only when the MEASURED
+    // size is safely bounded (never a forced broadcast of an unbounded
+    // set: a huge hop-2 frontier at scale simply skips the hint and the
+    // edges side shuffles, which is then the right plan anyway).
+    var frontierRows = 2L * k
+    var visitedRows = 2L * k
     for (hop <- 1 to expandHops) {
-      // Hop 1: frontier and visited are both the seed set (≤ 2k rows) —
-      // hint the broadcast. Later hops are unbounded (a hop-2 frontier can
-      // be millions of nodes at scale); leave unhinted so AQE broadcasts
-      // only when the runtime size allows instead of OOMing the driver.
-      val (f, v) =
-        if (hop == 1) (broadcast(frontier), broadcast(visited))
-        else (frontier, visited)
+      val f = if (frontierRows <= graft.graph.GraphOps.FrontierHintRows)
+        broadcast(frontier) else frontier
+      val v = if (visitedRows <= graft.graph.GraphOps.FrontierHintRows)
+        broadcast(visited) else visited
       val next = f
         .join(und, col("id") === col("a"))
         .select(col("b").as("id")).distinct()
         .join(v, col("id") === col("vid"), "left_anti")
         .localCheckpoint() // reused by acc + visited + next hop over the 2x-edges union
+      val n = next.count() // materialized: counting is metadata-cheap
+      frontierRows = n
+      visitedRows += n
       acc = acc.union(
         next.crossJoin(broadcast(maxSeed))
           .selectExpr("id", s"round(${hopScore(vw, gw, hop)}, 6) as score",
