@@ -59,10 +59,26 @@ object Indexes {
         "embedding", "vec_id", Ann.fixedIvfModel(IvfCells, D), p)
     }
 
+  /** BQ packed-bits index over the embeddings table (2 longs/vector). */
+  def bqEmb(spark: SparkSession, dir: String): String =
+    IndexStore.ensure(spark,
+      IndexStore.path(spark, dir, "bqemb", Seq(s"$dir/embeddings.parquet"))) {
+      p => QuantIndex.buildBq(spark, Tables.embeddings(spark, dir),
+        "embedding", "vec_id", p)
+    }
+
+  /** SQ codes index over the embeddings table (1 code/dim). */
+  def sqEmb(spark: SparkSession, dir: String): String =
+    IndexStore.ensure(spark,
+      IndexStore.path(spark, dir, "sqemb", Seq(s"$dir/embeddings.parquet"))) {
+      p => QuantIndex.buildSq(spark, Tables.embeddings(spark, dir),
+        "embedding", "vec_id", D, p)
+    }
+
   /** Build every index for a directory (bench build phase). */
   def buildAll(spark: SparkSession, dir: String): Unit = {
     bm25Docs(spark, dir); hybrid(spark, dir); lshEmb(spark, dir)
-    ivfEmb(spark, dir); ()
+    ivfEmb(spark, dir); bqEmb(spark, dir); sqEmb(spark, dir); ()
   }
 
   /** Drop every index for a directory so the next buildAll pays the full
@@ -77,5 +93,9 @@ object Indexes {
       IndexStore.path(spark, dir, "lshemb", Seq(s"$dir/embeddings.parquet")))
     IndexStore.invalidate(spark,
       IndexStore.path(spark, dir, "ivfemb", Seq(s"$dir/embeddings.parquet")))
+    IndexStore.invalidate(spark,
+      IndexStore.path(spark, dir, "bqemb", Seq(s"$dir/embeddings.parquet")))
+    IndexStore.invalidate(spark,
+      IndexStore.path(spark, dir, "sqemb", Seq(s"$dir/embeddings.parquet")))
   }
 }

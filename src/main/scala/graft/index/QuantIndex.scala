@@ -1,0 +1,90 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.quant.{BinaryQuant, ScalarQuant}
+
+/** Quantized-at-rest indexes: the corpus stored in its quantized form,
+  * built once, searched without touching the raw vectors — the
+  * reference persists its quantizer state and quantized database together
+  * (`binary_persistence.py:333-385`, `quantization.py:196-213` save/load).
+  * At 100 TB this is the point of quantization: a BQ scan reads 2 longs
+  * per vector (32× fewer bytes than f32), an SQ scan 1 code per dim.
+  *
+  * Layouts under an [[IndexStore]] path:
+  *   bq:  packed/ (id, w0, w1)        thresholds/ (pos, thr)
+  *   sq:  codes/  (id, code[smallint]) stats/ (pos, mn, mx)
+  *
+  * Searches reproduce the in-query operators bit-for-bit (same packing /
+  * encode arithmetic), so the existing DuckDB oracles apply unchanged.
+  */
+object QuantIndex {
+
+  // ---- BQ ----------------------------------------------------------------
+
+  def buildBq(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, path: String): Unit = {
+    BinaryQuant.thresholds(emb, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/thresholds")
+    val thrs = BinaryQuant.thresholdRow(emb, vecCol).collect()(0)
+      .getSeq[Double](0)
+    emb
+      .withColumn("thrs", typedlit(thrs))
+      .selectExpr(idCol,
+        s"${BinaryQuant.packWordExpr(vecCol, 0)} as w0",
+        s"${BinaryQuant.packWordExpr(vecCol, BinaryQuant.WordBits)} as w1")
+      .write.mode("overwrite").parquet(s"$path/packed")
+  }
+
+  /** Hamming top-k over the packed table: two xor+popcounts per row over
+    * 16 bytes — no raw vectors touched. */
+  def searchBq(spark: SparkSession, path: String, idCol: String,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val thrs = spark.read.parquet(s"$path/thresholds").orderBy("pos")
+      .collect().map(_.getDouble(1)).toSeq
+    val qw0 = BinaryQuant.packQueryWord(queryVec, thrs, 0)
+    val qw1 = BinaryQuant.packQueryWord(queryVec, thrs, BinaryQuant.WordBits)
+    spark.read.parquet(s"$path/packed")
+      .selectExpr(idCol,
+        s"cast(bit_count(w0 ^ ${qw0}L) + bit_count(w1 ^ ${qw1}L) as int) as hamming")
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
+  // ---- SQ ----------------------------------------------------------------
+
+  def buildSq(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, dim: Int, path: String): Unit = {
+    ScalarQuant.trainStats(emb, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    emb
+      .crossJoin(broadcast(ScalarQuant.statsRow(emb, vecCol)))
+      .selectExpr(idCol,
+        s"transform(${ScalarQuant.encodeExpr(vecCol, dim)}, " +
+          "sqc -> cast(sqc as smallint)) as code")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Approx-L2 top-k over the stored codes: decode (code·scale + mn) and
+    * score against the raw query — identical arithmetic to the in-query
+    * ScalarQuant.searchL2 (codes are the same integers), so the same
+    * oracle applies. */
+  def searchSqL2(spark: SparkSession, path: String, idCol: String,
+      queryVec: Seq[Double], dim: Int, k: Int): DataFrame = {
+    val st = spark.read.parquet(s"$path/stats").orderBy("pos")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val mns = st.map(_._1).toSeq
+    val scales = st.map { case (mn, mx) => (mx - mn) / ScalarQuant.Levels }.toSeq
+    val qvLit = queryVec.mkString("array(", "D, ", "D)")
+    spark.read.parquet(s"$path/codes")
+      .withColumn("mns", typedlit(mns))
+      .withColumn("scales", typedlit(scales))
+      .selectExpr(idCol,
+        s"""round(sqrt(aggregate(transform(sequence(1, $dim), qi ->
+           |  pow(cast(element_at(code, qi) as double) * element_at(scales, qi)
+           |      + element_at(mns, qi) - element_at($qvLit, qi), 2.0)),
+           |  0D, (a, b) -> a + b)), 6) as score""".stripMargin)
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+  }
+}

@@ -44,6 +44,12 @@ object BinaryQuant {
       s"case when $vecCol[$base + bi]::DOUBLE > thrs[$base + bi] " +
       s"then (1::BIGINT << (bi - 1)) else 0::BIGINT end)), (a, b) -> a + b)"
 
+  /** Driver-side query packing against collected thresholds (the exact
+    * integer twin of [[packWordExpr]]). */
+  def packQueryWord(queryVec: Seq[Double], thrs: Seq[Double], base: Int): Long =
+    (0 until WordBits).foldLeft(0L)((acc, bi) =>
+      if (queryVec(base + bi) > thrs(base + bi)) acc + (1L << bi) else acc)
+
   /** Hamming top-k of the packed corpus against a packed query (dim=64 →
     * two words). Returns (id, hamming).
     */
@@ -63,10 +69,8 @@ object BinaryQuant {
     // (previously it ran twice: once collected, once as a crossJoin).
     val thrs = thresholdRow(emb, vecCol).collect()(0)
       .getSeq[Double](0)
-    def packQuery(base: Int): Long =
-      (0 until WordBits).foldLeft(0L)((acc, bi) =>
-        if (queryVec(base + bi) > thrs(base + bi)) acc + (1L << bi) else acc)
-    val (qw0, qw1) = (packQuery(0), packQuery(WordBits))
+    val (qw0, qw1) =
+      (packQueryWord(queryVec, thrs, 0), packQueryWord(queryVec, thrs, WordBits))
     val packed = emb
       .withColumn("thrs", typedlit(thrs))
       .selectExpr(idCol,

@@ -100,6 +100,27 @@ object QuantQueries {
            |  ($D * 4)::DOUBLE / 8 AS pq_ratio
            |FROM embeddings""".stripMargin)
     ),
+    // quantized-at-rest search: packed bits / codes stored once, searched
+    // without the raw vectors (the 100 TB shape — 32×/4× fewer bytes
+    // scanned); same arithmetic as the in-query forms, same oracles
+    Q(
+      "bq_index_search",
+      (s, dir) =>
+        graft.index.QuantIndex.searchBq(s, graft.index.Indexes.bqEmb(s, dir),
+          "vec_id", hashVectorValues(7L, D), K),
+      Some(BinaryQuant.searchHammingSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("7", D), D, K)),
+      bench = true
+    ),
+    Q(
+      "sq_index_search",
+      (s, dir) =>
+        graft.index.QuantIndex.searchSqL2(s, graft.index.Indexes.sqEmb(s, dir),
+          "vec_id", hashVectorValues(7L, D), D, K),
+      Some(ScalarQuant.searchL2Sql("embeddings", "embedding", "vec_id",
+        hashVectorSql("7", D), D, K)),
+      bench = true
+    ),
     // storage compression (binary_persistence.py:333-385): fp16/int8
     // encode-decode transforms; the summary pins sizes, ratios, and the
     // int8 reconstruction error (fp16 reconstruction is spec-gated —

@@ -84,6 +84,25 @@ class IndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("quantized-at-rest search equals the in-query quant operators") {
+    val qv = hashVectorValues(7L, D)
+    val emb = Tables.embeddings(spark, sf)
+    val bqA = graft.index.QuantIndex.searchBq(spark,
+        Indexes.bqEmb(spark, sf), "vec_id", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val bqB = graft.quant.BinaryQuant.searchHamming(emb, "embedding",
+        "vec_id", qv, D, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(bqA == bqB)
+    val sqA = graft.index.QuantIndex.searchSqL2(spark,
+        Indexes.sqEmb(spark, sf), "vec_id", qv, D, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sqB = graft.quant.ScalarQuant.searchL2(emb, "embedding", "vec_id",
+        qv, D, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqA == sqB)
+  }
+
   test("a crashed build (no READY marker) is rebuilt, not served") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
     val p = s"$tmp/idx_abc"
