@@ -43,6 +43,70 @@ object LshIndex {
       .parquet(s"$path/buckets")
   }
 
+  /** Batch search: the banded signature as a JOIN KEY — every query's
+    * bands are computed in-plan, broadcast, and equi-joined against the
+    * bucket table; candidates dedup per (query, vector) and exact-rerank
+    * with a per-query top-k window. This is the cluster-scale form: one
+    * shuffle-free probe join for a whole query batch instead of one scan
+    * per query. `queries` = (qid, qvec). Returns (qid, id, score). */
+  def searchBatch(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    val qBands = queries.select(col("qid"), col("qvec"),
+        explode(array((0 until Ann.Bands).map(b =>
+          struct(lit(b).as("band_idx"),
+            Ann.bandCol(col("qvec"), b, dim).as("band_val"))): _*)).as("band"))
+      .select(col("qid"), col("qvec"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score"), col(idCol))
+    spark.read.parquet(s"$path/buckets")
+      .join(broadcast(qBands), Seq("band_idx", "band_val"))
+      .dropDuplicates("qid", idCol) // a pair may collide in several bands
+      .withColumn("score",
+        round(VectorFunctions.cosineDistance(col(vecCol), col("qvec")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+      .orderBy(col("qid"), col("score"), col(idCol))
+  }
+
+  /** DuckDB oracle for [[searchBatch]] over integer query keys whose
+    * vectors are hash vectors of the key. */
+  def searchBatchSql(relation: String, vecCol: String, idCol: String,
+      queryKeys: Seq[Long], dim: Int, k: Int): String = {
+    val keys = queryKeys.map(kk => s"($kk)").mkString(", ")
+    val qBandRows = (0 until Ann.Bands).map(b =>
+      s"SELECT qid, qvec, $b AS band_idx, ${Ann.bandSql("qvec", b, dim)} AS band_val FROM qs")
+      .mkString("\nUNION ALL\n")
+    val dBandRows = (0 until Ann.Bands).map(b =>
+      s"SELECT $idCol, $b AS band_idx, b$b AS band_val FROM d")
+      .mkString("\nUNION ALL\n")
+    val db = (0 until Ann.Bands).map(b => s"${Ann.bandSql(vecCol, b, dim)} AS b$b")
+    s"""WITH qs AS (
+       |  SELECT qid, ${graft.functions.VectorFunctions.hashVectorSql("qid", dim)} AS qvec
+       |  FROM (VALUES $keys) t(qid)),
+       |qb AS ($qBandRows),
+       |d AS (SELECT $idCol, $vecCol, ${db.mkString(", ")} FROM $relation),
+       |dbands AS ($dBandRows),
+       |cand AS (
+       |  SELECT DISTINCT qb.qid, dbands.$idCol
+       |  FROM dbands JOIN qb
+       |    ON qb.band_idx = dbands.band_idx AND qb.band_val = dbands.band_val),
+       |scored AS (
+       |  SELECT c.qid, c.$idCol,
+       |    round(${graft.functions.VectorFunctions.cosineDistanceSql(s"e.$vecCol", "qs.qvec", dim)}, 6) AS score
+       |  FROM cand c
+       |  JOIN $relation e ON e.$idCol = c.$idCol
+       |  JOIN qs ON qs.qid = c.qid),
+       |ranked AS (
+       |  SELECT qid, $idCol, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score, $idCol) AS rnk
+       |  FROM scored)
+       |SELECT qid, $idCol, score FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, score, $idCol""".stripMargin
+  }
+
   /** Probe the 4 query buckets, dedup candidates, exact cosine rerank.
     * Query band values are computed through the engine (one tiny job) so
     * the sign arithmetic is bit-identical with the build. */

@@ -38,6 +38,21 @@ object AnnQueries {
         hashVectorSql("11", D), D, K)),
       bench = true
     ),
+    // batch form: the banded signature as a join key — one probe join for
+    // a whole query batch (the cluster-scale shape)
+    Q(
+      "ann_lsh_batch",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(11L, 12L, 13L).toDF("qid")
+          .withColumn("qvec", hashVector(org.apache.spark.sql.functions.col("qid"), D))
+        LshIndex.searchBatch(s, Indexes.lshEmb(s, dir), "embedding",
+          "vec_id", queries, D, K)
+      },
+      Some(LshIndex.searchBatchSql("embeddings", "embedding", "vec_id",
+        Seq(11L, 12L, 13L), D, K)),
+      bench = true
+    ),
     Q(
       "ann_ivf_search",
       (s, dir) =>
