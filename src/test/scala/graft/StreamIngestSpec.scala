@@ -47,4 +47,41 @@ class StreamIngestSpec extends AnyFunSuite {
       db.dropCollection("events_sink")
     }
   }
+
+  test("foreachBatch maintains a BM25 index incrementally from a doc stream") {
+    import graft.index.{Bm25Index, IndexStore}
+    val idx = Files.createTempDirectory("graft_stream_idx").toString + "/bm25"
+    val docs = core.Tables.documents(spark, SparkTestSession.sf)
+      .orderBy("doc_id").limit(30).cache()
+    // seed the index with the first half of the corpus
+    IndexStore.ensure(spark, idx)(p =>
+      Bm25Index.build(spark, docs.filter(col("doc_id") < 15), p))
+    // stream the remaining docs in as a file stream; each microbatch
+    // appends its postings — the reference's per-document index update
+    // (hybrid_search.py:105-117) at microbatch granularity
+    val src = Files.createTempDirectory("graft_doc_stream").toString
+    docs.filter(col("doc_id") >= 15).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val newDocs = batch.select("doc_id", "text").localCheckpoint()
+        if (newDocs.count() > 0)
+          IndexStore.mutate(spark, idx)(p =>
+            Bm25Index.append(spark, newDocs, p))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the incrementally-maintained index answers exactly like a fresh
+      // build over the full corpus
+      val terms = Seq("spark", "join", "filter")
+      val a = Bm25Index.search(spark, idx, terms, 10).collect().toSeq
+      val full = Files.createTempDirectory("graft_full_idx").toString + "/bm25"
+      IndexStore.ensure(spark, full)(p => Bm25Index.build(spark, docs, p))
+      val b = Bm25Index.search(spark, full, terms, 10).collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally q.stop()
+  }
 }
