@@ -17,10 +17,11 @@ object GraphVectorQueries {
   private val K = 10
   private val C = TpchGraph.ctesSql
 
+  // the materialized node-embedding table (built once per dir — see
+  // Indexes.custEmb); values identical to deriving hashVector per query,
+  // so the oracles are unchanged
   private def custEmb(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.customer(s, dir).select(
-      concat(lit("c:"), col("c_custkey")).as("id"),
-      hashVector(col("c_custkey"), D).as("embedding"))
+    s.read.parquet(s"${graft.index.Indexes.custEmb(s, dir)}/vectors")
 
   val qs: Seq[Q] = Seq(
     Q(
