@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{CosineDistance, DotProduct, L2Distance}
+import graft.expr.{CosineDistance, DotProduct, Fp16Decode, Fp16Encode, L2Distance}
 
 /** Session extension wiring for the graft kernels — lets any Spark app
   * (or `spark-sql` / thrift server) load the engine's native functions
@@ -41,5 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vec_ip_distance(a, b) - negated dot product; lower = more similar",
       es => org.apache.spark.sql.catalyst.expressions.UnaryMinus(
         DotProduct(es(0), es(1)))))
+    ext.injectFunction(fn("fp16_encode",
+      "fp16_encode(vec) - IEEE binary16 bit patterns as array<smallint>",
+      es => Fp16Encode(es(0))))
+    ext.injectFunction(fn("fp16_decode",
+      "fp16_decode(codes) - array<float> from binary16 bit patterns",
+      es => Fp16Decode(es(0))))
   }
 }

@@ -32,6 +32,10 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(1) == 1.0)
       assert(r.getDouble(2) == 5.0)
       assert(r.getDouble(3) == -11.0)
+      // fp16 codec round-trips from SQL (0.5 is exactly representable)
+      val h = s.sql(
+        "SELECT fp16_decode(fp16_encode(array(0.5D, -2.0D))) AS v").head()
+      assert(h.getSeq[Float](0) == Seq(0.5f, -2.0f))
       // SQL top-k over a vector column plans TakeOrderedAndProject
       import s.implicits._
       Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
