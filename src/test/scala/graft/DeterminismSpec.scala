@@ -13,7 +13,8 @@ class DeterminismSpec extends AnyFunSuite {
 
   private val probes = Seq(
     "knn_batch", "dedup_minhash_lsh", "hybrid_search", "bm25_search",
-    "graph_shortest_paths", "events_sessions")
+    "graph_shortest_paths", "events_sessions", "ann_lsh_batch",
+    "ann_ivf_partitioned", "dedup_components", "sq_index_search")
 
   test("representative queries are invariant to shuffle partition count") {
     val key = "spark.sql.shuffle.partitions"
@@ -32,5 +33,20 @@ class DeterminismSpec extends AnyFunSuite {
         assert(a(name) == b(name), s"$name diverged across partitionings")
       }
     } finally spark.conf.set(key, original)
+  }
+
+  test("index builds are invariant to input partitioning") {
+    import graft.index.{Bm25Index, IndexStore}
+    val docs = graft.core.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_det_idx").toString
+    val p3 = s"$tmp/p3"; val p11 = s"$tmp/p11"
+    IndexStore.ensure(spark, p3)(p =>
+      Bm25Index.build(spark, docs.repartition(3), p))
+    IndexStore.ensure(spark, p11)(p =>
+      Bm25Index.build(spark, docs.repartition(11), p))
+    val terms = Seq("spark", "join", "filter")
+    val a = Bm25Index.search(spark, p3, terms, 10).collect().toSeq
+    val b = Bm25Index.search(spark, p11, terms, 10).collect().toSeq
+    assert(a == b && a.nonEmpty)
   }
 }
