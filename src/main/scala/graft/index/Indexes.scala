@@ -83,6 +83,16 @@ object Indexes {
         "embedding", "vec_id", p)
     }
 
+  /** PQ codes index over the embeddings table (m bytes/vector — the
+    * strongest at-rest compression; fixed deterministic codebooks). */
+  def pqEmb(spark: SparkSession, dir: String): String =
+    IndexStore.ensure(spark,
+      IndexStore.path(spark, dir, "pqemb", Seq(s"$dir/embeddings.parquet"))) {
+      p => QuantIndex.buildPq(spark, Tables.embeddings(spark, dir),
+        "embedding", "vec_id",
+        graft.quant.ProductQuant.fixedCodebooks(D, 8, 16), p)
+    }
+
   /** SQ codes index over the embeddings table (1 code/dim). */
   def sqEmb(spark: SparkSession, dir: String): String =
     IndexStore.ensure(spark,
@@ -95,7 +105,7 @@ object Indexes {
   def buildAll(spark: SparkSession, dir: String): Unit = {
     bm25Docs(spark, dir); hybrid(spark, dir); lshEmb(spark, dir)
     ivfEmb(spark, dir); bqEmb(spark, dir); sqEmb(spark, dir)
-    custEmb(spark, dir); ()
+    pqEmb(spark, dir); custEmb(spark, dir); ()
   }
 
   /** Drop every index for a directory so the next buildAll pays the full
@@ -114,6 +124,8 @@ object Indexes {
       IndexStore.path(spark, dir, "bqemb", Seq(s"$dir/embeddings.parquet")))
     IndexStore.invalidate(spark,
       IndexStore.path(spark, dir, "sqemb", Seq(s"$dir/embeddings.parquet")))
+    IndexStore.invalidate(spark,
+      IndexStore.path(spark, dir, "pqemb", Seq(s"$dir/embeddings.parquet")))
     IndexStore.invalidate(spark,
       IndexStore.path(spark, dir, "custemb", Seq(s"$dir/customer.parquet")))
   }

@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.quant.{BinaryQuant, ScalarQuant}
+import graft.quant.{BinaryQuant, ProductQuant, ScalarQuant}
 
 /** Quantized-at-rest indexes: the corpus stored in its quantized form,
   * built once, searched without touching the raw vectors — the
@@ -50,6 +50,40 @@ object QuantIndex {
       .orderBy(col("hamming"), col(idCol))
       .limit(k)
   }
+
+  // ---- PQ ----------------------------------------------------------------
+
+  def buildPq(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, cb: ProductQuant.Codebooks, path: String): Unit = {
+    import spark.implicits._
+    (for { mi <- 0 until cb.m; c <- 0 until cb.k }
+      yield (mi, c, cb.cb(mi)(c)))
+      .toDF("mi", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    ProductQuant.encode(emb, vecCol, idCol, cb)
+      .selectExpr(idCol,
+        "transform(codes, pqc -> cast(pqc as tinyint)) as codes")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadPqCodebooks(spark: SparkSession, path: String)
+      : ProductQuant.Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("mi", "c")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](2)))
+    val m = rows.map(_._1).max + 1
+    val grouped = rows.groupBy(_._1)
+    val cb = (0 until m).map(mi => grouped(mi).map(_._2).toSeq)
+    ProductQuant.Codebooks(m, cb.head.length, cb.head.head.length, cb)
+  }
+
+  /** ADC top-k over the stored codes: m lookup-table adds per row over
+    * m bytes — 64× fewer bytes than the raw vectors. */
+  def searchPq(spark: SparkSession, path: String, idCol: String,
+      queryVec: Seq[Double], k: Int): DataFrame =
+    ProductQuant.searchAdcCodes(
+      spark.read.parquet(s"$path/codes"), idCol,
+      loadPqCodebooks(spark, path), queryVec, k)
 
   // ---- SQ ----------------------------------------------------------------
 

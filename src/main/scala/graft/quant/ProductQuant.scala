@@ -122,6 +122,79 @@ object ProductQuant {
     }
   }
 
+  /** Nearest-centroid encode per subspace: (id, codes[m]) — the stored
+    * form (one small int per subspace; 8 codes replace 64 doubles).
+    * Typed kernel, same argmin arithmetic as [[searchAdc]]'s fused pass.
+    */
+  def encode(
+      emb: DataFrame, vecCol: String, idCol: String, cb: Codebooks)
+      : DataFrame = {
+    val books: Array[Array[Array[Double]]] =
+      cb.cb.map(_.map(_.toArray).toArray).toArray
+    val (m, subDim) = (cb.m, cb.subDim)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val vec = v.toArray
+        val codes = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          val base = mi * subDim
+          val book = books(mi)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val x = vec(base + i) - book(c)(i); d += x * x; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(mi) = best
+          mi += 1
+        }
+        (id, codes.toSeq)
+      }
+      .toDF(idCol, "codes")
+  }
+
+  /** ADC search over PREVIOUSLY-ENCODED codes: per row only m LUT
+    * lookups — no vectors touched. Scores identical to [[searchAdc]]
+    * (same codes, same LUT), so the same oracle applies. */
+  def searchAdcCodes(
+      codes: DataFrame, idCol: String, cb: Codebooks,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val lut = adcLut(cb, queryVec)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.select(col(idCol).cast("long"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, cs) =>
+        var dist = 0.0
+        var mi = 0
+        while (mi < cb.m) { dist += lut(mi)(cs(mi)); mi += 1 }
+        (id, math.round(math.sqrt(dist) * 1e6) / 1e6)
+      }
+      .toDF(idCol, "score")
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Per-query lookup table: lut(mi)(c) = ‖q_sub − centroid‖². */
+  private def adcLut(cb: Codebooks, queryVec: Seq[Double])
+      : Array[Array[Double]] =
+    (0 until cb.m).map { mi =>
+      val base = mi * cb.subDim
+      cb.cb(mi).map { c =>
+        c.zipWithIndex.map { case (cv, d) =>
+          val q = queryVec(base + d); (q - cv) * (q - cv)
+        }.sum
+      }.toArray
+    }.toArray
+
   /** ADC search: LUT computed driver-side from the query; encode + LUT
     * lookup run as a typed mapPartitions kernel (a literal-codebook
     * Catalyst expression was measured 10× slower: the ~1000-term tree
@@ -135,14 +208,7 @@ object ProductQuant {
       cb: Codebooks,
       queryVec: Seq[Double],
       k: Int): DataFrame = {
-    val lut: Array[Array[Double]] = (0 until cb.m).map { mi =>
-      val base = mi * cb.subDim
-      cb.cb(mi).map { c =>
-        c.zipWithIndex.map { case (cv, d) =>
-          val q = queryVec(base + d); (q - cv) * (q - cv)
-        }.sum
-      }.toArray
-    }.toArray
+    val lut = adcLut(cb, queryVec)
     val books: Array[Array[Array[Double]]] =
       cb.cb.map(_.map(_.toArray).toArray).toArray
     val (m, subDim) = (cb.m, cb.subDim)

@@ -121,6 +121,15 @@ object QuantQueries {
         hashVectorSql("7", D), D, K)),
       bench = true
     ),
+    Q(
+      "pq_index_search",
+      (s, dir) =>
+        graft.index.QuantIndex.searchPq(s, graft.index.Indexes.pqEmb(s, dir),
+          "vec_id", hashVectorValues(7L, D), K),
+      Some(ProductQuant.searchAdcSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("7", D), D, 8, 16, K)),
+      bench = true
+    ),
     // storage compression (binary_persistence.py:333-385): fp16/int8
     // encode-decode transforms; the summary pins sizes, ratios, and the
     // int8 reconstruction error (fp16 reconstruction is spec-gated —

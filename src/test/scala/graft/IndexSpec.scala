@@ -101,6 +101,13 @@ class IndexSpec extends AnyFunSuite {
         qv, D, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sqA == sqB)
+    val pqA = graft.index.QuantIndex.searchPq(spark,
+        Indexes.pqEmb(spark, sf), "vec_id", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pqB = graft.quant.ProductQuant.searchAdc(emb, "embedding", "vec_id",
+        graft.quant.ProductQuant.fixedCodebooks(D, 8, 16), qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pqA == pqB)
   }
 
   test("a crashed build (no READY marker) is rebuilt, not served") {
