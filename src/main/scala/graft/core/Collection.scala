@@ -175,6 +175,22 @@ final class VectorCollection(
     n
   }
 
+  /** Collection-level exact search (the reference's `collection.search`,
+    * `vectordb_optimized.py:518-560`): metric comes from the collection
+    * config, the optional filter applies BEFORE scoring (exact filtered
+    * top-k), ties break on id. Expects a `vector` column. */
+  def search(queryVec: Seq[Double], k: Int = 10,
+      filter: Option[Pred] = None): DataFrame =
+    graft.knn.Knn.search(df, col("vector"),
+      org.apache.spark.sql.functions.typedlit(queryVec),
+      config.metric, k,
+      filter.map(p => coalesce(p.column, lit(false))), idCol = "id")
+
+  /** Batch search over a (query_id, qvec) relation — top-k per query. */
+  def searchBatch(queries: DataFrame, k: Int = 10): DataFrame =
+    graft.knn.Knn.searchBatch(df, col("vector"), queries,
+      config.metric, k, idCol = "id")
+
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
 
   def peek(n: Int): DataFrame = df.orderBy("id").limit(n)
@@ -202,6 +218,13 @@ final class VectorDb(spark: SparkSession, root: String) {
     out.close()
     new VectorCollection(spark, root, cfg)
   }
+
+  /** Open-or-create (the reference's `get_or_create_collection`,
+    * `client.py` surface): an existing collection's stored config wins —
+    * the requested dimensions/metric apply only on creation. */
+  def getOrCreateCollection(name: String, dimensions: Int,
+      metric: String = "cosine"): VectorCollection =
+    getCollection(name).getOrElse(createCollection(name, dimensions, metric))
 
   def getCollection(name: String): Option[VectorCollection] = {
     val cfgPath = new Path(s"$root/$name/config.json")

@@ -99,6 +99,34 @@ class CollectionSpec extends AnyFunSuite {
     assert(coll.count() == 1)
   }
 
+  test("collection-level search honors config metric and pre-score filter") {
+    val root = Files.createTempDirectory("graft_vdb_search").toString
+    val db = new VectorDb(spark, root)
+    val coll = db.getOrCreateCollection("s", dimensions = 8)
+    val data = rows("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 4)
+      .withColumnRenamed("vector", "vector")
+    coll.insertBatch(data)
+    val q = VectorFunctions.hashVectorValues(2L, 8)
+    val top = coll.search(q, k = 2).collect()
+    assert(top.length == 2)
+    // b embeds key 2 — it must be its own nearest neighbor
+    assert(top.head.getAs[String]("id") == "b")
+    // filter BEFORE scoring: restricting to tag t1 excludes b (k=2 even)
+    val filtered = coll.search(q, k = 2, Some(Eq("tag", "t1")))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(!filtered.contains("b") && filtered.nonEmpty)
+    // batch: top-1 per query
+    import spark.implicits._
+    val qs = Seq((1L, VectorFunctions.hashVectorValues(1L, 8)),
+      (3L, VectorFunctions.hashVectorValues(3L, 8))).toDF("query_id", "qvec")
+    val batch = coll.searchBatch(qs, k = 1)
+      .select("query_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch == Map(1L -> "a", 3L -> "c"))
+    // getOrCreate returns the existing collection (stored config wins)
+    assert(db.getOrCreateCollection("s", dimensions = 99).config.dimensions == 8)
+  }
+
   test("collection names are validated (path + JSON safety)") {
     val root = Files.createTempDirectory("graft_vdb_name").toString
     val db = new VectorDb(spark, root)
