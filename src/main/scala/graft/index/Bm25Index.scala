@@ -43,7 +43,13 @@ object Bm25Index {
     (crc32(col("term").cast("binary")) % TermBuckets).cast("int")
 
   /** Write the index tables for a (doc_id, text) corpus into `path`.
-    * Caller wraps in IndexStore.ensure for marker/crash handling. */
+    * Caller wraps in IndexStore.ensure for marker/crash handling.
+    *
+    * Postings rows carry the document length (dl is per-doc constant, so
+    * denormalizing it is append-safe): an unfiltered query then needs NO
+    * doclens join — at corpus scale that join would shuffle a
+    * doc-count-sized relation per query. doclens persists separately for
+    * filtered-search stats recomputation and append bookkeeping. */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val toks = Bm25.tokenized(docs).persist()
     try {
@@ -51,6 +57,7 @@ object Bm25Index {
         .write.mode("overwrite").parquet(s"$path/doclens")
       writeStats(spark, path)
       Bm25.postingsFromToks(toks)
+        .join(Bm25.docLensFromToks(toks), "doc_id")
         .withColumn("term_bucket", termBucketCol)
         .repartition(col("term_bucket"))
         .sortWithinPartitions("term")
@@ -69,6 +76,7 @@ object Bm25Index {
       Bm25.docLensFromToks(toks)
         .write.mode("append").parquet(s"$path/doclens")
       Bm25.postingsFromToks(toks)
+        .join(Bm25.docLensFromToks(toks), "doc_id")
         .withColumn("term_bucket", termBucketCol)
         .repartition(col("term_bucket"))
         .sortWithinPartitions("term")
@@ -93,21 +101,27 @@ object Bm25Index {
     spark.read.parquet(s"$path/postings")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
-      .select("term", "doc_id", "tf")
+      .select("term", "doc_id", "tf", "dl")
   }
 
-  /** BM25 top-k against the prebuilt index: one pruned postings scan, a
-    * tiny df aggregate, score, top-k. No tokenization, no corpus scan. */
+  /** BM25 top-k against the prebuilt index: one pruned postings scan
+    * (rows carry tf AND dl), a tiny broadcast df aggregate, a broadcast
+    * stats row, score, top-k — no doclens join, no tokenization, no
+    * corpus scan. */
   def search(spark: SparkSession, path: String, terms: Seq[String], k: Int)
       : DataFrame = {
     val qPost = prunedPostings(spark, path, terms.distinct)
     val docFreq = qPost.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
-    Bm25.scoreParts(qPost,
-      docFreq,
-      spark.read.parquet(s"$path/doclens"),
-      spark.read.parquet(s"$path/stats"),
-      k)
+    qPost
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(spark.read.parquet(s"$path/stats")))
+      .withColumn("idf", Bm25.idfCol)
+      .withColumn("w", Bm25.weightCol)
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
   }
 
   /** Filtered search with filter-before-scoring semantics: df, doc count
@@ -118,13 +132,22 @@ object Bm25Index {
   def searchFiltered(spark: SparkSession, path: String, allowed: DataFrame,
       terms: Seq[String], k: Int): DataFrame = {
     val ids = allowed.select("doc_id")
-    val lens = spark.read.parquet(s"$path/doclens").join(ids, "doc_id")
-    val stats = lens.agg(
-      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    // doclens is only needed to recompute the filtered corpus stats (one
+    // aggregate); per-row dl comes from the postings rows themselves
+    val stats = spark.read.parquet(s"$path/doclens").join(ids, "doc_id")
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
     val qPost = prunedPostings(spark, path, terms.distinct).join(ids, "doc_id")
     val docFreq = qPost.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
-    Bm25.scoreParts(qPost, docFreq, lens, stats, k)
+    qPost
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", Bm25.idfCol)
+      .withColumn("w", Bm25.weightCol)
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
   }
 
   /** Per-term index stats (df, total tf) from the postings table. */

@@ -25,8 +25,9 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexStore {
   /** Bump when any index table layout changes — old on-disk indexes from
-    * a previous code version must not be read. */
-  val FormatVersion = 1
+    * a previous code version must not be read.
+    * v2: BM25 postings rows carry dl. */
+  val FormatVersion = 2
 
   def root: String = sys.env.getOrElse("GRAFT_INDEX_ROOT",
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes/v$FormatVersion")
