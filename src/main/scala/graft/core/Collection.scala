@@ -181,10 +181,13 @@ final class VectorCollection(
     * top-k), ties break on id. Expects a `vector` column. */
   def search(queryVec: Seq[Double], k: Int = 10,
       filter: Option[Pred] = None): DataFrame =
+    // raw three-valued predicate: in a positive filter a NULL (missing
+    // field) drops the row exactly like false, and staying raw lets the
+    // leaves push down to the Parquet scan (coalesce(p, false) would
+    // block PushedFilters)
     graft.knn.Knn.search(df, col("vector"),
       org.apache.spark.sql.functions.typedlit(queryVec),
-      config.metric, k,
-      filter.map(p => coalesce(p.column, lit(false))), idCol = "id")
+      config.metric, k, filter.map(_.column), idCol = "id")
 
   /** Batch search over a (query_id, qvec) relation — top-k per query. */
   def searchBatch(queries: DataFrame, k: Int = 10): DataFrame =
