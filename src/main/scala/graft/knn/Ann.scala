@@ -199,18 +199,97 @@ object Ann {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
+  /** Probe cells for one query: nprobe nearest centroids, ties by index
+    * (stable sort ≡ the SQL row_number ORDER BY d2, cell). */
+  def probeCells(m: IvfModel, queryVec: Seq[Double], nprobe: Int): Seq[Int] =
+    m.centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+
+  /** Batch search over the cell-partitioned layout: the UNION of every
+    * query's probe cells is a literal partition filter (whole-file
+    * pruning for the entire batch), per-query probe membership is a tiny
+    * broadcast (qid, cell) join, and one rerank + per-query top-k window
+    * serves all queries in a single scan. `queries` = (qid, qvec).
+    * Returns (qid, id, score). */
+  def searchBatchPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String, m: IvfModel,
+      queries: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val probePairs = queries
+      .flatMap { case (qid, qv) => probeCells(m, qv, nprobe).map(qid -> _) }
+    val allCells = probePairs.map(_._2).distinct
+    val qDf = queries.toDF("qid", "qvec")
+    val pairsDf = probePairs.toDF("qid", "cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score"), col(idCol))
+    spark.read.parquet(path)
+      .filter(col("cell").isin(allCells: _*))
+      .join(broadcast(pairsDf), Seq("cell"))
+      .join(broadcast(qDf), Seq("qid"))
+      .withColumn("score",
+        round(VectorFunctions.cosineDistance(col(vecCol), col("qvec")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+      .orderBy(col("qid"), col("score"), col(idCol))
+  }
+
+  /** DuckDB oracle for [[searchBatchPartitioned]] over integer query keys
+    * whose vectors are hash vectors of the key (fixed codebook). */
+  def ivfSearchBatchSql(
+      relation: String, vecCol: String, idCol: String,
+      queryKeys: Seq[Long], dim: Int, cells: Int, nprobe: Int, k: Int)
+      : String = {
+    val keys = queryKeys.map(kk => s"($kk)").mkString(", ")
+    val d2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
+    val qd2 = VectorFunctions.sqL2Sql("c.cv", "qs.qvec", dim)
+    val cos = VectorFunctions.cosineDistanceSql(s"e.$vecCol", "qs.qvec", dim)
+    s"""WITH qs AS (
+       |  SELECT qid, ${VectorFunctions.hashVectorSql("qid", dim)} AS qvec
+       |  FROM (VALUES $keys) t(qid)),
+       |cents AS (
+       |  SELECT cell, ${VectorFunctions.hashVectorSql(s"$CentroidKeyBase + cell", dim)} AS cv
+       |  FROM range($cells) t(cell)),
+       |dists AS (
+       |  SELECT e.$idCol, c.cell, $d2 AS d2
+       |  FROM $relation e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT $idCol, cell FROM (
+       |    SELECT $idCol, cell,
+       |           row_number() OVER (PARTITION BY $idCol ORDER BY d2, cell) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |qd AS (
+       |  SELECT qs.qid, c.cell, $qd2 AS d2 FROM cents c CROSS JOIN qs),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+       |    FROM qd) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, e.$idCol, round($cos, 6) AS score
+       |  FROM assign a
+       |  JOIN probe p ON p.cell = a.cell
+       |  JOIN $relation e ON e.$idCol = a.$idCol
+       |  JOIN qs ON qs.qid = p.qid),
+       |ranked AS (
+       |  SELECT qid, $idCol, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score, $idCol) AS rnk
+       |  FROM scored)
+       |SELECT qid, $idCol, score FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, score, $idCol""".stripMargin
+  }
+
   /** Search the partitioned layout: cell predicate prunes whole files. */
   def searchPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       vecCol: String, idCol: String, m: IvfModel,
       queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame = {
-    val probeCells = m.centroids.zipWithIndex.map { case (c, i) =>
-      val d = c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
-      (d, i)
-    }.sortBy(_._1).take(nprobe).map(_._2)
+    val probe = probeCells(m, queryVec, nprobe)
     val qv = typedlit(queryVec)
     spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probe: _*))
       .withColumn("score",
         round(VectorFunctions.cosineDistance(col(vecCol), qv), 6))
       .select(idCol, "score")
@@ -233,10 +312,7 @@ object Ann {
       queryVec: Seq[Double],
       nprobe: Int,
       k: Int): DataFrame = {
-    val probeCells = m.centroids.zipWithIndex.map { case (c, i) =>
-      val d = c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
-      (d, i)
-    }.sortBy(_._1).take(nprobe).map(_._2).toSet
+    val probed = probeCells(m, queryVec, nprobe).toSet
     val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
     val q = queryVec.toArray
     val spark = emb.sparkSession
@@ -256,7 +332,7 @@ object Ann {
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
-          if (!probeCells.contains(best)) None
+          if (!probed.contains(best)) None
           else {
             var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
             while (i < vec.length) {

@@ -63,6 +63,22 @@ object AnnQueries {
         hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
         floorRounding = true))
     ),
+    // IVF batch over the partitioned layout: union of probe cells = one
+    // literal partition filter for the whole batch, per-query membership
+    // via a broadcast pair join
+    Q(
+      "ann_ivf_batch",
+      (s, dir) => {
+        val m = Ann.fixedIvfModel(Indexes.IvfCells, D)
+        val queries = Seq(11L, 12L, 13L)
+          .map(kk => kk -> hashVectorValues(kk, D))
+        Ann.searchBatchPartitioned(s, s"${Indexes.ivfEmb(s, dir)}/cells",
+          "embedding", "vec_id", m, queries, nprobe = 4, K)
+      },
+      Some(Ann.ivfSearchBatchSql("embeddings", "embedding", "vec_id",
+        Seq(11L, 12L, 13L), D, Indexes.IvfCells, nprobe = 4, K)),
+      bench = true
+    ),
     // the durable form: corpus partitioned by cell at build time, probe
     // reads nprobe/cells of the files
     Q(
