@@ -109,6 +109,60 @@ object DedupQueries {
            |  ON a.label = b.label AND a.vec_id < b.vec_id
            |ORDER BY dist, vec_a, vec_b LIMIT $TopN""".stripMargin),
       bench = true
+    ),
+    // the composed training-data prep pipeline a 100 TB corpus runs
+    // nightly: quality gate → language gate → near-dup keep-list
+    // (keep doc == its component representative) → per-source summary.
+    // Every stage is an already-oracled operator; this pins their
+    // composition end-to-end.
+    Q(
+      "pipeline_corpus_prep",
+      (s, dir) => {
+        import graft.text.TextAnalysis._
+        val docs = Tables.documents(s, dir)
+        val kept = docs
+          .select(col("doc_id"), col("source"), col("text"),
+            round(qualityScore("text"), 6).as("quality"),
+            langId("text").as("pred_lang"))
+          .filter(col("quality") > 0.5 && col("pred_lang") === "en")
+        val dupDrop = Dedup.nearDupComponents(docs)
+          .filter(col("component") =!= col("doc_id"))
+          .select("doc_id")
+        kept
+          .join(dupDrop, Seq("doc_id"), "left_anti")
+          .select(col("source"), col("quality"),
+            expr(s"size(${wordTokens("text")})").as("n_tokens"))
+          .groupBy("source")
+          // quality is 6-decimal-rounded: summing exact micro-units keeps
+          // the average independent of partition/accumulation order
+          // (a plain avg() of doubles flipped the 6th decimal between
+          // engines on one group)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("cast(round(quality * 1000000) as bigint)")).as("q6"),
+            sum("n_tokens").as("total_tokens"))
+          .select(col("source"), col("n_docs"),
+            round(col("q6") / 1000000.0 / col("n_docs"), 6).as("avg_quality"),
+            col("total_tokens"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.text.TextAnalysis._
+        s"""WITH comp AS (${Dedup.nearDupComponentsSql}),
+           |kept AS (
+           |  SELECT doc_id, source,
+           |         round(${qualityScoreSql("text")}, 6) AS quality,
+           |         len(${wordTokensSql("text")}) AS n_tokens
+           |  FROM documents
+           |  WHERE round(${qualityScoreSql("text")}, 6) > 0.5
+           |    AND ${langIdSql("text")} = 'en'
+           |    AND doc_id NOT IN
+           |        (SELECT doc_id FROM comp WHERE component <> doc_id))
+           |SELECT source, count(*) AS n_docs,
+           |       round(sum(CAST(round(quality * 1000000) AS BIGINT))
+           |             / 1000000.0 / count(*), 6) AS avg_quality,
+           |       sum(n_tokens) AS total_tokens
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin
+      }
     )
   )
 }
