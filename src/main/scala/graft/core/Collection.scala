@@ -23,8 +23,6 @@ import graft.filter.Pred
   * pushed-down filters.
   */
 final case class CollectionConfig(name: String, dimensions: Int, metric: String) {
-  require(CollectionConfig.NameOk.matches(name),
-    s"collection name must match [A-Za-z0-9_-]+: '$name'")
   def toJson: String =
     s"""{"name": "$name", "dimensions": $dimensions, "metric": "$metric"}"""
 }
@@ -214,6 +212,10 @@ final class VectorDb(spark: SparkSession, root: String) {
 
   def createCollection(name: String, dimensions: Int,
       metric: String = "cosine"): VectorCollection = {
+    // validate on CREATE only — an existing collection whose name predates
+    // (or bypasses) this rule must still open via getCollection
+    require(CollectionConfig.NameOk.matches(name),
+      s"collection name must match [A-Za-z0-9_-]+: '$name'")
     val cfg = CollectionConfig(name, dimensions, metric)
     val cfgPath = new Path(s"$root/$name/config.json")
     val out = fs.create(cfgPath, true)

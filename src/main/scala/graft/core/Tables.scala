@@ -40,3 +40,16 @@ object Tables {
   /** Embedding dimension of the testdata `embeddings.embedding` column. */
   val EmbeddingDim = 64
 }
+
+/** Schema guards shared by the typed kernels. */
+object Ids {
+  /** The IVF/PQ mapPartitions kernels cast the id to long; a non-integral
+    * id column would become all-null silently — reject it up front. */
+  def requireIntegral(df: org.apache.spark.sql.DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType,
+      s"'$idCol' must be an integral id column for the typed kernels " +
+        s"(got $dt); map string ids to a surrogate key first")
+  }
+}

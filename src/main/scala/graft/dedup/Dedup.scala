@@ -180,8 +180,11 @@ object Dedup {
   // ---- near-dup components -------------------------------------------
   /** Hard ceiling on propagation rounds (a runaway-guard, not the
     * expected stop: the loop exits as soon as a round changes nothing).
-    * Label propagation halves the effective chain length only linearly,
-    * so the ceiling bounds pathological diameter-2^k chains. */
+    * Each round does one edge-hop min PLUS one pointer jump (adopt the
+    * label's own label), contracting chains geometrically — 50 rounds
+    * covers any diameter up to ~2^50. Hitting the ceiling without
+    * convergence throws rather than returning a silently split
+    * component. */
   val MaxComponentIters = 50
   val ComponentJaccard = 0.5
 
@@ -220,12 +223,24 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < MaxComponentIters) {
-      val next = labels
+      val prop = labels
         .select(col("node"), col("lbl"))
         .union(sym.join(labels, col("y") === col("node"))
           .select(col("x").as("node"), col("lbl")))
         .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint() // cut the doubling lineage; reused thrice below
+        // materialize before the self-join below: a union-derived plan
+        // self-joined trips Catalyst's constraint rewrite (key-not-found
+        // on the union's attribute map), and the checkpoint also cuts the
+        // doubling lineage
+        .localCheckpoint()
+      // pointer jumping: also adopt the current label OF the label (lbl
+      // values are themselves nodes, so this is sound transitivity) —
+      // chains contract geometrically instead of one hop per round
+      val next = prop.as("xx")
+        .join(prop.select(col("node").as("jn"), col("lbl").as("jl")).as("yy"),
+          col("xx.lbl") === col("jn"), "left")
+        .select(col("xx.node").as("node"),
+          least(col("xx.lbl"), coalesce(col("jl"), col("xx.lbl"))).as("lbl"))
       // labels are monotone non-increasing, so "no label decreased" is
       // the fixed point; the check is one aggregate over the round's join
       converged = next.as("n")
@@ -235,6 +250,8 @@ object Dedup {
       labels = next
       it += 1
     }
+    require(converged,
+      s"near-dup components did not converge in $MaxComponentIters rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("component"))
   }
 

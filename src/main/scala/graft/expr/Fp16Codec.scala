@@ -92,6 +92,11 @@ case class Fp16Encode(child: Expression) extends Fp16CodecExpr {
     val out = new Array[Short](n)
     var i = 0
     while (i < n) {
+      // vectors are dense: a null element would silently encode as the
+      // bits of 0.0 (getDouble on a null slot) — reject it instead, the
+      // same contract as the distance kernels
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"$prettyName: null element at $i")
       val f = if (isFloat) a.getFloat(i) else a.getDouble(i).toFloat
       out(i) = Fp16.fromFloat(f)
       i += 1
@@ -109,6 +114,9 @@ case class Fp16Encode(child: Expression) extends Fp16CodecExpr {
          |int $n = $a.numElements();
          |short[] $out = new short[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException("$prettyName: null element at " + $i);
+         |  }
          |  $out[$i] = graft.expr.Fp16.fromFloat($get);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -82,8 +82,15 @@ object HybridSearch {
       .select(col("doc_id"),
         when(max("d").over(all) === 0.0, lit(1.0))
           .otherwise(lit(1.0) - col("d") / max("d").over(all)).as("vscore"))
+    // symmetric guard for the keyword branch: every BM25 score rounding
+    // to 0 (e.g. a term present in nearly all docs at corpus scale drives
+    // idf → 0) would make 0/0 = NaN, which Spark sorts ABOVE all numbers;
+    // the reference's `max(...) or 1` yields 0 in that case
+    // (`hybrid_search.py:437-441`)
     val kwNorm = kwTop
-      .select(col("doc_id"), (col("score") / max("score").over(all)).as("kscore"))
+      .select(col("doc_id"),
+        when(max("score").over(all) === 0.0, lit(0.0))
+          .otherwise(col("score") / max("score").over(all)).as("kscore"))
     vecNorm
       .join(kwNorm, Seq("doc_id"), "full_outer")
       .select(
@@ -178,7 +185,9 @@ object HybridSearch {
        |  FROM vec_top),
        |kw_top AS (SELECT * FROM ($bm25)),
        |kw_norm AS (
-       |  SELECT doc_id, score / (SELECT max(score) FROM kw_top) AS kscore
+       |  SELECT doc_id,
+       |         CASE WHEN (SELECT max(score) FROM kw_top) = 0 THEN 0.0
+       |              ELSE score / (SELECT max(score) FROM kw_top) END AS kscore
        |  FROM kw_top)
        |SELECT coalesce(v.doc_id, w.doc_id) AS doc_id,
        |       round(coalesce(v.vscore, 0.0), 6) AS vector_score,

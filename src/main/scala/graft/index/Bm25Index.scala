@@ -131,7 +131,9 @@ object Bm25Index {
     * relation, typically a pushed-down metadata filter on the doc table. */
   def searchFiltered(spark: SparkSession, path: String, allowed: DataFrame,
       terms: Seq[String], k: Int): DataFrame = {
-    val ids = allowed.select("doc_id")
+    // distinct: a duplicated allowed id (e.g. from a join against a
+    // many-valued attribute) would double-count postings and n_docs
+    val ids = allowed.select("doc_id").distinct()
     // doclens is only needed to recompute the filtered corpus stats (one
     // aggregate); per-row dl comes from the postings rows themselves
     val stats = spark.read.parquet(s"$path/doclens").join(ids, "doc_id")

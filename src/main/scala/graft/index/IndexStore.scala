@@ -33,27 +33,33 @@ object IndexStore {
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes/v$FormatVersion")
 
   private val built = ConcurrentHashMap.newKeySet[String]()
+  private val locks = new ConcurrentHashMap[String, Object]()
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Fingerprint of the source files backing an index: total bytes and
-    * newest modification time. Cheap (one listStatus per source) and
-    * changes whenever the driver regenerates the testdata. */
+  /** Fingerprint of the source files backing an index: a mix over every
+    * file's (name, length, mtime), listed recursively so partitioned
+    * sources contribute their part files. Changes whenever the source
+    * generation is rewritten. */
   def fingerprint(spark: SparkSession, sources: Seq[String]): String = {
-    var bytes = 0L
-    var mtime = 0L
+    var h = 1125899906842597L
     sources.foreach { s =>
       val p = new Path(s)
       val f = fs(spark, s)
-      if (f.exists(p)) f.listStatus(p).foreach { st =>
-        bytes += st.getLen
-        mtime = math.max(mtime, st.getModificationTime)
+      if (f.exists(p)) {
+        val it = f.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          h = h * 31 + st.getPath.getName.hashCode
+          h = h * 31 + st.getLen
+          h = h * 31 + st.getModificationTime
+        }
       }
     }
-    java.lang.Long.toHexString(bytes * 31 + mtime)
+    java.lang.Long.toHexString(h)
   }
 
   def path(spark: SparkSession, dataDir: String, kind: String,
@@ -66,37 +72,50 @@ object IndexStore {
   /** Build-if-absent: `build` writes the index tables into `path`; the
     * READY marker is created last, so an interrupted build is invisible.
     * Sibling dirs of the same kind with a stale fingerprint are removed.
-    * The in-JVM memo skips the filesystem check on the hot path. */
+    * The in-JVM memo skips the filesystem check on the hot path; a
+    * per-path JVM lock serializes concurrent builders/mutators in this
+    * process. ACROSS processes the store assumes a single writer (the
+    * standard batch-index regime — concurrent multi-writer coordination
+    * belongs to a table format's transaction log, out of scope here);
+    * concurrent READERS of a ready index are always safe because a build
+    * never touches a marked directory. */
   def ensure(spark: SparkSession, path: String)(build: String => Unit): String = {
-    if (built.contains(path)) return path
-    val f = fs(spark, path)
-    if (!ready(spark, path)) {
-      val parent = new Path(path).getParent
-      val kind = new Path(path).getName.takeWhile(_ != '_')
-      if (f.exists(parent))
-        f.listStatus(parent).filter { st =>
-          st.getPath.getName.startsWith(kind + "_") &&
-            st.getPath.getName != new Path(path).getName
-        }.foreach(st => f.delete(st.getPath, true))
-      f.delete(new Path(path), true)
-      build(path)
-      f.create(new Path(path, "_GRAFT_READY"), true).close()
-      spark.catalog.refreshByPath(path)
+    if (!built.contains(path)) {
+      locks.computeIfAbsent(path, _ => new Object).synchronized {
+        if (!built.contains(path)) {
+          val f = fs(spark, path)
+          if (!ready(spark, path)) {
+            val parent = new Path(path).getParent
+            val kind = new Path(path).getName.takeWhile(_ != '_')
+            if (f.exists(parent))
+              f.listStatus(parent).filter { st =>
+                st.getPath.getName.startsWith(kind + "_") &&
+                  st.getPath.getName != new Path(path).getName
+              }.foreach(st => f.delete(st.getPath, true))
+            f.delete(new Path(path), true)
+            build(path)
+            f.create(new Path(path, "_GRAFT_READY"), true).close()
+            spark.catalog.refreshByPath(path)
+          }
+          built.add(path)
+        }
+      }
     }
-    built.add(path)
     path
   }
 
   /** Drop the READY marker around an in-place index mutation (e.g. an
     * incremental append): a crash mid-mutation then reads as not-ready
-    * and the next ensure() rebuilds from scratch. */
-  def mutate(spark: SparkSession, path: String)(change: String => Unit): Unit = {
-    val f = fs(spark, path)
-    f.delete(new Path(path, "_GRAFT_READY"), false)
-    change(path)
-    f.create(new Path(path, "_GRAFT_READY"), true).close()
-    spark.catalog.refreshByPath(path)
-  }
+    * and the next ensure() rebuilds from scratch. Serialized against
+    * ensure() on the same path within this JVM. */
+  def mutate(spark: SparkSession, path: String)(change: String => Unit): Unit =
+    locks.computeIfAbsent(path, _ => new Object).synchronized {
+      val f = fs(spark, path)
+      f.delete(new Path(path, "_GRAFT_READY"), false)
+      change(path)
+      f.create(new Path(path, "_GRAFT_READY"), true).close()
+      spark.catalog.refreshByPath(path)
+    }
 
   /** Force a rebuild on next ensure (test/benchmark hook). */
   def invalidate(spark: SparkSession, path: String): Unit = {

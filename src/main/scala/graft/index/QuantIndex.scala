@@ -24,10 +24,15 @@ object QuantIndex {
 
   def buildBq(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, path: String): Unit = {
-    BinaryQuant.thresholds(emb, vecCol)
+    import spark.implicits._
+    // run the exact-percentile training aggregation ONCE: collect the
+    // tiny per-dim result, then both write the thresholds table from the
+    // collected rows and pack against the literal array
+    val thrRows = BinaryQuant.thresholds(emb, vecCol)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    thrRows.toSeq.toDF("pos", "thr")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/thresholds")
-    val thrs = BinaryQuant.thresholdRow(emb, vecCol).collect()(0)
-      .getSeq[Double](0)
+    val thrs = thrRows.map(_._2).toSeq
     emb
       .withColumn("thrs", typedlit(thrs))
       .selectExpr(idCol,
@@ -89,10 +94,19 @@ object QuantIndex {
 
   def buildSq(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, dim: Int, path: String): Unit = {
-    ScalarQuant.trainStats(emb, vecCol)
+    import spark.implicits._
+    // one training aggregation: collect the per-dim stats, write the
+    // stats table from the collected rows, encode against literal arrays
+    val st = ScalarQuant.trainStats(emb, vecCol)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    st.toSeq.toDF("pos", "mn", "mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val mns = st.map(_._2).toSeq
+    val scales = st.map { case (_, mn, mx) => (mx - mn) / ScalarQuant.Levels }.toSeq
     emb
-      .crossJoin(broadcast(ScalarQuant.statsRow(emb, vecCol)))
+      .withColumn("mns", typedlit(mns))
+      .withColumn("scales", typedlit(scales))
       .selectExpr(idCol,
         s"transform(${ScalarQuant.encodeExpr(vecCol, dim)}, " +
           "sqc -> cast(sqc as smallint)) as code")

@@ -178,6 +178,7 @@ object Ann {
   def writePartitioned(
       emb: DataFrame, vecCol: String, idCol: String,
       m: IvfModel, path: String): Unit = {
+    graft.core.Ids.requireIntegral(emb, idCol)
     val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
     val spark = emb.sparkSession
     import spark.implicits._
@@ -312,6 +313,7 @@ object Ann {
       queryVec: Seq[Double],
       nprobe: Int,
       k: Int): DataFrame = {
+    graft.core.Ids.requireIntegral(emb, idCol)
     val probed = probeCells(m, queryVec, nprobe).toSet
     val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
     val q = queryVec.toArray

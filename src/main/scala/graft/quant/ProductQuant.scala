@@ -129,6 +129,7 @@ object ProductQuant {
   def encode(
       emb: DataFrame, vecCol: String, idCol: String, cb: Codebooks)
       : DataFrame = {
+    graft.core.Ids.requireIntegral(emb, idCol)
     val books: Array[Array[Array[Double]]] =
       cb.cb.map(_.map(_.toArray).toArray).toArray
     val (m, subDim) = (cb.m, cb.subDim)
@@ -168,6 +169,7 @@ object ProductQuant {
       codes: DataFrame, idCol: String, cb: Codebooks,
       queryVec: Seq[Double], k: Int): DataFrame = {
     val lut = adcLut(cb, queryVec)
+    graft.core.Ids.requireIntegral(codes, idCol)
     val spark = codes.sparkSession
     import spark.implicits._
     codes.select(col(idCol).cast("long"), col("codes").cast("array<int>"))
@@ -209,6 +211,7 @@ object ProductQuant {
       queryVec: Seq[Double],
       k: Int): DataFrame = {
     val lut = adcLut(cb, queryVec)
+    graft.core.Ids.requireIntegral(emb, idCol)
     val books: Array[Array[Array[Double]]] =
       cb.cb.map(_.map(_.toArray).toArray).toArray
     val (m, subDim) = (cb.m, cb.subDim)
