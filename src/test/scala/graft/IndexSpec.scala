@@ -110,6 +110,24 @@ class IndexSpec extends AnyFunSuite {
     assert(pqA == pqB)
   }
 
+  test("concurrent ensure() on one path builds exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_conc").toString
+    val p = s"$tmp/conc_x"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        IndexStore.ensure(spark, p) { path =>
+          builds.incrementAndGet()
+          Bm25Index.build(spark,
+            Tables.documents(spark, sf).limit(5), path)
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() == 1 && IndexStore.ready(spark, p))
+  }
+
   test("a crashed build (no READY marker) is rebuilt, not served") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
     val p = s"$tmp/idx_abc"
