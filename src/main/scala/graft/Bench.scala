@@ -27,33 +27,51 @@ object Bench {
     // (force-rebuilt so the cost is real, not a cache hit from a prior
     // run) and the derived graph with BOTH relations materialized.
     val tb = System.nanoTime()
-    try {
-      index.Indexes.invalidateAll(spark, sfDir)
-      index.Indexes.buildAll(spark, sfDir)
-      val g = graph.TpchGraph.build(spark, sfDir)
-      g.edges.count(); g.nodes.count()
-    } catch { case _: Throwable => () }
+    val buildFailed =
+      try {
+        index.Indexes.invalidateAll(spark, sfDir)
+        index.Indexes.buildAll(spark, sfDir)
+        val g = graph.TpchGraph.build(spark, sfDir)
+        g.edges.count(); g.nodes.count()
+        false
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] build phase failed: $t"); true
+      }
     val buildSec = (System.nanoTime() - tb) / 1e9
     // ---- headline queries (Q.bench flag), in stable catalog order, each
-    // run twice: rep 1 pays per-plan codegen/compilation (cold), rep 2 is
-    // the steady state a serving session sees (warm = the primary metric).
+    // run 3 times: rep 1 pays per-plan codegen/compilation (cold), and the
+    // warm metric is the MEDIAN of all 3 reps so a one-off GC/JIT spike
+    // can't dominate the headline. A failed rep is recorded in `failed`
+    // and excluded from the totals instead of contributing a bogus
+    // near-zero duration.
+    val Reps = 3
     val results = Catalog.all.filter(_.bench).map { q =>
-      def rep(): Double = {
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { q.run(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: $t"); return None
+        }
+        Some((System.nanoTime() - t0) / 1e9)
       }
-      val cold = rep(); val warm = rep()
-      (q.name, cold, warm)
+      val reps = Seq.fill(Reps)(rep())
+      val ok = reps.flatten
+      val warm =
+        if (ok.size == Reps) Some(ok.sorted.apply(Reps / 2)) else None
+      (q.name, reps.head, warm)
     }
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val warmTotal = results.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
+    val good = results.collect { case (n, c, Some(w)) => (n, c.getOrElse(w), w) }
+    val failed = results.collect { case (n, _, None) => "\"" + n + "\"" }
+    val warmTotal = good.map(_._3).sum
+    val coldTotal = good.map(_._2).sum
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec"""" +
-      s""","queries":${jmap(results.map(r => r._1 -> r._3))}""" +
-      s""","queries_cold":${jmap(results.map(r => r._1 -> r._2))}""" +
-      s""","cold_total":$coldTotal,"build_sec":$buildSec,"sf":"$sfDir"}""")
+      s""","queries":${jmap(good.map(r => r._1 -> r._3))}""" +
+      s""","queries_cold":${jmap(good.map(r => r._1 -> r._2))}""" +
+      s""","cold_total":$coldTotal,"build_sec":$buildSec""" +
+      s""","build_failed":$buildFailed""" +
+      s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,8 +41,11 @@ object IndexStore {
   private def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Fingerprint of the source files backing an index: a mix over every
-    * file's (name, length, mtime), listed recursively so partitioned
-    * sources contribute their part files. Changes whenever the source
+    * file's (path, length, mtime), listed recursively so partitioned
+    * sources contribute their part files. Entries are keyed by the full
+    * path relative to the source root and sorted before mixing — listing
+    * order varies across filesystems, and two files in different
+    * subdirectories can share a leaf name. Changes whenever the source
     * generation is rewritten. */
   def fingerprint(spark: SparkSession, sources: Seq[String]): String = {
     var h = 1125899906842597L
@@ -50,12 +53,18 @@ object IndexStore {
       val p = new Path(s)
       val f = fs(spark, s)
       if (f.exists(p)) {
+        val base = f.makeQualified(p).toString
+        val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
         val it = f.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
-          h = h * 31 + st.getPath.getName.hashCode
-          h = h * 31 + st.getLen
-          h = h * 31 + st.getModificationTime
+          entries += ((st.getPath.toString.stripPrefix(base),
+            st.getLen, st.getModificationTime))
+        }
+        entries.sortInPlaceBy(_._1).foreach { case (rel, len, mtime) =>
+          h = h * 31 + rel.hashCode
+          h = h * 31 + len
+          h = h * 31 + mtime
         }
       }
     }
@@ -111,10 +120,15 @@ object IndexStore {
   def mutate(spark: SparkSession, path: String)(change: String => Unit): Unit =
     locks.computeIfAbsent(path, _ => new Object).synchronized {
       val f = fs(spark, path)
+      // Drop the memo first: if change() throws, this process must not
+      // keep serving the half-mutated index off the memo — the next
+      // ensure() re-checks ready() (marker gone) and rebuilds.
+      built.remove(path)
       f.delete(new Path(path, "_GRAFT_READY"), false)
       change(path)
       f.create(new Path(path, "_GRAFT_READY"), true).close()
       spark.catalog.refreshByPath(path)
+      built.add(path)
     }
 
   /** Force a rebuild on next ensure (test/benchmark hook). */

@@ -158,9 +158,9 @@ object DedupQueries {
            |    AND doc_id NOT IN
            |        (SELECT doc_id FROM comp WHERE component <> doc_id))
            |SELECT source, count(*) AS n_docs,
-           |       round(sum(CAST(round(quality * 1000000) AS BIGINT))
+           |       round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
            |             / 1000000.0 / count(*), 6) AS avg_quality,
-           |       sum(n_tokens) AS total_tokens
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
       }
     )

@@ -23,13 +23,15 @@ object EmbedQueries {
       "embed_text_knn",
       (s, dir) => {
         val qv = typedlit(e.embedValue(QueryText))
-        // persist() is a real optimizer barrier: a plain withColumn gets
-        // CollapseProject-inlined back into all 64 vector lambdas and the
-        // O(len) text hash re-runs per element (measured 112 s -> ~2 s
-        // at sf0.1 with the barrier).
+        // An optimizer barrier is load-bearing here: a plain withColumn
+        // gets CollapseProject-inlined back into all 64 vector lambdas and
+        // the O(len) text hash re-runs per element (measured 112 s -> ~2 s
+        // at sf0.1 with the barrier). localCheckpoint, not persist: the
+        // storage is GC-scoped instead of CacheManager-held, so a
+        // long-lived session never needs an unpersist.
         val keyed = Tables.documents(s, dir)
           .select(col("doc_id"), e.textKey("text").as("key"))
-          .persist()
+          .localCheckpoint()
         keyed
           .withColumn("embedding", e.embedKey(col("key")))
           .withColumn("score", round(cosineDistance(col("embedding"), qv), 6))

@@ -42,15 +42,30 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            gt = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).arrow()
+            got_cols = [f.name for f in gt.schema]
+            got_rows = list(zip(*[c.to_pylist() for c in gt.columns])) \
+                if gt.num_columns else []
+            et = con.execute(sql).arrow()
+            exp_cols = [f.name for f in et.schema]
+            exp_rows = list(zip(*[c.to_pylist() for c in et.columns])) \
+                if et.num_columns else []
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        # Type-tag check: the driver's hasher distinguishes DuckDB HUGEINT
+        # (arrow decimal128) from BIGINT — an oracle sum() over integers
+        # must be cast to BIGINT or it fails the driver gate even when
+        # values match (round-2 pipeline_corpus_prep lesson). i32 vs i64
+        # is NOT flagged (driver passed knn_self_join's int rank).
+        tytags = {f.name: str(f.type) for f in et.schema}
+        wide = [c for c, t in tytags.items() if t.startswith("decimal128")]
+        if wide:
+            print(f"FAIL {name}: oracle returns HUGEINT column(s) {wide} "
+                  f"— cast to BIGINT in the oracle SQL")
             n_fail += 1
             continue
         gc, gr = canon(got_rows, got_cols)
