@@ -114,6 +114,12 @@ final class VectorCollection(
 
   /** Batch insert; rejects the whole batch on any duplicate id (the
     * reference's set-intersection check, `vectordb_optimized.py:392-397`).
+    *
+    * Index maintenance mirrors the reference's per-insert index update
+    * (`vectordb_optimized.py:337-365`): a pure insert APPENDS the new
+    * rows' bucket entries and moves the index to the new generation's
+    * fingerprint — no rebuild. If no ready index exists the advance is a
+    * no-op and the next [[searchAnn]] builds lazily.
     */
   def insertBatch(rows: DataFrame): Unit = {
     require(rows.select("id").distinct().count() == rows.count(),
@@ -122,7 +128,11 @@ final class VectorCollection(
     else {
       val dups = rows.join(df, Seq("id"), "left_semi").count()
       require(dups == 0, s"$dups ids already exist")
+      val prevIdx = annIndexPath // fingerprint of the generation being replaced
       commit(df.unionByName(rows))
+      graft.index.IndexStore.advance(spark, prevIdx, annIndexPath)(p =>
+        graft.index.LshIndex.append(spark, rows, "vector", "id",
+          config.dimensions, p, metaColumns(rows)))
     }
     logEvents("insert", rows.select("id"))
   }
@@ -191,6 +201,44 @@ final class VectorCollection(
   def searchBatch(queries: DataFrame, k: Int = 10): DataFrame =
     graft.knn.Knn.searchBatch(df, col("vector"), queries,
       config.metric, k, idCol = "id")
+
+  /** Every column except id/vector — carried into the index bucket rows
+    * so [[searchAnn]] filters push down to the index scan. */
+  private def metaColumns(d: DataFrame): Seq[String] =
+    d.columns.toSeq.filterNot(c => c == "id" || c == "vector")
+
+  /** This collection's LSH index path for the CURRENT data generation:
+    * the fingerprint is computed from the live data files, so EVERY
+    * committed mutation moves the path and a stale index can never be
+    * served — the wiring that makes the persistent index layer follow
+    * the collection the way the reference's in-memory indexes follow its
+    * mutations (`vectordb_optimized.py:337-365, 467-501`). */
+  private def annIndexPath: String =
+    graft.index.IndexStore.path(spark, s"$root/${config.name}", "colllsh",
+      Seq(dataPath.toString))
+
+  /** Build-if-absent the collection's persistent LSH index (build once,
+    * probe many; rebuilds only when the data generation changed and no
+    * incremental advance covered it). Returns the index path. */
+  def ensureAnnIndex(): String = {
+    val data = df
+    graft.index.IndexStore.ensure(spark, annIndexPath)(p =>
+      graft.index.LshIndex.build(spark, data, "vector", "id",
+        config.dimensions, p, metaColumns(data)))
+  }
+
+  /** ANN search over the collection's own persistent LSH index: 4-of-64
+    * bucket-partition probe + exact rerank in the collection's metric;
+    * the optional metadata filter applies BEFORE the rerank and pushes
+    * down to the index scan (exact filtered top-k — stronger than the
+    * reference's over-fetch + post-filter, `vectordb_optimized.py:
+    * 507-575`). Index freshness is automatic: any mutation changes the
+    * data fingerprint, so the next search rebuilds (or, after a pure
+    * insert, reuses the incrementally-advanced index). */
+  def searchAnn(queryVec: Seq[Double], k: Int = 10,
+      filter: Option[Pred] = None): DataFrame =
+    graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector", "id",
+      queryVec, config.dimensions, k, filter.map(_.column), config.metric)
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
 

@@ -26,8 +26,9 @@ import org.apache.spark.sql.SparkSession
 object IndexStore {
   /** Bump when any index table layout changes — old on-disk indexes from
     * a previous code version must not be read.
-    * v2: BM25 postings rows carry dl. */
-  val FormatVersion = 2
+    * v2: BM25 postings rows carry dl.
+    * v3: LSH bucket rows may carry metadata columns (filtered ANN). */
+  val FormatVersion = 3
 
   def root: String = sys.env.getOrElse("GRAFT_INDEX_ROOT",
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes/v$FormatVersion")
@@ -130,6 +131,39 @@ object IndexStore {
       spark.catalog.refreshByPath(path)
       built.add(path)
     }
+
+  /** Move a ready index forward to a NEW source generation with an
+    * incremental change instead of a rebuild: un-mark and rename the
+    * `from` dir to the new fingerprint path, run `change` (an append of
+    * the delta), re-mark. Returns false (no-op) when `from` has no ready
+    * index — the next ensure() on `to` builds from scratch, which is
+    * also the recovery story: a crash at ANY point leaves neither path
+    * marked ready. Same single-writer-per-process regime as [[ensure]].
+    */
+  def advance(spark: SparkSession, from: String, to: String)(
+      change: String => Unit): Boolean = {
+    if (from == to) return ready(spark, from)
+    locks.computeIfAbsent(from, _ => new Object).synchronized {
+      val f = fs(spark, from)
+      if (!ready(spark, from)) false
+      else {
+        built.remove(from)
+        f.delete(new Path(from, "_GRAFT_READY"), false)
+        val toP = new Path(to)
+        f.delete(toP, true)
+        f.mkdirs(toP.getParent)
+        require(f.rename(new Path(from), toP), s"advance rename failed: $from -> $to")
+        spark.catalog.refreshByPath(to)
+        locks.computeIfAbsent(to, _ => new Object).synchronized {
+          change(to)
+          f.create(new Path(to, "_GRAFT_READY"), true).close()
+          spark.catalog.refreshByPath(to)
+          built.add(to)
+        }
+        true
+      }
+    }
+  }
 
   /** Force a rebuild on next ensure (test/benchmark hook). */
   def invalidate(spark: SparkSession, path: String): Unit = {

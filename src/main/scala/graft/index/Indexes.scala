@@ -42,8 +42,11 @@ object Indexes {
         Bm25Index.build(s, corpus.select("doc_id", "text"), p)
       } finally { corpus.unpersist(); () }
     }),
+    // label travels into the bucket rows so filtered ANN pushes its
+    // metadata predicate into the bucket scan (no corpus join)
     Spec("lshemb", embSrc, (s, d, p) =>
-      LshIndex.build(s, Tables.embeddings(s, d), "embedding", "vec_id", D, p)),
+      LshIndex.build(s, Tables.embeddings(s, d), "embedding", "vec_id", D, p,
+        metaCols = Seq("label"))),
     Spec("ivfemb", embSrc, (s, d, p) =>
       IvfIndex.build(s, Tables.embeddings(s, d), "embedding", "vec_id",
         Ann.fixedIvfModel(IvfCells, D), p)),

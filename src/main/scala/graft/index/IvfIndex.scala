@@ -28,6 +28,18 @@ object IvfIndex {
     Ann.writePartitioned(emb, vecCol, idCol, m, s"$path/cells")
   }
 
+  /** Incremental maintenance: assign cells for the NEW rows only against
+    * the stored codebook and append them to their cell partitions —
+    * existing rows and centroids are untouched. Caller guarantees new
+    * ids; wrap in IndexStore.mutate/advance so a crash mid-append reads
+    * as not-ready and rebuilds. */
+  def append(spark: SparkSession, newRows: DataFrame, vecCol: String,
+      idCol: String, path: String): Unit = {
+    Ann.writePartitioned(newRows, vecCol, idCol, loadModel(spark, path),
+      s"$path/cells", mode = "append")
+    spark.catalog.refreshByPath(s"$path/cells")
+  }
+
   def loadModel(spark: SparkSession, path: String): Ann.IvfModel =
     Ann.IvfModel(
       spark.read.parquet(s"$path/centroids").orderBy("cell")

@@ -25,22 +25,48 @@ import graft.functions.VectorFunctions
   * layout serving both.
   */
 object LshIndex {
-  def build(spark: SparkSession, emb: DataFrame, vecCol: String,
-      idCol: String, dim: Int, path: String): Unit = {
+  /** Bucket rows for a relation: each vector exploded into its
+    * [[Ann.Bands]] (band_idx, band_val) keys, carrying the id, the vector
+    * (rerank never joins back to the corpus) and any `metaCols` — stored
+    * metadata makes a filtered probe push its predicate straight into the
+    * bucket scan instead of joining the corpus. */
+  private def bucketRows(emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int, metaCols: Seq[String]): DataFrame = {
+    val keep = Seq(col(idCol), col(vecCol)) ++ metaCols.map(col)
     val withBands = emb.select(
-      Seq(col(idCol), col(vecCol)) ++
-        (0 until Ann.Bands).map(b =>
-          Ann.bandCol(col(vecCol), b, dim).as(s"b$b")): _*)
+      keep ++ (0 until Ann.Bands).map(b =>
+        Ann.bandCol(col(vecCol), b, dim).as(s"b$b")): _*)
     withBands
-      .select(col(idCol), col(vecCol),
+      .select(keep :+
         explode(array((0 until Ann.Bands).map(b =>
           struct(lit(b).as("band_idx"), col(s"b$b").as("band_val"))): _*))
-          .as("band"))
-      .select(col("band.band_idx").as("band_idx"),
-        col("band.band_val").as("band_val"), col(idCol), col(vecCol))
+          .as("band"): _*)
+      .select(Seq(col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val")) ++ keep: _*)
+  }
+
+  def build(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, dim: Int, path: String,
+      metaCols: Seq[String] = Nil): Unit =
+    bucketRows(emb, vecCol, idCol, dim, metaCols)
       .repartition(col("band_idx"), col("band_val"))
       .write.mode("overwrite").partitionBy("band_idx", "band_val")
       .parquet(s"$path/buckets")
+
+  /** Incremental maintenance: a pure insert is a pure bucket-row append —
+    * new vectors land in their (band_idx, band_val) partitions, existing
+    * rows are untouched (the reference appends to its in-memory index per
+    * added document, `hybrid_search.py:77-117`). Caller guarantees new
+    * ids; wrap in IndexStore.mutate/advance so a crash mid-append reads
+    * as not-ready and rebuilds. */
+  def append(spark: SparkSession, newRows: DataFrame, vecCol: String,
+      idCol: String, dim: Int, path: String,
+      metaCols: Seq[String] = Nil): Unit = {
+    bucketRows(newRows, vecCol, idCol, dim, metaCols)
+      .repartition(col("band_idx"), col("band_val"))
+      .write.mode("append").partitionBy("band_idx", "band_val")
+      .parquet(s"$path/buckets")
+    spark.catalog.refreshByPath(s"$path/buckets")
   }
 
   /** Batch search: the banded signature as a JOIN KEY — every query's
@@ -107,11 +133,20 @@ object LshIndex {
        |ORDER BY qid, score, $idCol""".stripMargin
   }
 
-  /** Probe the 4 query buckets, dedup candidates, exact cosine rerank.
+  /** Probe the 4 query buckets, dedup candidates, exact rerank.
     * Query band values are computed through the engine (one tiny job) so
-    * the sign arithmetic is bit-identical with the build. */
+    * the sign arithmetic is bit-identical with the build.
+    *
+    * `filter` (over metadata columns stored in the bucket rows) applies
+    * BEFORE the rerank — exact filtered top-k among matching candidates,
+    * and the predicate pushes down to the bucket scan alongside the
+    * partition probe (strictly better than the reference's over-fetch &
+    * post-filter, `vectordb_optimized.py:530-573`, which can under-fill
+    * k). `metric` reranks with the collection's configured distance. */
   def search(spark: SparkSession, path: String, vecCol: String,
-      idCol: String, queryVec: Seq[Double], dim: Int, k: Int): DataFrame = {
+      idCol: String, queryVec: Seq[Double], dim: Int, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      metric: String = "cosine"): DataFrame = {
     val qv = typedlit(queryVec)
     val qb = spark.range(1)
       .select((0 until Ann.Bands).map(b => Ann.bandCol(qv, b, dim)): _*)
@@ -119,11 +154,11 @@ object LshIndex {
     val probe = (0 until Ann.Bands)
       .map(b => col("band_idx") === b && col("band_val") === qb.getInt(b))
       .reduce(_ || _)
-    spark.read.parquet(s"$path/buckets")
-      .filter(probe)
+    val base = spark.read.parquet(s"$path/buckets").filter(probe)
+    filter.map(base.filter).getOrElse(base)
       .dropDuplicates(idCol) // a candidate may collide in several bands
       .withColumn("score",
-        round(VectorFunctions.cosineDistance(col(vecCol), qv), 6))
+        round(graft.knn.Knn.distance(metric, col(vecCol), qv), 6))
       .select(idCol, "score")
       .orderBy(col("score"), col(idCol))
       .limit(k)

@@ -75,18 +75,25 @@ object Ann {
       .limit(k)
   }
 
+  /** `filterSql` (over columns of `relation`) applies to candidates
+    * BEFORE the rerank — the filtered-ANN semantics of
+    * [[graft.index.LshIndex.search]]: exact top-k among matching
+    * candidates. `metric` must mirror the searcher's rerank distance. */
   def lshSearchSql(
       relation: String, vecCol: String, idCol: String,
-      queryVecSql: String, dim: Int, k: Int): String = {
+      queryVecSql: String, dim: Int, k: Int,
+      filterSql: Option[String] = None,
+      metric: String = "cosine"): String = {
     val qb = (0 until Bands).map(b => s"${bandSql("q.v", b, dim)} AS qb$b")
     val db = (0 until Bands).map(b => s"${bandSql(vecCol, b, dim)} AS b$b")
     val anyBand = (0 until Bands).map(b => s"d.b$b = qb.qb$b").mkString(" OR ")
+    val where = filterSql.map(f => s" AND ($f)").getOrElse("")
     s"""WITH q AS (SELECT $queryVecSql AS v),
        |qb AS (SELECT ${qb.mkString(", ")} FROM q),
-       |d AS (SELECT $idCol, $vecCol, ${db.mkString(", ")} FROM $relation),
-       |cand AS (SELECT d.$idCol, d.$vecCol FROM d, qb WHERE $anyBand)
+       |d AS (SELECT *, ${db.mkString(", ")} FROM $relation),
+       |cand AS (SELECT d.$idCol, d.$vecCol FROM d, qb WHERE ($anyBand)$where)
        |SELECT $idCol,
-       |  round(${VectorFunctions.cosineDistanceSql(vecCol, "q.v", dim)}, 6) AS score
+       |  round(${Knn.distanceSql(metric, vecCol, "q.v", dim)}, 6) AS score
        |FROM cand, q ORDER BY score, $idCol LIMIT $k""".stripMargin
   }
 
@@ -177,7 +184,7 @@ object Ann {
     */
   def writePartitioned(
       emb: DataFrame, vecCol: String, idCol: String,
-      m: IvfModel, path: String): Unit = {
+      m: IvfModel, path: String, mode: String = "overwrite"): Unit = {
     graft.core.Ids.requireIntegral(emb, idCol)
     val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
     val spark = emb.sparkSession
@@ -197,7 +204,7 @@ object Ann {
         (id, v, best)
       }
       .toDF(idCol, vecCol, "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** Probe cells for one query: nprobe nearest centroids, ties by index

@@ -17,6 +17,12 @@ object AnnQueries {
   private val D = Tables.EmbeddingDim
   private val K = 10
 
+  /** Oracle twin of the scratch collection's relation: the embeddings
+    * table with a string id (collections key rows by a string id column).
+    */
+  private val CollOracleRel =
+    "(SELECT CAST(vec_id AS VARCHAR) AS id, embedding, label FROM embeddings) t"
+
   val qs: Seq[Q] = Seq(
     Q(
       "ann_lsh_search",
@@ -36,6 +42,21 @@ object AnnQueries {
           hashVectorValues(11L, D), D, K),
       Some(Ann.lshSearchSql("embeddings", "embedding", "vec_id",
         hashVectorSql("11", D), D, K)),
+      bench = true
+    ),
+    // filtered ANN: the metadata predicate applies to bucket rows BEFORE
+    // the rerank (exact filtered top-k) and pushes down to the index scan
+    // alongside the partition probe — the reference's flagship
+    // filter+search call (`vectordb_optimized.py:507-575`) without its
+    // over-fetch heuristic
+    Q(
+      "ann_lsh_filtered",
+      (s, dir) =>
+        LshIndex.search(s, Indexes.lshEmb(s, dir), "embedding", "vec_id",
+          hashVectorValues(11L, D), D, K,
+          filter = Some(org.apache.spark.sql.functions.col("label") === 3)),
+      Some(Ann.lshSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, K, filterSql = Some("label = 3"))),
       bench = true
     ),
     // batch form: the banded signature as a join key — one probe join for
@@ -90,6 +111,45 @@ object AnnQueries {
         hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
         floorRounding = false)),
       bench = true
+    ),
+    // the collection-integrated path: a VectorCollection owning its data
+    // AND its index — searchAnn ensures/probes an LSH index over the
+    // collection's own vectors, fingerprint-invalidated by every commit.
+    // The scratch collection is keyed by the SOURCE fingerprint so a
+    // regenerated testdata dir can never serve a stale collection.
+    Q(
+      "collection_ann_search",
+      (s, dir) => collectionAnn(s, dir).searchAnn(hashVectorValues(11L, D), K),
+      Some(Ann.lshSearchSql(CollOracleRel, "embedding", "id",
+        hashVectorSql("11", D), D, K))
+    ),
+    // filter + ANN together over the collection (metadata filter pushed
+    // into the index bucket scan, exact rerank after)
+    Q(
+      "collection_ann_filtered",
+      (s, dir) => collectionAnn(s, dir).searchAnn(hashVectorValues(11L, D), K,
+        filter = Some(graft.filter.Eq("label", 3))),
+      Some(Ann.lshSearchSql(CollOracleRel, "embedding", "id",
+        hashVectorSql("11", D), D, K, filterSql = Some("label = 3")))
     )
   )
+
+  /** Scratch VectorCollection mirroring the embeddings table, created
+    * under the (versioned) index root and keyed by the source fingerprint
+    * — idempotent across runs, auto-fresh across testdata regens. */
+  private def collectionAnn(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.core.VectorCollection = {
+    import org.apache.spark.sql.functions.col
+    val fp = IndexStore.fingerprint(s, Seq(s"$dir/embeddings.parquet"))
+    val slug = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val vdb = new graft.core.VectorDb(s,
+      s"${IndexStore.root}/_collections/${slug}_$fp")
+    val coll = vdb.getOrCreateCollection("emb", D, "cosine")
+    if (coll.isEmpty)
+      coll.insertBatch(Tables.embeddings(s, dir).select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        col("label")))
+    coll
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.VectorDb
+import graft.filter.Eq
+import graft.functions.VectorFunctions
+import graft.index.IndexStore
+import graft.knn.Ann
+
+/** Collection-integrated ANN: a VectorCollection owns its persistent LSH
+  * index — searches probe it, every mutation invalidates it through the
+  * data-generation fingerprint (no manual invalidation anywhere), and a
+  * pure insert maintains it incrementally instead of rebuilding
+  * (reference behavior: index maintained across mutations,
+  * jcolano/fastpyvectordb `vectordb_optimized.py:337-365, 467-501`).
+  */
+class CollectionAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val D = 8
+
+  private def rows(ids: (String, Int)*) =
+    ids.toSeq.toDF("id", "k")
+      .withColumn("vector", VectorFunctions.hashVector(col("k"), D))
+      .withColumn("tag", concat(lit("t"), col("k") % 2))
+
+  private def mkColl() = {
+    val root = Files.createTempDirectory("graft_collann").toString
+    new VectorDb(spark, root).createCollection("c", dimensions = D)
+  }
+
+  test("searchAnn equals in-query LSH over the collection data") {
+    val coll = mkColl()
+    coll.insertBatch(rows((1 to 40).map(i => s"id$i" -> i): _*))
+    val qv = VectorFunctions.hashVectorValues(3L, D)
+    val a = coll.searchAnn(qv, 5).collect().toSeq
+    val b = Ann.lshSearch(coll.df, "vector", "id", qv, D, 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("filtered searchAnn == LSH over the filtered data, filter pushed") {
+    val coll = mkColl()
+    coll.insertBatch(rows((1 to 40).map(i => s"id$i" -> i): _*))
+    val qv = VectorFunctions.hashVectorValues(3L, D)
+    val q = coll.searchAnn(qv, 5, filter = Some(Eq("tag", "t1")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("PushedFilters: [") && plan.contains("tag"), plan)
+    val a = q.collect().toSeq
+    val b = Ann.lshSearch(coll.df.filter(col("tag") === "t1"),
+      "vector", "id", qv, D, 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("upsert then searchAnn sees fresh results, no manual invalidation") {
+    val coll = mkColl()
+    coll.insertBatch(rows((1 to 20).map(i => s"id$i" -> i): _*))
+    val qv = VectorFunctions.hashVectorValues(99L, D)
+    val before = coll.searchAnn(qv, 1).collect()(0)
+    // move id5 exactly onto the query vector — it must become the top hit
+    coll.upsert(rows("id5" -> 99))
+    val after = coll.searchAnn(qv, 1).collect()(0)
+    assert(after.getString(0) == "id5" && after.getDouble(1) == 0.0)
+    assert(before.getString(0) != "id5" || before.getDouble(1) != 0.0)
+    // and a delete drops the hit
+    coll.deleteIds(Seq("id5"))
+    assert(coll.searchAnn(qv, 1).collect()(0).getString(0) != "id5")
+  }
+
+  test("a pure insert advances the index incrementally, not by rebuild") {
+    val coll = mkColl()
+    coll.insertBatch(rows((1 to 20).map(i => s"id$i" -> i): _*))
+    val p1 = coll.ensureAnnIndex()
+    // sentinel survives only if the index dir is MOVED (advance+append),
+    // not rebuilt from scratch
+    assert(new java.io.File(s"$p1/SENTINEL").createNewFile())
+    coll.insertBatch(rows("id21" -> 21, "id22" -> 22))
+    val p2 = coll.ensureAnnIndex()
+    assert(p2 != p1 && IndexStore.ready(spark, p2))
+    assert(new java.io.File(s"$p2/SENTINEL").exists(),
+      "insert must append to the moved index, not rebuild it")
+    // the appended rows are searchable: id21's own vector is its top hit
+    val hit = coll.searchAnn(
+      VectorFunctions.hashVectorValues(21L, D), 1).collect()(0)
+    assert(hit.getString(0) == "id21" && hit.getDouble(1) == 0.0)
+  }
+}

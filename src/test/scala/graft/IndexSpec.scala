@@ -60,6 +60,88 @@ class IndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("LSH incremental append equals a full rebuild") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val first = emb.filter(col("vec_id") < 30)
+    val rest = emb.filter(col("vec_id") >= 30)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+    val incr = s"$tmp/incr"; val full = s"$tmp/full"
+    IndexStore.ensure(spark, incr)(p =>
+      LshIndex.build(spark, first, "embedding", "vec_id", D, p))
+    IndexStore.mutate(spark, incr)(p =>
+      LshIndex.append(spark, rest, "embedding", "vec_id", D, p))
+    IndexStore.ensure(spark, full)(p =>
+      LshIndex.build(spark, emb, "embedding", "vec_id", D, p))
+    val qv = hashVectorValues(11L, D)
+    val a = LshIndex.search(spark, incr, "embedding", "vec_id", qv, D, 10)
+      .collect().toSeq
+    val b = LshIndex.search(spark, full, "embedding", "vec_id", qv, D, 10)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("IVF incremental append equals a full rebuild") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val first = emb.filter(col("vec_id") < 30)
+    val rest = emb.filter(col("vec_id") >= 30)
+    val m = Ann.fixedIvfModel(Indexes.IvfCells, D)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val incr = s"$tmp/incr"; val full = s"$tmp/full"
+    IndexStore.ensure(spark, incr)(p =>
+      graft.index.IvfIndex.build(spark, first, "embedding", "vec_id", m, p))
+    IndexStore.mutate(spark, incr)(p =>
+      graft.index.IvfIndex.append(spark, rest, "embedding", "vec_id", p))
+    IndexStore.ensure(spark, full)(p =>
+      graft.index.IvfIndex.build(spark, emb, "embedding", "vec_id", m, p))
+    val qv = hashVectorValues(11L, D)
+    val a = graft.index.IvfIndex.search(spark, incr, "embedding", "vec_id",
+      qv, 4, 10).collect().toSeq
+    val b = graft.index.IvfIndex.search(spark, full, "embedding", "vec_id",
+      qv, 4, 10).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("advance moves a ready index to a new path without a rebuild") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val first = emb.filter(col("vec_id") < 30)
+    val rest = emb.filter(col("vec_id") >= 30)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_adv").toString
+    val from = s"$tmp/lsh_aaa"; val to = s"$tmp/lsh_bbb"
+    IndexStore.ensure(spark, from)(p =>
+      LshIndex.build(spark, first, "embedding", "vec_id", D, p))
+    // sentinel proves the dir was MOVED (append), not rebuilt from scratch
+    val sentinel = new java.io.File(s"$from/SENTINEL")
+    assert(sentinel.createNewFile())
+    val advanced = IndexStore.advance(spark, from, to)(p =>
+      LshIndex.append(spark, rest, "embedding", "vec_id", D, p))
+    assert(advanced)
+    assert(!IndexStore.ready(spark, from) && IndexStore.ready(spark, to))
+    assert(new java.io.File(s"$to/SENTINEL").exists())
+    // and a no-op when the source index does not exist
+    assert(!IndexStore.advance(spark, s"$tmp/lsh_zzz", s"$tmp/lsh_yyy")(_ => ()))
+  }
+
+  test("filtered indexed LSH equals LSH over the filtered corpus") {
+    val qv = hashVectorValues(11L, D)
+    val p = Indexes.lshEmb(spark, sf)
+    val q = LshIndex.search(spark, p, "embedding", "vec_id", qv, D, 10,
+      filter = Some(col("label") === 3))
+    // the metadata predicate must reach the bucket scan (pushed data
+    // filter) alongside the band-partition probe
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("PushedFilters: [") && plan.contains("label"), plan)
+    val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // per-row band membership commutes with a per-row metadata filter, so
+    // filter-before-probe over the full index == LSH over the filtered
+    // corpus
+    val b = Ann.lshSearch(
+      Tables.embeddings(spark, sf).filter(col("label") === 3),
+      "embedding", "vec_id", qv, D, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("indexed LSH search equals in-query LSH and prunes band partitions") {
     val qv = hashVectorValues(11L, D)
     val p = Indexes.lshEmb(spark, sf)
