@@ -152,6 +152,66 @@ object Dedup {
       .limit(topN)
   }
 
+  /** LSH candidate pairs restricted to a block (e.g. same source), exact
+    * Jaccard on collisions, top-N. The block key joins WITH the
+    * (band, sig) bucket key, so pair generation stays bucket-join-shaped
+    * — a dominant block (one source holding billions of docs) can never
+    * turn into an all-pairs cartesian; candidate volume is governed by
+    * signature collisions, not block size. */
+  def minhashLshPairsBlocked(docs: DataFrame, blockCol: String,
+      topN: Int): DataFrame = {
+    // localCheckpoint — see minhashLshPairs (GC-scoped barrier; both
+    // sides of the self-join reuse the shingle hashing)
+    val bands = lshBands(docs)
+      .join(docs.select(col("doc_id"), col(blockCol)), "doc_id")
+      .localCheckpoint()
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col(s"a.$blockCol").as(blockCol),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", round(col("ni").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("ni")), 6))
+      .select(blockCol, "doc_a", "doc_b", "jac")
+      .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
+  /** Full DuckDB oracle for [[minhashLshPairsBlocked]]. */
+  def minhashLshPairsBlockedSql(blockCol: String, topN: Int): String = {
+    val mhs = (0 until NumHashes).map(i => s"${minhashSql(i)} AS mh$i")
+    val sigs = (0 until Bands).map(j => s"${bandSig(j, i => s"mh$i")} AS sig$j")
+    val bandRows = (0 until Bands)
+      .map(j => s"SELECT doc_id, $j AS band, sig$j AS sig FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sh AS ($shingledSql),
+       |mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
+       |sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM mh),
+       |bands AS ($bandRows),
+       |bs AS (
+       |  SELECT bands.doc_id, bands.band, bands.sig, d.$blockCol
+       |  FROM bands JOIN documents d USING (doc_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.$blockCol, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bs a JOIN bs b
+       |    ON a.$blockCol = b.$blockCol AND a.band = b.band
+       |   AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.$blockCol, c.doc_a, c.doc_b,
+       |         round(${jaccardSql("sa.shingles", "sb.shingles")}, 6) AS jac
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT * FROM pairs
+       |ORDER BY jac DESC, doc_a, doc_b LIMIT $topN""".stripMargin
+  }
+
   /** Full DuckDB oracle for [[minhashLshPairs]]. */
   def minhashLshPairsSql(topN: Int): String = {
     val mhs = (0 until NumHashes).map(i => s"${minhashSql(i)} AS mh$i")

@@ -29,9 +29,12 @@ object LshIndex {
     * [[Ann.Bands]] (band_idx, band_val) keys, carrying the id, the vector
     * (rerank never joins back to the corpus) and any `metaCols` — stored
     * metadata makes a filtered probe push its predicate straight into the
-    * bucket scan instead of joining the corpus. */
-  private def bucketRows(emb: DataFrame, vecCol: String, idCol: String,
-      dim: Int, metaCols: Seq[String]): DataFrame = {
+    * bucket scan instead of joining the corpus. Also the candidate
+    * generator for self-join sweeps: equi-joining two bucket-row sides on
+    * (band_idx, band_val) yields LSH candidate pairs without any
+    * all-pairs block join. */
+  def bucketRows(emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int, metaCols: Seq[String] = Nil): DataFrame = {
     val keep = Seq(col(idCol), col(vecCol)) ++ metaCols.map(col)
     val withBands = emb.select(
       keep ++ (0 until Ann.Bands).map(b =>

@@ -49,65 +49,68 @@ object DedupQueries {
       Some(s"${Dedup.simhashSql}\nORDER BY doc_id"),
       bench = true
     ),
+    // per-source near-dup report, scale-safe form: pair generation goes
+    // through the MinHash (band, sig) bucket join — the source block key
+    // is a CONJUNCT of the bucket key, never the join key alone, so a
+    // dominant source cannot become an all-pairs cartesian; exact Jaccard
+    // scores only colliding candidates
     Q(
       "dedup_jaccard",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val sh = Dedup.shingled(docs)
-          .join(docs.select("doc_id", "source"), "doc_id")
-          .persist() // both sides of the blocked self-join
-        val a = sh.as("a")
-        val b = sh.as("b")
-        // Block on source: the join key makes Catalyst plan a hash join
-        // on source, never a cartesian — the blocked all-pairs shape.
-        a.join(b, col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.source").as("source"),
-                  col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                  col("a.shingles").as("sha"), col("b.shingles").as("shb"))
-          // ni is multi-referenced below, which keeps it in its own
-          // projection — one intersect per pair instead of two
-          .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
-          .select(col("source"), col("doc_a"), col("doc_b"),
-                  round(col("ni").cast("double") /
-                    (size(col("sha")) + size(col("shb")) - col("ni")), 6)
-                    .as("jac"))
-          .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
-          .limit(TopN)
-      },
-      Some(
-        s"""WITH sh AS (${Dedup.shingledSql}),
-           |shs AS (
-           |  SELECT sh.doc_id, d.source, sh.shingles
-           |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id)
-           |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       round(${Dedup.jaccardSql("a.shingles", "b.shingles")}, 6) AS jac
-           |FROM shs a JOIN shs b
-           |  ON a.source = b.source AND a.doc_id < b.doc_id
-           |ORDER BY jac DESC, doc_a, doc_b LIMIT $TopN""".stripMargin)
+      (s, dir) =>
+        Dedup.minhashLshPairsBlocked(Tables.documents(s, dir), "source", TopN),
+      Some(Dedup.minhashLshPairsBlockedSql("source", TopN))
     ),
+    // embedding near-dup, scale-safe form: candidates come from the
+    // hyperplane-LSH (band_idx, band_val) bucket join (same signature
+    // family as the ANN index); the label block is a conjunct of the
+    // bucket key, exact cosine scores only colliding candidates — no
+    // within-block all-pairs join anywhere in the plan
     Q(
       "dedup_embedding",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-        val a = e.as("a")
-        val b = e.as("b")
-        // Block on label (coarse-cell analog); exact cosine inside blocks.
-        a.join(b, col("a.label") === col("b.label") &&
+        val D = Tables.EmbeddingDim
+        // band arithmetic once per row (GC-scoped barrier), then a
+        // self-equi-join on the bucket key
+        val bands = graft.index.LshIndex.bucketRows(
+          Tables.embeddings(s, dir), "embedding", "vec_id", D,
+          metaCols = Seq("label")).localCheckpoint()
+        val a = bands.as("a")
+        val b = bands.as("b")
+        a.join(b, col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
           .select(col("a.label").as("label"),
                   col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-                  round(cosineDistance(col("a.embedding"), col("b.embedding")), 6)
-                    .as("dist"))
+                  col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+          .dropDuplicates("vec_a", "vec_b") // pairs may collide in >1 band
+          .select(col("label"), col("vec_a"), col("vec_b"),
+                  round(cosineDistance(col("ea"), col("eb")), 6).as("dist"))
           .orderBy(col("dist"), col("vec_a"), col("vec_b"))
           .limit(TopN)
       },
-      Some(
-        s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |       round(${cosineDistanceSql("a.embedding", "b.embedding", Tables.EmbeddingDim)}, 6) AS dist
-           |FROM embeddings a JOIN embeddings b
-           |  ON a.label = b.label AND a.vec_id < b.vec_id
-           |ORDER BY dist, vec_a, vec_b LIMIT $TopN""".stripMargin),
+      Some {
+        import graft.knn.Ann
+        val D = Tables.EmbeddingDim
+        val db = (0 until Ann.Bands).map(b =>
+          s"${Ann.bandSql("embedding", b, D)} AS b$b")
+        val bandRows = (0 until Ann.Bands).map(b =>
+          s"SELECT vec_id, label, $b AS band_idx, b$b AS band_val FROM d")
+          .mkString("\nUNION ALL\n")
+        s"""WITH d AS (SELECT vec_id, label, ${db.mkString(", ")} FROM embeddings),
+           |bands AS ($bandRows),
+           |cand AS (
+           |  SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |   AND a.label = b.label AND a.vec_id < b.vec_id)
+           |SELECT c.label, c.vec_a, c.vec_b,
+           |       round(${cosineDistanceSql("ea.embedding", "eb.embedding", D)}, 6) AS dist
+           |FROM cand c
+           |JOIN embeddings ea ON ea.vec_id = c.vec_a
+           |JOIN embeddings eb ON eb.vec_id = c.vec_b
+           |ORDER BY dist, vec_a, vec_b LIMIT $TopN""".stripMargin
+      },
       bench = true
     ),
     // the composed training-data prep pipeline a 100 TB corpus runs

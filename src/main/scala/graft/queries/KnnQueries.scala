@@ -34,42 +34,65 @@ object KnnQueries {
   )
 
   val qs: Seq[Q] = Seq(
-    // kNN self-join: every vector gets its top-3 neighbors (label-blocked
-    // like the near-dup sweep, ranked by a per-source window). This is the
-    // all-rows batch form of search — the shape a pipeline uses to attach
-    // neighbors to every training example.
+    // kNN self-join: every vector gets its top-3 LSH-candidate neighbors —
+    // the all-rows batch form of ANN search, the shape a pipeline uses to
+    // attach neighbors to every training example. Scale-safe: candidates
+    // come from the hyperplane-LSH (band_idx, band_val) bucket equi-join
+    // (the same signature family as the persistent index), exact cosine +
+    // per-vector top-3 window only on collisions — no label-blocked
+    // all-pairs join anywhere in the plan.
     Q(
       "knn_self_join",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-        val a = e.as("a")
-        val b = e.as("b")
+        val bands = graft.index.LshIndex.bucketRows(
+          Tables.embeddings(s, dir), "embedding", "vec_id", D)
+          .localCheckpoint() // band arithmetic once; both join sides reuse
+        val a = bands.as("a")
+        val b = bands.as("b")
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("a.vec_id"))
-          .orderBy(col("dist"), col("b.vec_id"))
-        a.join(b, col("a.label") === col("b.label") &&
+          .partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("nbr_id"))
+        a.join(b, col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
             col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+            col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+          .dropDuplicates("vec_id", "nbr_id") // pairs collide in >1 band
           .withColumn("dist",
-            round(cosineDistance(col("a.embedding"), col("b.embedding")), 6))
+            round(cosineDistance(col("ea"), col("eb")), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
-          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-            col("rank"), col("dist"))
+          .select("vec_id", "nbr_id", "rank", "dist")
           .orderBy("vec_id", "rank")
       },
-      Some(
-        s"""WITH pairs AS (
-           |  SELECT a.vec_id, b.vec_id AS nbr_id,
-           |         round(${cosineDistanceSql("a.embedding", "b.embedding", D)}, 6) AS dist
-           |  FROM embeddings a JOIN embeddings b
-           |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+      Some {
+        import graft.knn.Ann
+        val db = (0 until Ann.Bands).map(b =>
+          s"${Ann.bandSql("embedding", b, D)} AS b$b")
+        val bandRows = (0 until Ann.Bands).map(b =>
+          s"SELECT vec_id, $b AS band_idx, b$b AS band_val FROM d")
+          .mkString("\nUNION ALL\n")
+        s"""WITH d AS (SELECT vec_id, ${db.mkString(", ")} FROM embeddings),
+           |bands AS ($bandRows),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |   AND a.vec_id <> b.vec_id),
+           |pairs AS (
+           |  SELECT c.vec_id, c.nbr_id,
+           |         round(${cosineDistanceSql("ea.embedding", "eb.embedding", D)}, 6) AS dist
+           |  FROM cand c
+           |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = c.nbr_id),
            |ranked AS (
            |  SELECT vec_id, nbr_id, dist,
            |         row_number() OVER (PARTITION BY vec_id
            |                            ORDER BY dist, nbr_id) AS rank
            |  FROM pairs)
            |SELECT vec_id, nbr_id, rank, dist FROM ranked
-           |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+           |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+      },
       bench = true
     ),
     knnQ("knn_cosine", "cosine", 1),
