@@ -112,6 +112,29 @@ object AnnQueries {
         floorRounding = false)),
       bench = true
     ),
+    // trained-quantizer scale paths, rows-only (k-means has no SQL
+    // oracle; recall is gated in AnnSpec/QuantSpec — these entries pin
+    // that the trained paths EXECUTE in CI, not just in unit tests)
+    Q(
+      "ann_ivf_trained",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val m = Ann.trainIvf(e, "embedding", Indexes.IvfCells)
+        Ann.ivfSearch(e, "embedding", "vec_id", m,
+          hashVectorValues(11L, D), nprobe = 4, K)
+      },
+      None
+    ),
+    Q(
+      "pq_trained",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = graft.quant.ProductQuant.train(e, "embedding", D, m = 8, k = 16)
+        graft.quant.ProductQuant.searchAdc(e, "embedding", "vec_id", cb,
+          hashVectorValues(11L, D), K)
+      },
+      None
+    ),
     // the collection-integrated path: a VectorCollection owning its data
     // AND its index — searchAnn ensures/probes an LSH index over the
     // collection's own vectors, fingerprint-invalidated by every commit.
