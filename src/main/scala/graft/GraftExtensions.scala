@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("fp16_decode",
       "fp16_decode(codes) - array<float> from binary16 bit patterns",
       es => Fp16Decode(es(0))))
+    // index-aware ORDER BY vec_cosine_distance(...) LIMIT k: tables
+    // registered in graft.plans.IndexedTables serve top-k from their
+    // persistent LSH index (probe + rerank) instead of a full scan
+    ext.injectOptimizerRule(s => graft.plans.AnnTopKRewrite(s))
   }
 }

@@ -1,0 +1,192 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.util.control.NonFatal
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, first, typedlit}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import graft.expr.CosineDistance
+import graft.knn.Ann
+
+/** Registry of parquet tables that carry a persistent LSH index — the
+  * opt-in surface for [[AnnTopKRewrite]]. Registering a table declares
+  * "top-k-by-cosine over this table may be served from its index"
+  * (ANN semantics), exactly what the reference's collection does
+  * implicitly for every search once an index exists
+  * (jcolano/fastpyvectordb `vectordb_optimized.py:507-575`).
+  *
+  * The index must have been built over ALL of the table's columns
+  * (`LshIndex.build` with every non-vector column in `metaCols`) — the
+  * rewrite substitutes bucket rows for table rows, so any column a query
+  * references must exist in the bucket table; the rule verifies this and
+  * declines the rewrite otherwise.
+  */
+object IndexedTables {
+  final case class Reg(vecCol: String, idCol: String, dim: Int,
+      indexPath: String)
+
+  private val regs = new ConcurrentHashMap[String, Reg]()
+
+  private def qualify(spark: SparkSession, p: String): String =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new Path(p)).toString
+
+  def register(spark: SparkSession, dataPath: String, vecCol: String,
+      idCol: String, dim: Int, indexPath: String): Unit =
+    regs.put(qualify(spark, dataPath), Reg(vecCol, idCol, dim, indexPath))
+
+  def lookup(spark: SparkSession, rootPaths: Seq[Path]): Option[Reg] =
+    rootPaths match {
+      case Seq(p) => Option(regs.get(p.toString))
+      case _      => None
+    }
+
+  def clear(): Unit = regs.clear()
+}
+
+/** Index-aware top-k-by-distance: rewrites
+  *
+  *   SELECT … FROM t ORDER BY vec_cosine_distance(vec, <literal q>)[, tiebreaks]
+  *   LIMIT k
+  *
+  * over a table registered in [[IndexedTables]] into a probe of its
+  * persistent LSH bucket table: the scan is replaced by the 4-of-64
+  * bucket-partition candidate subset (deduped on the id), while the
+  * query's own sort, limit, filters and projections stay untouched on
+  * top — so the SQL surface gets the same probe+rerank plan as the
+  * programmatic `LshIndex.search`, including exact filtered top-k when a
+  * WHERE clause sits between (the filter applies to candidates BEFORE
+  * the rerank).
+  *
+  * Matches only an ASCENDING first sort key that is a cosine distance
+  * (optionally wrapped in round()/cast) between the registered vector
+  * column and a foldable query vector. Declines (returns the plan
+  * unchanged) on any mismatch, missing bucket column, or error — the
+  * rewrite is an optimization, never a correctness requirement. Install
+  * via `spark.sql.extensions=graft.GraftExtensions` or
+  * [[AnnTopK.install]] on a live session.
+  */
+final case class AnnTopKRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** Strip round()/cast wrappers from a sort key; queries sort on the
+    * 6-decimal-rounded distance for oracle determinism. */
+  private object DistanceKey {
+    def unapply(e: Expression): Option[CosineDistance] = e match {
+      case c: CosineDistance => Some(c)
+      case r: Round          => unapply(r.child)
+      case c: Cast           => unapply(c.child)
+      case _                 => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case gl @ GlobalLimit(_, LocalLimit(_, inner)) =>
+      // the optimizer may slide the final projection between the limit
+      // and the sort (the same shape TakeOrderedAndProject planning
+      // recognizes)
+      val sort = inner match {
+        case s: Sort             => Some(s)
+        case Project(_, s: Sort) => Some(s)
+        case _                   => None
+      }
+      sort.filter(s => s.global && s.order.nonEmpty).flatMap { s =>
+        s.order.head match {
+          case SortOrder(DistanceKey(d), Ascending, _, _) =>
+            try rewrite(gl, d, s.child)
+            catch {
+              case NonFatal(e) =>
+                logWarning(s"ANN top-k rewrite declined: $e"); None
+            }
+          case _ => None
+        }
+      }.getOrElse(gl)
+  }
+
+  private def queryVec(e: Expression): Seq[Double] = {
+    val et = e.dataType.asInstanceOf[ArrayType].elementType
+    val ad = e.eval().asInstanceOf[ArrayData]
+    if (et == FloatType) ad.toFloatArray().toSeq.map(_.toDouble)
+    else ad.toDoubleArray().toSeq
+  }
+
+  private def rewrite(gl: LogicalPlan, dist: CosineDistance,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val sides = (dist.left, dist.right) match {
+      case (a: AttributeReference, q) if q.foldable => Some((a, q))
+      case (q, a: AttributeReference) if q.foldable => Some((a, q))
+      case _                                        => None
+    }
+    sides.flatMap { case (vecAttr, qExpr) =>
+      // the registered file scan that owns the sort's vector column
+      val scans = child.collect {
+        case l @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+            if l.output.exists(_.exprId == vecAttr.exprId) =>
+          (l, IndexedTables.lookup(spark, fs.location.rootPaths))
+      }
+      scans match {
+        case Seq((scan, Some(reg))) if reg.vecCol == vecAttr.name =>
+          splice(gl, scan, reg, queryVec(qExpr))
+        case _ => None
+      }
+    }
+  }
+
+  private def splice(gl: LogicalPlan, scan: LogicalRelation,
+      reg: IndexedTables.Reg, qv: Seq[Double]): Option[LogicalPlan] = {
+    // query band values through the engine (one 1-row local job) so the
+    // sign arithmetic is bit-identical with the build — same convention
+    // as LshIndex.search
+    val qb = spark.range(1)
+      .select((0 until Ann.Bands).map(b =>
+        Ann.bandCol(typedlit(qv), b, reg.dim)): _*)
+      .collect()(0)
+    val probe = (0 until Ann.Bands)
+      .map(b => col("band_idx") === b && col("band_val") === qb.getInt(b))
+      .reduce(_ || _)
+    val names = scan.output.map(_.name)
+    // dedup collisions (an id matches in up to Bands buckets) as an
+    // explicit Aggregate: rows of one id are identical after the band
+    // columns are dropped, so first() is value-deterministic. Deduplicate
+    // would arrive after ReplaceDeduplicateWithAggregate already ran.
+    val others = names.filterNot(_ == reg.idCol)
+    val cand = spark.read.parquet(s"${reg.indexPath}/buckets")
+      .filter(probe)
+      .groupBy(col(reg.idCol))
+      .agg(first(col(others.head)).as(others.head),
+        others.tail.map(c => first(col(c)).as(c)): _*)
+      .select(names.map(col): _*)
+    val candPlan = cand.queryExecution.analyzed
+    // splice only if the bucket table carries every table column, then
+    // restore the original output exprIds so the untouched sort/limit/
+    // projections above still resolve
+    if (!names.forall(n => candPlan.output.exists(_.name == n))) None
+    else {
+      val aliases: Seq[NamedExpression] = scan.output.map { old =>
+        Alias(candPlan.output.find(_.name == old.name).get,
+          old.name)(exprId = old.exprId)
+      }
+      val spliced = Project(aliases, candPlan)
+      Some(gl.transformDown {
+        case l: LogicalRelation if l eq scan => spliced
+      })
+    }
+  }
+}
+
+/** Live-session installer (Verify/Bench and tests run on a session built
+  * without extensions; `experimental.extraOptimizations` is the
+  * supported way to add an optimizer rule after the fact). */
+object AnnTopK {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[AnnTopKRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKRewrite(spark)
+}

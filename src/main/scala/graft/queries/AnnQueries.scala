@@ -112,6 +112,30 @@ object AnnQueries {
         floorRounding = false)),
       bench = true
     ),
+    // the declarative surface: a plain ORDER BY cosine-distance LIMIT k
+    // over a REGISTERED table — the AnnTopKRewrite optimizer rule swaps
+    // the full scan for the LSH index probe (plan-verified in
+    // AnnTopKSpec); same oracle as the programmatic probe queries
+    Q(
+      "sql_ann_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round, typedlit}
+        graft.plans.AnnTopK.install(s)
+        graft.plans.IndexedTables.register(s, s"$dir/embeddings.parquet",
+          "embedding", "vec_id", D, Indexes.lshEmb(s, dir))
+        val qc = typedlit(hashVectorValues(11L, D))
+        Tables.embeddings(s, dir)
+          .orderBy(round(cosineDistance(col("embedding"), qc), 6),
+            col("vec_id"))
+          .limit(K)
+          .select(col("vec_id"),
+            round(cosineDistance(col("embedding"), qc), 6).as("score"))
+          .orderBy("score", "vec_id")
+      },
+      Some(Ann.lshSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, K)),
+      bench = true
+    ),
     // trained-quantizer scale paths, rows-only (k-means has no SQL
     // oracle; recall is gated in AnnSpec/QuantSpec — these entries pin
     // that the trained paths EXECUTE in CI, not just in unit tests)

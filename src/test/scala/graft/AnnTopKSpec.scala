@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import graft.index.{Indexes, LshIndex}
+import graft.plans.{AnnTopK, IndexedTables}
+
+/** The index-aware top-k rewrite: ORDER BY cosine-distance LIMIT k over a
+  * registered table must be served from the LSH bucket index (partition
+  * probe in the plan) and return exactly what the programmatic
+  * LshIndex.search returns; unregistered tables keep the exact full-scan
+  * plan.
+  */
+class AnnTopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  private val D = Tables.EmbeddingDim
+  private val K = 10
+
+  private def topK() = {
+    val qc = typedlit(hashVectorValues(11L, D))
+    Tables.embeddings(spark, sf)
+      .orderBy(round(cosineDistance(col("embedding"), qc), 6), col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"),
+        round(cosineDistance(col("embedding"), qc), 6).as("score"))
+      .orderBy("score", "vec_id")
+  }
+
+  test("registered table: top-k-by-distance is served from the LSH index") {
+    AnnTopK.install(spark)
+    IndexedTables.register(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.lshEmb(spark, sf))
+    try {
+      val q = topK()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("band_idx") &&
+        plan.contains("PartitionFilters: ["), plan)
+      val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = LshIndex.search(spark, Indexes.lshEmb(spark, sf),
+          "embedding", "vec_id", hashVectorValues(11L, D), D, K)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b && a.nonEmpty)
+    } finally IndexedTables.clear()
+  }
+
+  test("unregistered table: the exact full-scan plan is untouched") {
+    AnnTopK.install(spark)
+    IndexedTables.clear()
+    val plan = topK().queryExecution.executedPlan.toString
+    assert(!plan.contains("band_idx"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("a filter between sort and scan stays on the candidate subset") {
+    AnnTopK.install(spark)
+    IndexedTables.register(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.lshEmb(spark, sf))
+    try {
+      val qc = typedlit(hashVectorValues(11L, D))
+      val q = Tables.embeddings(spark, sf)
+        .filter(col("label") === 3)
+        .orderBy(round(cosineDistance(col("embedding"), qc), 6),
+          col("vec_id"))
+        .limit(K)
+        .select(col("vec_id"),
+          round(cosineDistance(col("embedding"), qc), 6).as("score"))
+        .orderBy("score", "vec_id")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("band_idx"), plan)
+      val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = LshIndex.search(spark, Indexes.lshEmb(spark, sf),
+          "embedding", "vec_id", hashVectorValues(11L, D), D, K,
+          filter = Some(col("label") === 3))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b && a.nonEmpty)
+    } finally IndexedTables.clear()
+  }
+}

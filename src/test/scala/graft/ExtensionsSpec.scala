@@ -46,6 +46,28 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(top.head().getLong(0) == 1L)
       assert(top.queryExecution.executedPlan.toString
         .contains("TakeOrderedAndProject"))
+      // the injected AnnTopKRewrite serves SQL top-k-by-distance from the
+      // LSH index once the table is registered (plain SQL text end-to-end)
+      val sf = SparkTestSession.sf
+      val D = graft.core.Tables.EmbeddingDim
+      graft.plans.IndexedTables.register(s, s"$sf/embeddings.parquet",
+        "embedding", "vec_id", D, graft.index.Indexes.lshEmb(s, sf))
+      try {
+        s.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
+        val arr = graft.functions.VectorFunctions.hashVectorValues(11L, D)
+          .map(v => s"${v}D").mkString("array(", ", ", ")")
+        val sqlTop = s.sql(
+          s"""SELECT vec_id FROM emb
+             |ORDER BY vec_cosine_distance(embedding, $arr) LIMIT 5""".stripMargin)
+        assert(sqlTop.queryExecution.executedPlan.toString.contains("band_idx"),
+          sqlTop.queryExecution.executedPlan.toString)
+        val ids = sqlTop.collect().map(_.getLong(0)).toSeq
+        val expect = graft.index.LshIndex.search(s,
+            graft.index.Indexes.lshEmb(s, sf), "embedding", "vec_id",
+            graft.functions.VectorFunctions.hashVectorValues(11L, D), D, 5)
+          .collect().map(_.getLong(0)).toSeq
+        assert(ids == expect)
+      } finally graft.plans.IndexedTables.clear()
     } finally {
       // do not stop() (shared SparkContext); restore the original session
       SparkSession.setActiveSession(prev)
