@@ -240,6 +240,12 @@ final class VectorCollection(
     graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector", "id",
       queryVec, config.dimensions, k, filter.map(_.column), config.metric)
 
+  /** Batch ANN over the collection's index: one probe JOIN for the whole
+    * (qid, qvec) relation — the cluster-scale form of [[searchAnn]]. */
+  def searchAnnBatch(queries: DataFrame, k: Int = 10): DataFrame =
+    graft.index.LshIndex.searchBatch(spark, ensureAnnIndex(), "vector",
+      "id", queries, config.dimensions, k, config.metric)
+
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
 
   def peek(n: Int): DataFrame = df.orderBy("id").limit(n)

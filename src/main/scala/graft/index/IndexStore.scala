@@ -27,8 +27,9 @@ object IndexStore {
   /** Bump when any index table layout changes — old on-disk indexes from
     * a previous code version must not be read.
     * v2: BM25 postings rows carry dl.
-    * v3: LSH bucket rows may carry metadata columns (filtered ANN). */
-  val FormatVersion = 3
+    * v3: LSH bucket rows may carry metadata columns (filtered ANN).
+    * v4: IVF cell rows may carry metadata columns (filtered ANN). */
+  val FormatVersion = 4
 
   def root: String = sys.env.getOrElse("GRAFT_INDEX_ROOT",
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes/v$FormatVersion")

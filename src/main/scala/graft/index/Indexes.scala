@@ -49,7 +49,7 @@ object Indexes {
         metaCols = Seq("label"))),
     Spec("ivfemb", embSrc, (s, d, p) =>
       IvfIndex.build(s, Tables.embeddings(s, d), "embedding", "vec_id",
-        Ann.fixedIvfModel(IvfCells, D), p)),
+        Ann.fixedIvfModel(IvfCells, D), p, metaCols = Seq("label"))),
     Spec("bqemb", embSrc, (s, d, p) =>
       QuantIndex.buildBq(s, Tables.embeddings(s, d), "embedding", "vec_id", p)),
     Spec("sqemb", embSrc, (s, d, p) =>

@@ -20,12 +20,14 @@ import graft.knn.Ann
   */
 object IvfIndex {
   def build(spark: SparkSession, emb: DataFrame, vecCol: String,
-      idCol: String, m: Ann.IvfModel, path: String): Unit = {
+      idCol: String, m: Ann.IvfModel, path: String,
+      metaCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
     m.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Ann.writePartitioned(emb, vecCol, idCol, m, s"$path/cells")
+    Ann.writePartitioned(emb, vecCol, idCol, m, s"$path/cells",
+      metaCols = metaCols)
   }
 
   /** Incremental maintenance: assign cells for the NEW rows only against
@@ -34,9 +36,9 @@ object IvfIndex {
     * ids; wrap in IndexStore.mutate/advance so a crash mid-append reads
     * as not-ready and rebuilds. */
   def append(spark: SparkSession, newRows: DataFrame, vecCol: String,
-      idCol: String, path: String): Unit = {
+      idCol: String, path: String, metaCols: Seq[String] = Nil): Unit = {
     Ann.writePartitioned(newRows, vecCol, idCol, loadModel(spark, path),
-      s"$path/cells", mode = "append")
+      s"$path/cells", mode = "append", metaCols = metaCols)
     spark.catalog.refreshByPath(s"$path/cells")
   }
 
@@ -46,7 +48,8 @@ object IvfIndex {
         .collect().map(_.getSeq[Double](1)).toSeq)
 
   def search(spark: SparkSession, path: String, vecCol: String,
-      idCol: String, queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame =
+      idCol: String, queryVec: Seq[Double], nprobe: Int, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     Ann.searchPartitioned(spark, s"$path/cells", vecCol, idCol,
-      loadModel(spark, path), queryVec, nprobe, k)
+      loadModel(spark, path), queryVec, nprobe, k, filter)
 }

@@ -79,7 +79,8 @@ object LshIndex {
     * shuffle-free probe join for a whole query batch instead of one scan
     * per query. `queries` = (qid, qvec). Returns (qid, id, score). */
   def searchBatch(spark: SparkSession, path: String, vecCol: String,
-      idCol: String, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+      idCol: String, queries: DataFrame, dim: Int, k: Int,
+      metric: String = "cosine"): DataFrame = {
     val qBands = queries.select(col("qid"), col("qvec"),
         explode(array((0 until Ann.Bands).map(b =>
           struct(lit(b).as("band_idx"),
@@ -93,7 +94,7 @@ object LshIndex {
       .join(broadcast(qBands), Seq("band_idx", "band_val"))
       .dropDuplicates("qid", idCol) // a pair may collide in several bands
       .withColumn("score",
-        round(VectorFunctions.cosineDistance(col(vecCol), col("qvec")), 6))
+        round(graft.knn.Knn.distance(metric, col(vecCol), col("qvec")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col(idCol), col("score"))

@@ -124,7 +124,7 @@ object Ann {
   def ivfSearchSql(
       relation: String, vecCol: String, idCol: String,
       queryVecSql: String, dim: Int, cells: Int, nprobe: Int, k: Int,
-      floorRounding: Boolean): String = {
+      floorRounding: Boolean, filterSql: Option[String] = None): String = {
     val d2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
     val qd2 = VectorFunctions.sqL2Sql("c.cv", "q.v", dim)
     val cos = VectorFunctions.cosineDistanceSql(s"e.$vecCol", "q.v", dim)
@@ -149,7 +149,8 @@ object Ann {
        |FROM $relation e
        |JOIN assign a ON a.$idCol = e.$idCol
        |CROSS JOIN q
-       |WHERE a.cell IN (SELECT cell FROM probe)
+       |WHERE a.cell IN (SELECT cell FROM probe)${
+        filterSql.map(f => s"\n  AND ($f)").getOrElse("")}
        |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
   }
 
@@ -184,12 +185,14 @@ object Ann {
     */
   def writePartitioned(
       emb: DataFrame, vecCol: String, idCol: String,
-      m: IvfModel, path: String, mode: String = "overwrite"): Unit = {
+      m: IvfModel, path: String, mode: String = "overwrite",
+      metaCols: Seq[String] = Nil): Unit = {
     graft.core.Ids.requireIntegral(emb, idCol)
     val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val assigned = emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
       .map { case (id, v) =>
         val vec = v.toArray
@@ -204,7 +207,17 @@ object Ann {
         (id, v, best)
       }
       .toDF(idCol, vecCol, "cell")
-      .write.mode(mode).partitionBy("cell").parquet(path)
+    // metadata travels into the cell rows (one build-time join back on
+    // the id) so a filtered probe pushes its predicate into the cell
+    // scan — the same space-for-latency trade as the LSH bucket table
+    val rows =
+      if (metaCols.isEmpty) assigned
+      else assigned.select(col(idCol), col("cell"))
+        .join(emb.select(col(idCol).cast("long") +: (vecCol +: metaCols)
+          .map(col): _*), idCol)
+        .select(Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+          col("cell"): _*)
+    rows.write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** Probe cells for one query: nprobe nearest centroids, ties by index
@@ -289,15 +302,19 @@ object Ann {
        |ORDER BY qid, score, $idCol""".stripMargin
   }
 
-  /** Search the partitioned layout: cell predicate prunes whole files. */
+  /** Search the partitioned layout: cell predicate prunes whole files.
+    * `filter` (over metadata columns stored in the cell rows) applies
+    * BEFORE the rerank and pushes down to the cell scan alongside the
+    * partition probe — exact filtered top-k among probed candidates. */
   def searchPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       vecCol: String, idCol: String, m: IvfModel,
-      queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+      queryVec: Seq[Double], nprobe: Int, k: Int,
+      filter: Option[Column] = None): DataFrame = {
     val probe = probeCells(m, queryVec, nprobe)
     val qv = typedlit(queryVec)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probe: _*))
+    val base = spark.read.parquet(path).filter(col("cell").isin(probe: _*))
+    filter.map(base.filter).getOrElse(base)
       .withColumn("score",
         round(VectorFunctions.cosineDistance(col(vecCol), qv), 6))
       .select(idCol, "score")

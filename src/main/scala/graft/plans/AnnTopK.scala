@@ -68,7 +68,10 @@ object IndexedTables {
   * (optionally wrapped in round()/cast) between the registered vector
   * column and a foldable query vector. Declines (returns the plan
   * unchanged) on any mismatch, missing bucket column, or error — the
-  * rewrite is an optimization, never a correctness requirement. Install
+  * rewrite is an optimization, never a correctness requirement. A table
+  * the user has .cache()d is NOT rewritten (its scan is an
+  * InMemoryRelation, no longer a file scan): an explicit cache is a
+  * declared intent to serve from memory. Install
   * via `spark.sql.extensions=graft.GraftExtensions` or
   * [[AnnTopK.install]] on a live session.
   */

@@ -19,9 +19,10 @@ object AnnQueries {
 
   /** Oracle twin of the scratch collection's relation: the embeddings
     * table with a string id (collections key rows by a string id column).
-    */
+    * Unaliased so oracle builders can attach their own alias (DuckDB
+    * accepts an unaliased derived table where none is attached). */
   private val CollOracleRel =
-    "(SELECT CAST(vec_id AS VARCHAR) AS id, embedding, label FROM embeddings) t"
+    "(SELECT CAST(vec_id AS VARCHAR) AS id, embedding, label FROM embeddings)"
 
   val qs: Seq[Q] = Seq(
     Q(
@@ -112,6 +113,19 @@ object AnnQueries {
         floorRounding = false)),
       bench = true
     ),
+    // filtered IVF: metadata predicate into the probed cell scan, exact
+    // rerank after — the IVF twin of ann_lsh_filtered
+    Q(
+      "ann_ivf_filtered",
+      (s, dir) =>
+        IvfIndex.search(s, Indexes.ivfEmb(s, dir), "embedding", "vec_id",
+          hashVectorValues(11L, D), nprobe = 4, K,
+          filter = Some(org.apache.spark.sql.functions.col("label") === 3)),
+      Some(Ann.ivfSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false, filterSql = Some("e.label = 3"))),
+      bench = true
+    ),
     // the declarative surface: a plain ORDER BY cosine-distance LIMIT k
     // over a REGISTERED table — the AnnTopKRewrite optimizer rule swaps
     // the full scan for the LSH index probe (plan-verified in
@@ -178,6 +192,19 @@ object AnnQueries {
         filter = Some(graft.filter.Eq("label", 3))),
       Some(Ann.lshSearchSql(CollOracleRel, "embedding", "id",
         hashVectorSql("11", D), D, K, filterSql = Some("label = 3")))
+    ),
+    // batch ANN over the collection's own index: one probe join serves
+    // the whole query relation
+    Q(
+      "collection_ann_batch",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(11L, 12L, 13L).toDF("qid")
+          .withColumn("qvec", hashVector(org.apache.spark.sql.functions.col("qid"), D))
+        collectionAnn(s, dir).searchAnnBatch(queries, K)
+      },
+      Some(LshIndex.searchBatchSql(CollOracleRel, "embedding", "id",
+        Seq(11L, 12L, 13L), D, K))
     )
   )
 

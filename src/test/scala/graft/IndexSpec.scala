@@ -61,7 +61,10 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("LSH incremental append equals a full rebuild") {
-    val emb = Tables.embeddings(spark, sf).cache()
+    // localCheckpoint, not cache(): a cache() on the shared session would
+    // swap every later embeddings scan to InMemoryRelation (breaks other
+    // suites' plan assertions)
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val first = emb.filter(col("vec_id") < 30)
     val rest = emb.filter(col("vec_id") >= 30)
     val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
@@ -81,7 +84,7 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("IVF incremental append equals a full rebuild") {
-    val emb = Tables.embeddings(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val first = emb.filter(col("vec_id") < 30)
     val rest = emb.filter(col("vec_id") >= 30)
     val m = Ann.fixedIvfModel(Indexes.IvfCells, D)
@@ -102,7 +105,7 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("advance moves a ready index to a new path without a rebuild") {
-    val emb = Tables.embeddings(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val first = emb.filter(col("vec_id") < 30)
     val rest = emb.filter(col("vec_id") >= 30)
     val tmp = java.nio.file.Files.createTempDirectory("graft_adv").toString
@@ -139,6 +142,28 @@ class IndexSpec extends AnyFunSuite {
       Tables.embeddings(spark, sf).filter(col("label") === 3),
       "embedding", "vec_id", qv, D, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("filtered indexed IVF equals IVF over the filtered corpus") {
+    val qv = hashVectorValues(11L, D)
+    val q = graft.index.IvfIndex.search(spark, Indexes.ivfEmb(spark, sf),
+      "embedding", "vec_id", qv, 4, 10, filter = Some(col("label") === 3))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("PushedFilters: [") && plan.contains("label"), plan)
+    val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // per-row cell assignment commutes with a per-row metadata filter and
+    // the fixed codebook is data-independent, so filter-in-probe over the
+    // full index == an index built over the filtered corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_flt").toString
+    val flt = s"$tmp/flt"
+    IndexStore.ensure(spark, flt)(p =>
+      graft.index.IvfIndex.build(spark,
+        Tables.embeddings(spark, sf).filter(col("label") === 3),
+        "embedding", "vec_id", Ann.fixedIvfModel(Indexes.IvfCells, D), p))
+    val b = graft.index.IvfIndex.search(spark, flt, "embedding", "vec_id",
+      qv, 4, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b && a.nonEmpty)
   }
 

@@ -84,4 +84,40 @@ class StreamIngestSpec extends AnyFunSuite {
       assert(a == b && a.nonEmpty)
     } finally q.stop()
   }
+
+  test("foreachBatch maintains an LSH index incrementally from a vector stream") {
+    import graft.index.{IndexStore, LshIndex}
+    val D = core.Tables.EmbeddingDim
+    val idx = Files.createTempDirectory("graft_stream_lsh").toString + "/lsh"
+    // localCheckpoint, not cache() — a CacheManager entry on the shared
+    // session would swap later embeddings scans to InMemoryRelation
+    val emb = core.Tables.embeddings(spark, SparkTestSession.sf)
+      .localCheckpoint()
+    IndexStore.ensure(spark, idx)(p =>
+      LshIndex.build(spark, emb.filter(col("vec_id") < 30),
+        "embedding", "vec_id", D, p))
+    val src = Files.createTempDirectory("graft_emb_stream").toString
+    emb.filter(col("vec_id") >= 30).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(emb.schema).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.localCheckpoint()
+        if (rows.count() > 0)
+          IndexStore.mutate(spark, idx)(p =>
+            LshIndex.append(spark, rows, "embedding", "vec_id", D, p))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val qv = graft.functions.VectorFunctions.hashVectorValues(11L, D)
+      val a = LshIndex.search(spark, idx, "embedding", "vec_id", qv, D, 10)
+        .collect().toSeq
+      val full = Files.createTempDirectory("graft_full_lsh").toString + "/lsh"
+      IndexStore.ensure(spark, full)(p =>
+        LshIndex.build(spark, emb, "embedding", "vec_id", D, p))
+      val b = LshIndex.search(spark, full, "embedding", "vec_id", qv, D, 10)
+        .collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally q.stop()
+  }
 }
