@@ -62,7 +62,22 @@ object Indexes {
           concat(lit("c:"), col("c_custkey")).as("id"),
           graft.functions.VectorFunctions
             .hashVector(col("c_custkey"), D).as("embedding"))
-        .write.mode("overwrite").parquet(s"$p/vectors"))
+        .write.mode("overwrite").parquet(s"$p/vectors")),
+    // materialized text embeddings of the documents corpus — the
+    // reference's EmbeddingCollection embeds on add and stores the vector
+    // with the row (embeddings.py:521-609); graft's equivalent is an
+    // embed-once vectors table, so text-kNN queries scan stored vectors
+    // instead of re-hashing the corpus per query
+    Spec("docemb", docsSrc, (s, d, p) => {
+      val e = graft.embed.HashEmbedder(D)
+      // localCheckpoint barrier: without it CollapseProject inlines the
+      // O(len) text hash into all D vector lambdas (see EmbedQueries)
+      Tables.documents(s, d)
+        .select(col("doc_id"), e.textKey("text").as("key"))
+        .localCheckpoint()
+        .select(col("doc_id"), e.embedKey(col("key")).as("embedding"))
+        .write.mode("overwrite").parquet(s"$p/vectors")
+    })
   )
 
   private def ensureKind(spark: SparkSession, dir: String, kind: String)
@@ -110,6 +125,11 @@ object Indexes {
     * embedded node's vector is a STORED column, not derived per query. */
   def custEmb(spark: SparkSession, dir: String): String =
     ensureKind(spark, dir, "custemb")
+
+  /** Materialized text embeddings of the documents corpus (embed once at
+    * build; text-kNN then scans stored vectors). */
+  def docEmb(spark: SparkSession, dir: String): String =
+    ensureKind(spark, dir, "docemb")
 
   /** Build every index for a directory (bench build phase). */
   def buildAll(spark: SparkSession, dir: String): Unit =

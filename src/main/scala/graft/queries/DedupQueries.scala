@@ -80,12 +80,13 @@ object DedupQueries {
             col("a.band_val") === col("b.band_val") &&
             col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
+          // score map-side, dedup band collisions with min() (identical
+          // value per pair) — the shuffle carries scalars, not vectors
           .select(col("a.label").as("label"),
                   col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-                  col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-          .dropDuplicates("vec_a", "vec_b") // pairs may collide in >1 band
-          .select(col("label"), col("vec_a"), col("vec_b"),
-                  round(cosineDistance(col("ea"), col("eb")), 6).as("dist"))
+                  round(cosineDistance(col("a.embedding"), col("b.embedding")), 6)
+                    .as("d"))
+          .groupBy("label", "vec_a", "vec_b").agg(min("d").as("dist"))
           .orderBy(col("dist"), col("vec_a"), col("vec_b"))
           .limit(TopN)
       },

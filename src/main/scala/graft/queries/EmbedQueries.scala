@@ -23,17 +23,11 @@ object EmbedQueries {
       "embed_text_knn",
       (s, dir) => {
         val qv = typedlit(e.embedValue(QueryText))
-        // An optimizer barrier is load-bearing here: a plain withColumn
-        // gets CollapseProject-inlined back into all 64 vector lambdas and
-        // the O(len) text hash re-runs per element (measured 112 s -> ~2 s
-        // at sf0.1 with the barrier). localCheckpoint, not persist: the
-        // storage is GC-scoped instead of CacheManager-held, so a
-        // long-lived session never needs an unpersist.
-        val keyed = Tables.documents(s, dir)
-          .select(col("doc_id"), e.textKey("text").as("key"))
-          .localCheckpoint()
-        keyed
-          .withColumn("embedding", e.embedKey(col("key")))
+        // served from the persistent docemb vectors table: the corpus is
+        // embedded ONCE at index build (the reference's embed-on-add,
+        // embeddings.py:521-609) and a text-kNN query is a stored-vector
+        // scan + exact top-k — no per-query re-hash of the corpus
+        s.read.parquet(s"${graft.index.Indexes.docEmb(s, dir)}/vectors")
           .withColumn("score", round(cosineDistance(col("embedding"), qv), 6))
           .select("doc_id", "score")
           .orderBy(col("score"), col("doc_id"))

@@ -55,11 +55,14 @@ object KnnQueries {
         a.join(b, col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.vec_id") =!= col("b.vec_id"))
+          // score map-side, THEN dedup band collisions with a min()
+          // aggregate (identical value per pair): the dedup shuffle
+          // carries 3 numeric columns with map-side combine instead of
+          // two 64-float vectors per candidate row
           .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-            col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-          .dropDuplicates("vec_id", "nbr_id") // pairs collide in >1 band
-          .withColumn("dist",
-            round(cosineDistance(col("ea"), col("eb")), 6))
+            round(cosineDistance(col("a.embedding"), col("b.embedding")), 6)
+              .as("d"))
+          .groupBy("vec_id", "nbr_id").agg(min("d").as("dist"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("vec_id", "nbr_id", "rank", "dist")
