@@ -39,12 +39,13 @@ object Bench {
       }
     val buildSec = (System.nanoTime() - tb) / 1e9
     // ---- headline queries (Q.bench flag), in stable catalog order, each
-    // run 3 times: rep 1 pays per-plan codegen/compilation (cold), and the
-    // warm metric is the MEDIAN of all 3 reps so a one-off GC/JIT spike
-    // can't dominate the headline. A failed rep is recorded in `failed`
-    // and excluded from the totals instead of contributing a bogus
-    // near-zero duration.
-    val Reps = 3
+    // run 4 times: rep 1 pays per-plan codegen/compilation (reported as
+    // cold, EXCLUDED from the warm metric), and warm is the MEDIAN of the
+    // 3 remaining steady-state reps — so neither the cold rep nor a
+    // one-off GC/JIT spike can dominate the headline. A failed rep is
+    // recorded in `failed` and excluded from the totals instead of
+    // contributing a bogus near-zero duration.
+    val WarmReps = 3
     val results = Catalog.all.filter(_.bench).map { q =>
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -54,11 +55,13 @@ object Bench {
         }
         Some((System.nanoTime() - t0) / 1e9)
       }
-      val reps = Seq.fill(Reps)(rep())
-      val ok = reps.flatten
+      val cold = rep()
+      val warmReps = Seq.fill(WarmReps)(rep()).flatten
       val warm =
-        if (ok.size == Reps) Some(ok.sorted.apply(Reps / 2)) else None
-      (q.name, reps.head, warm)
+        if (cold.isDefined && warmReps.size == WarmReps)
+          Some(warmReps.sorted.apply(WarmReps / 2))
+        else None
+      (q.name, cold, warm)
     }
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -130,6 +130,10 @@ final class VectorCollection(
       require(dups == 0, s"$dups ids already exist")
       val prevIdx = annIndexPath // fingerprint of the generation being replaced
       commit(df.unionByName(rows))
+      // Best-effort: the index is derived state (advance() already
+      // swallows its own failures and leaves the path not-ready, so the
+      // next search rebuilds) — a maintenance failure must never make a
+      // COMMITTED insert report failure or skip its CDC events.
       graft.index.IndexStore.advance(spark, prevIdx, annIndexPath)(p =>
         graft.index.LshIndex.append(spark, rows, "vector", "id",
           config.dimensions, p, metaColumns(rows)))
@@ -228,23 +232,39 @@ final class VectorCollection(
   }
 
   /** ANN search over the collection's own persistent LSH index: 4-of-64
-    * bucket-partition probe + exact rerank in the collection's metric;
-    * the optional metadata filter applies BEFORE the rerank and pushes
-    * down to the index scan (exact filtered top-k — stronger than the
-    * reference's over-fetch + post-filter, `vectordb_optimized.py:
-    * 507-575`). Index freshness is automatic: any mutation changes the
-    * data fingerprint, so the next search rebuilds (or, after a pure
-    * insert, reuses the incrementally-advanced index). */
+    * bucket-partition probe + exact rerank; the optional metadata filter
+    * applies BEFORE the rerank and pushes down to the index scan (exact
+    * filtered top-k — stronger than the reference's over-fetch +
+    * post-filter, `vectordb_optimized.py:507-575`). Index freshness is
+    * automatic: any mutation changes the data fingerprint, so the next
+    * search rebuilds (or, after a pure insert, reuses the
+    * incrementally-advanced index).
+    *
+    * The sign-hyperplane signatures are a COSINE similarity family;
+    * for an l2/ip collection candidates from them can miss the true
+    * neighbor arbitrarily (e.g. max-inner-product favors large-norm
+    * vectors at moderate angles), so non-cosine collections fall back
+    * to the exact filtered search rather than silently degrade recall.
+    */
   def searchAnn(queryVec: Seq[Double], k: Int = 10,
       filter: Option[Pred] = None): DataFrame =
-    graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector", "id",
-      queryVec, config.dimensions, k, filter.map(_.column), config.metric)
+    if (config.metric != "cosine") search(queryVec, k, filter)
+    else graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector",
+      "id", queryVec, config.dimensions, k, filter.map(_.column))
 
   /** Batch ANN over the collection's index: one probe JOIN for the whole
-    * (qid, qvec) relation — the cluster-scale form of [[searchAnn]]. */
+    * (qid, qvec) relation — the cluster-scale form of [[searchAnn]]
+    * (same cosine-only gate: non-cosine collections run exact batch). */
   def searchAnnBatch(queries: DataFrame, k: Int = 10): DataFrame =
-    graft.index.LshIndex.searchBatch(spark, ensureAnnIndex(), "vector",
-      "id", queries, config.dimensions, k, config.metric)
+    if (config.metric != "cosine")
+      // same (qid, id, score) shape and order as the indexed path
+      graft.knn.Knn.searchBatch(df, col("vector"),
+          queries.withColumnRenamed("qid", "query_id"), config.metric, k,
+          idCol = "id")
+        .select(col("query_id").as("qid"), col("id"), col("score"))
+        .orderBy("qid", "score", "id")
+    else graft.index.LshIndex.searchBatch(spark, ensureAnnIndex(),
+      "vector", "id", queries, config.dimensions, k)
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
 

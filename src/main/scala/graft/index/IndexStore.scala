@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * locally it defaults to the JVM tmpdir so read-only testdata dirs are
   * never written to.
   */
-object IndexStore {
+object IndexStore extends org.apache.spark.internal.Logging {
   /** Bump when any index table layout changes — old on-disk indexes from
     * a previous code version must not be read.
     * v2: BM25 postings rows carry dl.
@@ -35,12 +35,19 @@ object IndexStore {
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes/v$FormatVersion")
 
   private val built = ConcurrentHashMap.newKeySet[String]()
+  // Entries are never pruned: removing one while a thread is blocked on
+  // it would mint a SECOND lock object for the same path (two builders
+  // in one dir). Growth is a map entry per distinct fingerprint path —
+  // tens of bytes per mutation, negligible against the mutation itself.
   private val locks = new ConcurrentHashMap[String, Object]()
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Path-component sanitizer shared by every store-rooted layout (index
+    * dirs, scratch collection roots) — one definition so they can't
+    * drift. */
+  def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Fingerprint of the source files backing an index: a mix over every
     * file's (path, length, mtime), listed recursively so partitioned
@@ -144,24 +151,43 @@ object IndexStore {
   def advance(spark: SparkSession, from: String, to: String)(
       change: String => Unit): Boolean = {
     if (from == to) return ready(spark, from)
-    locks.computeIfAbsent(from, _ => new Object).synchronized {
-      val f = fs(spark, from)
-      if (!ready(spark, from)) false
-      else {
-        built.remove(from)
-        f.delete(new Path(from, "_GRAFT_READY"), false)
-        val toP = new Path(to)
-        f.delete(toP, true)
-        f.mkdirs(toP.getParent)
-        require(f.rename(new Path(from), toP), s"advance rename failed: $from -> $to")
-        spark.catalog.refreshByPath(to)
-        locks.computeIfAbsent(to, _ => new Object).synchronized {
-          change(to)
-          f.create(new Path(to, "_GRAFT_READY"), true).close()
-          spark.catalog.refreshByPath(to)
-          built.add(to)
-        }
-        true
+    // Both locks up front, in canonical order (a global order makes the
+    // two-lock acquisition deadlock-free against any other two-lock
+    // advance; ensure() takes single locks only), so a concurrent
+    // ensure(to) can never observe the half-moved directory.
+    val Seq(l1, l2) = Seq(from, to).sorted
+      .map(p => locks.computeIfAbsent(p, _ => new Object))
+    l1.synchronized {
+      l2.synchronized {
+        val f = fs(spark, from)
+        if (!ready(spark, from)) false
+        else
+          // Best-effort by design: the index is derived state and a
+          // not-ready path is always rebuilt by the next ensure(), so on
+          // ANY failure we leave both paths unmarked and report false
+          // instead of throwing into the caller's (already-committed)
+          // mutation.
+          try {
+            built.remove(from)
+            f.delete(new Path(from, "_GRAFT_READY"), false)
+            val toP = new Path(to)
+            f.delete(toP, true)
+            f.mkdirs(toP.getParent)
+            require(f.rename(new Path(from), toP),
+              s"advance rename failed: $from -> $to")
+            spark.catalog.refreshByPath(to)
+            change(to)
+            f.create(new Path(to, "_GRAFT_READY"), true).close()
+            spark.catalog.refreshByPath(to)
+            built.add(to)
+            true
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"index advance $from -> $to failed " +
+                s"(next ensure rebuilds): $e")
+              built.remove(to)
+              false
+          }
       }
     }
   }

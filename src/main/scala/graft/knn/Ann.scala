@@ -209,12 +209,14 @@ object Ann {
       .toDF(idCol, vecCol, "cell")
     // metadata travels into the cell rows (one build-time join back on
     // the id) so a filtered probe pushes its predicate into the cell
-    // scan — the same space-for-latency trade as the LSH bucket table
+    // scan — the same space-for-latency trade as the LSH bucket table.
+    // The vector column comes from `assigned` in BOTH branches so the
+    // stored type (array<double>) is identical with and without metadata.
     val rows =
       if (metaCols.isEmpty) assigned
-      else assigned.select(col(idCol), col("cell"))
-        .join(emb.select(col(idCol).cast("long") +: (vecCol +: metaCols)
-          .map(col): _*), idCol)
+      else assigned
+        .join(emb.select(col(idCol).cast("long") +: metaCols.map(col): _*),
+          idCol)
         .select(Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
           col("cell"): _*)
     rows.write.mode(mode).partitionBy("cell").parquet(path)

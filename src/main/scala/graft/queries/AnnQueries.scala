@@ -129,7 +129,12 @@ object AnnQueries {
     // the declarative surface: a plain ORDER BY cosine-distance LIMIT k
     // over a REGISTERED table — the AnnTopKRewrite optimizer rule swaps
     // the full scan for the LSH index probe (plan-verified in
-    // AnnTopKSpec); same oracle as the programmatic probe queries
+    // AnnTopKSpec); same oracle as the programmatic probe queries.
+    // Registration is a session-scoped opt-in and stays armed after this
+    // query (by design — it declares "ANN top-k is acceptable for this
+    // table"); it cannot capture the other catalog queries, which all
+    // sort on a projected score attribute, never on an inline distance
+    // expression (pinned by AnnTopKSpec's isolation test).
     Q(
       "sql_ann_topk",
       (s, dir) => {
@@ -215,9 +220,8 @@ object AnnQueries {
       dir: String): graft.core.VectorCollection = {
     import org.apache.spark.sql.functions.col
     val fp = IndexStore.fingerprint(s, Seq(s"$dir/embeddings.parquet"))
-    val slug = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val vdb = new graft.core.VectorDb(s,
-      s"${IndexStore.root}/_collections/${slug}_$fp")
+      s"${IndexStore.root}/_collections/${IndexStore.slug(dir)}_$fp")
     val coll = vdb.getOrCreateCollection("emb", D, "cosine")
     if (coll.isEmpty)
       coll.insertBatch(Tables.embeddings(s, dir).select(

@@ -46,6 +46,28 @@ class AnnTopKSpec extends AnyFunSuite {
     } finally IndexedTables.clear()
   }
 
+  test("while registered, a projected-score sort is NOT captured") {
+    // every other catalog query sorts on a score ATTRIBUTE produced by a
+    // projection (knn_cosine's shape below) — the rewrite must only
+    // match an inline distance expression in the sort key, so arming the
+    // registry for sql_ann_topk cannot contaminate the rest of the
+    // catalog running on the same session
+    AnnTopK.install(spark)
+    IndexedTables.register(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.lshEmb(spark, sf))
+    try {
+      val qc = typedlit(hashVectorValues(11L, D))
+      val q = Tables.embeddings(spark, sf)
+        .withColumn("score", round(cosineDistance(col("embedding"), qc), 6))
+        .orderBy(col("score"), col("vec_id"))
+        .limit(K)
+        .select("vec_id", "score")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("band_idx"), plan)
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    } finally IndexedTables.clear()
+  }
+
   test("unregistered table: the exact full-scan plan is untouched") {
     AnnTopK.install(spark)
     IndexedTables.clear()

@@ -70,6 +70,21 @@ class CollectionAnnSpec extends AnyFunSuite {
     assert(coll.searchAnn(qv, 1).collect()(0).getString(0) != "id5")
   }
 
+  test("non-cosine collections fall back to exact search (no cosine-LSH candidates)") {
+    val root = Files.createTempDirectory("graft_collann_l2").toString
+    val coll = new VectorDb(spark, root)
+      .createCollection("c", dimensions = D, metric = "l2")
+    coll.insertBatch(rows((1 to 30).map(i => s"id$i" -> i): _*))
+    val qv = VectorFunctions.hashVectorValues(7L, D)
+    val a = coll.searchAnn(qv, 5).collect().toSeq
+    val b = coll.search(qv, 5).collect().toSeq
+    // exact equality with the exact path, and no bucket scan in the plan
+    assert(a.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score"))))
+      == b.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score")))))
+    val plan = coll.searchAnn(qv, 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("band_idx"), plan)
+  }
+
   test("a pure insert advances the index incrementally, not by rebuild") {
     val coll = mkColl()
     coll.insertBatch(rows((1 to 20).map(i => s"id$i" -> i): _*))
