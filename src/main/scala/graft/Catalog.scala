@@ -28,7 +28,8 @@ object Catalog {
       queries.CrudQueries.qs ++
       queries.AnnQueries.qs ++
       queries.EmbedQueries.qs ++
-      queries.MediaQueries.qs
+      queries.MediaQueries.qs ++
+      queries.PipelineQueries.qs
 
   lazy val byName: Map[String, Q] =
     all.map(q => q.name -> q).toMap.withDefault { n =>

@@ -152,6 +152,21 @@ object Dedup {
       .limit(topN)
   }
 
+  /** The mh → sigs → bands CTE chain (DuckDB) over an existing `sh` CTE
+    * (from [[shingledSql]]): bands = (doc_id, band, sig), one row per
+    * band per doc. Shared by every oracle that needs MinHash candidates.
+    */
+  def bandsCtesSql: String = {
+    val mhs = (0 until NumHashes).map(i => s"${minhashSql(i)} AS mh$i")
+    val sigs = (0 until Bands).map(j => s"${bandSig(j, i => s"mh$i")} AS sig$j")
+    val bandRows = (0 until Bands)
+      .map(j => s"SELECT doc_id, $j AS band, sig$j AS sig FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
+       |sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM mh),
+       |bands AS ($bandRows)""".stripMargin
+  }
+
   /** LSH candidate pairs restricted to a block (e.g. same source), exact
     * Jaccard on collisions, top-N. The block key joins WITH the
     * (band, sig) bucket key, so pair generation stays bucket-join-shaped
