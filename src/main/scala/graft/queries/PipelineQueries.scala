@@ -18,8 +18,9 @@ object PipelineQueries {
   /** Eval-set doc ids for the decontamination sweep. */
   private val EvalIds = Seq(7, 42, 128, 256, 311)
   /** A train doc sharing at least this many distinct shingles with an
-    * eval doc is flagged as contaminated. */
-  private val MinSharedShingles = 3
+    * eval doc is flagged as contaminated (2 keeps the flag non-empty at
+    * every testdata scale factor, incl. the shorter sf0.001 docs). */
+  private val MinSharedShingles = 2
   private val TopN = 20
 
   val qs: Seq[Q] = Seq(
