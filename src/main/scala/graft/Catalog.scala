@@ -29,7 +29,8 @@ object Catalog {
       queries.AnnQueries.qs ++
       queries.EmbedQueries.qs ++
       queries.MediaQueries.qs ++
-      queries.PipelineQueries.qs
+      queries.PipelineQueries.qs ++
+      queries.CollectionQueries.qs
 
   lazy val byName: Map[String, Q] =
     all.map(q => q.name -> q).toMap.withDefault { n =>

@@ -91,7 +91,11 @@ object Bm25 {
   }
 
   /** DuckDB oracle for [[search]] over `relation(doc_id, text)`. */
-  def searchSql(terms: Seq[String], k: Int, relation: String = "documents"): String = {
+  /** `idAlias` renames the output id column (collection-level searches
+    * return `id`); when `relation` supplies a VARCHAR doc_id the ORDER BY
+    * tiebreak is string-ordered on BOTH engines by construction. */
+  def searchSql(terms: Seq[String], k: Int, relation: String = "documents",
+      idAlias: String = "doc_id"): String = {
     val termList = terms.distinct.map(t => s"'$t'").mkString(", ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(${wordTokensSql("text")}) AS term FROM $relation),
@@ -110,7 +114,7 @@ object Bm25 {
        |  JOIN dl ON dl.doc_id = p.doc_id
        |  CROSS JOIN stats s
        |  GROUP BY p.doc_id)
-       |SELECT doc_id, round(score, 6) AS score FROM scored
-       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       |SELECT doc_id AS $idAlias, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, $idAlias LIMIT $k""".stripMargin
   }
 }

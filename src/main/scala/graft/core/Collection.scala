@@ -128,15 +128,30 @@ final class VectorCollection(
     else {
       val dups = rows.join(df, Seq("id"), "left_semi").count()
       require(dups == 0, s"$dups ids already exist")
-      val prevIdx = annIndexPath // fingerprint of the generation being replaced
+      // fingerprint paths of the generation being replaced
+      val hasText = rows.columns.contains("text")
+      val prevAnn = annIndexPath
+      val prevText = if (hasText) Some(textIndexPath) else None
+      val prevHyb = if (hasText) Some(hybridIndexPath) else None
       commit(df.unionByName(rows))
-      // Best-effort: the index is derived state (advance() already
+      // Best-effort: indexes are derived state (advance() already
       // swallows its own failures and leaves the path not-ready, so the
       // next search rebuilds) — a maintenance failure must never make a
-      // COMMITTED insert report failure or skip its CDC events.
-      graft.index.IndexStore.advance(spark, prevIdx, annIndexPath)(p =>
+      // COMMITTED insert report failure or skip its CDC events. Only
+      // indexes that already exist advance; absent ones build lazily.
+      graft.index.IndexStore.advance(spark, prevAnn, annIndexPath)(p =>
         graft.index.LshIndex.append(spark, rows, "vector", "id",
           config.dimensions, p, metaColumns(rows)))
+      def textRows = rows.select(col("id").as("doc_id"), col("text"))
+      prevText.foreach(pt =>
+        graft.index.IndexStore.advance(spark, pt, textIndexPath)(p =>
+          graft.index.Bm25Index.append(spark, textRows, p)))
+      prevHyb.foreach(ph =>
+        graft.index.IndexStore.advance(spark, ph, hybridIndexPath) { p =>
+          rows.select(col("id").as("doc_id"), col("vector").as("embedding"))
+            .write.mode("append").parquet(s"$p/vectors")
+          graft.index.Bm25Index.append(spark, textRows, p)
+        })
     }
     logEvents("insert", rows.select("id"))
   }
@@ -251,6 +266,69 @@ final class VectorCollection(
     if (config.metric != "cosine") search(queryVec, k, filter)
     else graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector",
       "id", queryVec, config.dimensions, k, filter.map(_.column))
+
+  private def textIndexPath: String =
+    graft.index.IndexStore.path(spark, s"$root/${config.name}", "collbm25",
+      Seq(dataPath.toString))
+
+  private def hybridIndexPath: String =
+    graft.index.IndexStore.path(spark, s"$root/${config.name}", "collhyb",
+      Seq(dataPath.toString))
+
+  private def requireText(): Unit =
+    require(df.columns.contains("text"),
+      s"collection '${config.name}' has no 'text' column")
+
+  /** Build-if-absent the collection's persistent BM25 index over its own
+    * `text` column (same fingerprint lifecycle as [[ensureAnnIndex]]). */
+  def ensureTextIndex(): String = {
+    requireText()
+    val data = df
+    graft.index.IndexStore.ensure(spark, textIndexPath)(p =>
+      graft.index.Bm25Index.build(spark,
+        data.select(col("id").as("doc_id"), col("text")), p))
+  }
+
+  /** Keyword top-k over the collection's own BM25 index; the optional
+    * filter applies BEFORE scoring (df and corpus stats recomputed over
+    * the allowed subset — `Bm25Index.searchFiltered`). Returns
+    * (id, score). */
+  def searchText(terms: Seq[String], k: Int = 10,
+      filter: Option[Pred] = None): DataFrame = {
+    val p = ensureTextIndex()
+    val res = filter match {
+      case Some(f) =>
+        graft.index.Bm25Index.searchFiltered(spark, p,
+          df.filter(f.column).select(col("id").as("doc_id")), terms, k)
+      case None => graft.index.Bm25Index.search(spark, p, terms, k)
+    }
+    res.withColumnRenamed("doc_id", "id")
+  }
+
+  /** Build-if-absent the hybrid layout (materialized vectors table +
+    * BM25 postings) over the collection's own rows. */
+  def ensureHybridIndex(): String = {
+    requireText()
+    val data = df
+    graft.index.IndexStore.ensure(spark, hybridIndexPath) { p =>
+      data.select(col("id").as("doc_id"), col("vector").as("embedding"))
+        .write.mode("overwrite").parquet(s"$p/vectors")
+      graft.index.Bm25Index.build(spark,
+        data.select(col("id").as("doc_id"), col("text")), p)
+    }
+  }
+
+  /** Weighted vector+keyword blend over the collection's own hybrid
+    * index — the reference's HybridSearchEngine surface
+    * (`hybrid_search.py:360-477`, cosine similarity by definition) with
+    * the index maintained across mutations like [[searchAnn]]'s.
+    * Returns (id, vector_score, keyword_score, score). */
+  def searchHybrid(terms: Seq[String], queryVec: Seq[Double], k: Int = 10,
+      alpha: Double = 0.6, vectorWeight: Option[Double] = None,
+      keywordWeight: Option[Double] = None): DataFrame =
+    graft.hybrid.HybridSearch.searchIndexed(spark, ensureHybridIndex(),
+        terms, queryVec, k, alpha, vectorWeight, keywordWeight)
+      .withColumnRenamed("doc_id", "id")
 
   /** Batch ANN over the collection's index: one probe JOIN for the whole
     * (qid, qvec) relation — the cluster-scale form of [[searchAnn]]

@@ -158,21 +158,26 @@ object HybridSearch {
     blend(vecTop, kwTop, k, a)
   }
 
-  /** DuckDB oracle: corpus = documents ⋈ embeddings on doc_id = vec_id. */
+  /** DuckDB oracle; default corpus = documents ⋈ embeddings on
+    * doc_id = vec_id. `corpusSql` must yield (doc_id, text, embedding);
+    * `idAlias` renames the output id (collection searches return `id`,
+    * and a VARCHAR doc_id in the corpus makes every tiebreak
+    * string-ordered to match). */
   def searchSql(
       queryTerms: Seq[String],
       queryVecKey: Long,
       dim: Int,
       k: Int,
-      alpha: Double): String = {
+      alpha: Double,
+      corpusSql: String = "SELECT d.doc_id, d.text, e.embedding " +
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id",
+      idAlias: String = "doc_id"): String = {
     val fetch = k * FetchFactor
     val dist = VectorFunctions.cosineDistanceSql("c.embedding", "q.v", dim)
     // BM25 runs over the same joined corpus as the vector branch (inner
     // WITH referencing the outer `corpus` CTE).
     val bm25 = Bm25.searchSql(queryTerms, fetch, relation = "corpus")
-    s"""WITH corpus AS (
-       |  SELECT d.doc_id, d.text, e.embedding
-       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    s"""WITH corpus AS ($corpusSql),
        |q AS (SELECT ${VectorFunctions.hashVectorSql(queryVecKey.toString, dim)} AS v),
        |vec_top AS (
        |  SELECT c.doc_id, $dist AS d
@@ -189,12 +194,12 @@ object HybridSearch {
        |         CASE WHEN (SELECT max(score) FROM kw_top) = 0 THEN 0.0
        |              ELSE score / (SELECT max(score) FROM kw_top) END AS kscore
        |  FROM kw_top)
-       |SELECT coalesce(v.doc_id, w.doc_id) AS doc_id,
+       |SELECT coalesce(v.doc_id, w.doc_id) AS $idAlias,
        |       round(coalesce(v.vscore, 0.0), 6) AS vector_score,
        |       round(coalesce(w.kscore, 0.0), 6) AS keyword_score,
        |       round($alpha * coalesce(v.vscore, 0.0)
        |             + ${1.0 - alpha} * coalesce(w.kscore, 0.0), 6) AS score
        |FROM vec_norm v FULL OUTER JOIN kw_norm w ON v.doc_id = w.doc_id
-       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       |ORDER BY score DESC, $idAlias LIMIT $k""".stripMargin
   }
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.Q
+import graft.core.{Tables, VectorCollection, VectorDb}
+import graft.bm25.Bm25
+import graft.hybrid.HybridSearch
+import graft.index.IndexStore
+import graft.functions.VectorFunctions
+
+/** Collection-level text and hybrid retrieval: a VectorCollection that
+  * owns documents (id, text, vector, lang) and serves keyword / blended
+  * search from its own persistent BM25 / hybrid indexes, maintained
+  * across mutations like the ANN index. The scratch collection mirrors
+  * the documents⋈embeddings corpus and is keyed by the source
+  * fingerprint (idempotent across runs, auto-fresh across regens).
+  */
+object CollectionQueries {
+  private val D = Tables.EmbeddingDim
+  private val K = 10
+  private val QueryTerms = Seq("spark", "join", "filter")
+
+  /** Oracle corpus twin: VARCHAR ids make every ORDER BY tiebreak
+    * string-ordered on both engines, matching the collection's string id
+    * column. */
+  private val OracleCorpus =
+    "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.text, e.embedding, d.lang " +
+      "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
+
+  private def collectionDoc(s: SparkSession, dir: String): VectorCollection = {
+    val fp = IndexStore.fingerprint(s,
+      Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet"))
+    val vdb = new VectorDb(s,
+      s"${IndexStore.root}/_collections/${IndexStore.slug(dir)}_doc_$fp")
+    val coll = vdb.getOrCreateCollection("doc", D, "cosine")
+    if (coll.isEmpty)
+      coll.insertBatch(Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id").cast("string").as("id"), col("text"),
+          col("embedding").as("vector"), col("lang")))
+    coll
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "collection_text_search",
+      (s, dir) => collectionDoc(s, dir).searchText(QueryTerms, K),
+      Some(Bm25.searchSql(QueryTerms, K,
+        relation = s"($OracleCorpus)", idAlias = "id"))
+    ),
+    // keyword + metadata filter together: allowed ids from the
+    // collection's own rows, df/stats recomputed over the subset
+    Q(
+      "collection_text_filtered",
+      (s, dir) => collectionDoc(s, dir).searchText(QueryTerms, K,
+        filter = Some(graft.filter.Eq("lang", "en"))),
+      Some(Bm25.searchSql(QueryTerms, K,
+        relation = s"(SELECT * FROM ($OracleCorpus) WHERE lang = 'en')",
+        idAlias = "id"))
+    ),
+    Q(
+      "collection_hybrid_search",
+      (s, dir) => collectionDoc(s, dir).searchHybrid(QueryTerms,
+        VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.6),
+      Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.6,
+        corpusSql = OracleCorpus, idAlias = "id"))
+    )
+  )
+}

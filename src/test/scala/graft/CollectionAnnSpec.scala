@@ -70,6 +70,39 @@ class CollectionAnnSpec extends AnyFunSuite {
     assert(coll.searchAnn(qv, 1).collect()(0).getString(0) != "id5")
   }
 
+  test("searchText/searchHybrid serve from the collection's indexes and follow inserts") {
+    import graft.bm25.Bm25
+    val root = Files.createTempDirectory("graft_colltext").toString
+    val coll = new VectorDb(spark, root).createCollection("t", dimensions = D)
+    def docRows(rows: (String, Int, String)*) =
+      rows.toSeq.toDF("id", "k", "text")
+        .withColumn("vector", VectorFunctions.hashVector(col("k"), D))
+        .select("id", "text", "vector", "k")
+    coll.insertBatch(docRows(
+      ("a", 1, "spark joins filter the corpus quickly"),
+      ("b", 2, "graph traversal with pattern filters"),
+      ("c", 3, "vector search and keyword search blend")))
+    // keyword top-k equals ad-hoc BM25 over the same rows
+    val terms = Seq("search", "filter")
+    val a = coll.searchText(terms, 3).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val b = Bm25.search(spark,
+        coll.df.select(col("id").as("doc_id"), col("text")), terms, 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+    // hybrid returns the blended shape over the collection's own index
+    val h = coll.searchHybrid(terms,
+      VectorFunctions.hashVectorValues(2L, D), 3)
+    assert(h.columns.toSeq ==
+      Seq("id", "vector_score", "keyword_score", "score"))
+    assert(h.count() == 3)
+    // an insert is visible to the next keyword search with no manual
+    // invalidation (text index advanced or rebuilt via the fingerprint)
+    coll.insertBatch(docRows(("d", 4, "zanzibar zanzibar zanzibar")))
+    val hit = coll.searchText(Seq("zanzibar"), 1).collect()(0)
+    assert(hit.getString(0) == "d")
+  }
+
   test("non-cosine collections fall back to exact search (no cosine-LSH candidates)") {
     val root = Files.createTempDirectory("graft_collann_l2").toString
     val coll = new VectorDb(spark, root)
