@@ -52,17 +52,23 @@ object KnnQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("nbr_id"))
-        a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        // ordered pairs (a < b) halve the join output and the cosine
+        // evaluations; the symmetric (b, a) rows are mirrored AFTER the
+        // dedup aggregate, where each pair is one scalar row
+        val pairs = a.join(b, col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
-            col("a.vec_id") =!= col("b.vec_id"))
+            col("a.vec_id") < col("b.vec_id"))
           // score map-side, THEN dedup band collisions with a min()
           // aggregate (identical value per pair): the dedup shuffle
           // carries 3 numeric columns with map-side combine instead of
           // two 64-float vectors per candidate row
-          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
             round(cosineDistance(col("a.embedding"), col("b.embedding")), 6)
               .as("d"))
-          .groupBy("vec_id", "nbr_id").agg(min("d").as("dist"))
+          .groupBy("va", "vb").agg(min("d").as("dist"))
+        pairs.select(col("va").as("vec_id"), col("vb").as("nbr_id"), col("dist"))
+          .unionAll(pairs.select(col("vb").as("vec_id"),
+            col("va").as("nbr_id"), col("dist")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("vec_id", "nbr_id", "rank", "dist")
