@@ -52,7 +52,15 @@ final class VectorCollection(
   private def oldPath = new Path(s"$root/${config.name}/data_old")
   private def changelogPath = s"$root/${config.name}/changelog"
 
-  def df: DataFrame = { recover(); spark.read.parquet(dataPath.toString) }
+  def df: DataFrame = {
+    recover()
+    // a clear contract violation beats the path-not-found the parquet
+    // reader would throw (the reference returns [] but a DataFrame needs
+    // a schema, which an empty collection doesn't have yet)
+    require(fs.exists(dataPath),
+      s"collection '${config.name}' is empty — insert rows before reading")
+    spark.read.parquet(dataPath.toString)
+  }
 
   /** Crash recovery: if a swap died between retiring the old generation
     * and promoting the new one, exactly one of data_old/data_staging holds

@@ -103,6 +103,16 @@ class CollectionAnnSpec extends AnyFunSuite {
     assert(hit.getString(0) == "d")
   }
 
+  test("reading an empty collection reports the contract, not a path error") {
+    val root = Files.createTempDirectory("graft_empty").toString
+    val coll = new VectorDb(spark, root).createCollection("e", dimensions = D)
+    val ex = intercept[IllegalArgumentException] {
+      coll.searchAnn(VectorFunctions.hashVectorValues(1L, D), 3).collect()
+    }
+    assert(ex.getMessage.contains("empty"))
+    assert(coll.count() == 0) // count() stays 0, not an error
+  }
+
   test("non-cosine collections fall back to exact search (no cosine-LSH candidates)") {
     val root = Files.createTempDirectory("graft_collann_l2").toString
     val coll = new VectorDb(spark, root)
