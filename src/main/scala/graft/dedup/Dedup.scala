@@ -52,9 +52,27 @@ object Dedup {
   }
   def charHashOf(s: String): Long =
     s.foldLeft(0L)((a, c) => (a * CharB + c.toInt) % HashM)
-  def shinglesOf(tokens: Array[String]): Array[Long] =
-    tokens.sliding(3).map(w => charHashOf(w.mkString(" ")))
+  /** Sorted ascending: the candidate-verification kernel
+    * ([[intersectSize]]) is a merge scan over sorted arrays. Sorting
+    * changes no downstream value — minhash is a min over the set,
+    * Jaccard uses set sizes, and the oracle's list_intersect is
+    * order-insensitive. */
+  def shinglesOf(tokens: Array[String]): Array[Long] = {
+    val sh = tokens.sliding(3).map(w => charHashOf(w.mkString(" ")))
       .toArray.distinct
+    java.util.Arrays.sort(sh)
+    sh
+  }
+
+  /** |A∩B| of two shingle arrays — codegen'd merge scan
+    * (graft.expr.SortedLongIntersectSize) instead of the built-in
+    * array_intersect's per-pair hash set. Inputs must come from
+    * [[shinglesOf]] (sorted distinct). */
+  def intersectSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expr.SortedLongIntersectSize(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
 
   /** doc_id + distinct shingle-hash array (docs with ≥ 3 word tokens). */
   def shingled(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
@@ -116,13 +134,13 @@ object Dedup {
       .toDF("doc_id", "shingles", "band", "sig")
   }
 
-  /** Jaccard similarity of two distinct-element arrays, via
+  /** Jaccard similarity of two sorted distinct-element arrays, via
     * |A∩B| / (|A| + |B| − |A∩B|) — avoids materializing the union array
     * (identical value for distinct inputs; codegen subexpression
-    * elimination shares the one intersect). */
+    * elimination shares the one merge-scan intersect). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b)))
+    intersectSize(a, b).cast("double") /
+      (size(a) + size(b) - intersectSize(a, b))
   def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b))::DOUBLE / " +
       s"(len($a) + len($b) - len(list_intersect($a, $b)))"
@@ -144,7 +162,7 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.shingles").as("sha"), col("b.shingles").as("shb"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("ni", intersectSize(col("sha"), col("shb")))
       .withColumn("jac", round(col("ni").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("ni")), 6))
       .select("doc_a", "doc_b", "jac")
@@ -190,7 +208,7 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.shingles").as("sha"), col("b.shingles").as("shb"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("ni", intersectSize(col("sha"), col("shb")))
       .withColumn("jac", round(col("ni").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("ni")), 6))
       .select(blockCol, "doc_a", "doc_b", "jac")
@@ -283,7 +301,7 @@ object Dedup {
       .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
         col("a.shingles").as("sha"), col("b.shingles").as("shb"))
       .dropDuplicates("x", "y")
-      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("ni", intersectSize(col("sha"), col("shb")))
       .filter(col("ni").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("ni")) >= ComponentJaccard)
       .select("x", "y")

@@ -42,7 +42,7 @@ object PipelineQueries {
           .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"),
             col("n.shingles").as("sha"), col("c.shingles").as("shb"))
           .dropDuplicates("doc_id", "dup_of")
-          .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("ni", Dedup.intersectSize(col("sha"), col("shb")))
           .withColumn("jac", round(col("ni").cast("double") /
             (size(col("sha")) + size(col("shb")) - col("ni")), 6))
           .withColumn("rn", row_number().over(w))

@@ -63,4 +63,32 @@ class DedupSpec extends AnyFunSuite {
     comps.foreach { case (_, c) => assert(comps(c) == c,
       s"representative $c not stable (maps to ${comps(c)})") }
   }
+
+  test("sorted merge-scan intersect equals array_intersect on shingle arrays") {
+    // shinglesOf output is sorted distinct by contract; the kernel must
+    // agree with the built-in set intersect on every pair shape
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)), // partial overlap
+      (Array(1L, 2L), Array(3L, 4L)),                  // disjoint
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),          // identical
+      (Array.empty[Long], Array(1L, 2L)),              // empty side
+      (Array(7L), Array(7L))                           // singletons
+    )
+    val df = cases.toDF("a", "b")
+    val r = df.select(
+      Dedup.intersectSize(col("a"), col("b")).as("m"),
+      size(array_intersect(col("a"), col("b"))).as("e")).collect()
+    r.foreach(row => assert(row.getInt(0) == row.getInt(1), row))
+    // and inside whole-stage codegen (doGenCode path), over a real corpus
+    val d = docs(
+      1 -> "the quick brown fox jumps over the lazy dog today",
+      2 -> "the quick brown fox jumps over a lazy dog today too")
+    val sh = Dedup.shingled(d)
+    val pair = sh.as("x").crossJoin(sh.as("y"))
+      .select(Dedup.intersectSize(col("x.shingles"), col("y.shingles")).as("m"),
+        size(array_intersect(col("x.shingles"), col("y.shingles"))).as("e"))
+      .collect()
+    pair.foreach(row => assert(row.getInt(0) == row.getInt(1), row))
+  }
 }
