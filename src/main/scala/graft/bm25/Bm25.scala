@@ -90,10 +90,10 @@ object Bm25 {
     scoreParts(qPost, docFreq, lens, stats, k)
   }
 
-  /** DuckDB oracle for [[search]] over `relation(doc_id, text)`. */
-  /** `idAlias` renames the output id column (collection-level searches
-    * return `id`); when `relation` supplies a VARCHAR doc_id the ORDER BY
-    * tiebreak is string-ordered on BOTH engines by construction. */
+  /** DuckDB oracle for [[search]] over `relation(doc_id, text)`.
+    * `idAlias` renames the output id column (collection-level searches
+    * return `id`); a relation supplying a VARCHAR doc_id makes the ORDER
+    * BY tiebreak string-ordered on both engines by construction. */
   def searchSql(terms: Seq[String], k: Int, relation: String = "documents",
       idAlias: String = "doc_id"): String = {
     val termList = terms.distinct.map(t => s"'$t'").mkString(", ")

@@ -271,7 +271,10 @@ final class VectorCollection(
     */
   def searchAnn(queryVec: Seq[Double], k: Int = 10,
       filter: Option[Pred] = None): DataFrame =
-    if (config.metric != "cosine") search(queryVec, k, filter)
+    if (config.metric != "cosine")
+      // same (id, score) shape as the indexed path — search() returns
+      // every collection column
+      search(queryVec, k, filter).select("id", "score")
     else graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector",
       "id", queryVec, config.dimensions, k, filter.map(_.column))
 
@@ -333,10 +336,17 @@ final class VectorCollection(
     * Returns (id, vector_score, keyword_score, score). */
   def searchHybrid(terms: Seq[String], queryVec: Seq[Double], k: Int = 10,
       alpha: Double = 0.6, vectorWeight: Option[Double] = None,
-      keywordWeight: Option[Double] = None): DataFrame =
+      keywordWeight: Option[Double] = None): DataFrame = {
+    // the blend's vector branch is cosine by definition; silently
+    // ranking an l2/ip collection's vectors by cosine would contradict
+    // search/searchAnn on the same collection
+    require(config.metric == "cosine",
+      s"hybrid search blends cosine similarity (reference semantics); " +
+        s"collection '${config.name}' is '${config.metric}'")
     graft.hybrid.HybridSearch.searchIndexed(spark, ensureHybridIndex(),
         terms, queryVec, k, alpha, vectorWeight, keywordWeight)
       .withColumnRenamed("doc_id", "id")
+  }
 
   /** Batch ANN over the collection's index: one probe JOIN for the whole
     * (qid, qvec) relation — the cluster-scale form of [[searchAnn]]

@@ -218,15 +218,8 @@ object Dedup {
 
   /** Full DuckDB oracle for [[minhashLshPairsBlocked]]. */
   def minhashLshPairsBlockedSql(blockCol: String, topN: Int): String = {
-    val mhs = (0 until NumHashes).map(i => s"${minhashSql(i)} AS mh$i")
-    val sigs = (0 until Bands).map(j => s"${bandSig(j, i => s"mh$i")} AS sig$j")
-    val bandRows = (0 until Bands)
-      .map(j => s"SELECT doc_id, $j AS band, sig$j AS sig FROM sigs")
-      .mkString("\nUNION ALL\n")
     s"""WITH sh AS ($shingledSql),
-       |mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
-       |sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM mh),
-       |bands AS ($bandRows),
+       |$bandsCtesSql,
        |bs AS (
        |  SELECT bands.doc_id, bands.band, bands.sig, d.$blockCol
        |  FROM bands JOIN documents d USING (doc_id)),

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * candidate pair, twice when both the intersection and the union-size
   * denominator reference it); the merge scan is O(|A|+|B|) with zero
   * allocation. Inputs MUST be sorted distinct (graft shingle arrays are
-  * produced sorted by `Dedup.shinglesOf`); unsorted input silently
-  * undercounts, so this expression is not a general array_intersect
-  * replacement — it is the specialized pair-verification kernel.
-  * DuckDB oracle twin: `len(list_intersect(a, b))` (set semantics —
-  * element order never changes the count).
+  * produced sorted by `Dedup.shinglesOf`), and the scan THROWS when it
+  * visits a descending step — a tripwire (it cannot prove sortedness of
+  * unvisited tails) so misuse fails loudly instead of silently
+  * undercounting. Not a general array_intersect replacement — it is the
+  * specialized pair-verification kernel. DuckDB oracle twin:
+  * `len(list_intersect(a, b))` (set semantics — element order never
+  * changes the count).
   */
 case class SortedLongIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,12 +38,19 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
           s"got ${left.dataType} and ${right.dataType}")
   }
 
+  private def unsorted(): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: input array is not sorted ascending")
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0
+    var px = Long.MinValue; var py = Long.MinValue
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
+      if (x < px || y < py) unsorted()
+      px = x; py = y
       if (x == y) { n += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
@@ -55,13 +64,20 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val px = ctx.freshName("px"); val py = ctx.freshName("py")
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0, $j = 0, $n = 0;
+         |long $px = Long.MIN_VALUE, $py = Long.MIN_VALUE;
          |while ($i < $na && $j < $nb) {
          |  long $x = $a.getLong($i);
          |  long $y = $b.getLong($j);
+         |  if ($x < $px || $y < $py) {
+         |    throw new IllegalArgumentException(
+         |      "$prettyName: input array is not sorted ascending");
+         |  }
+         |  $px = $x; $py = $y;
          |  if ($x == $y) { $n++; $i++; $j++; }
          |  else if ($x < $y) { $i++; } else { $j++; }
          |}
