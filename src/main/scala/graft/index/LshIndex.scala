@@ -146,17 +146,30 @@ object LshIndex {
     * and the predicate pushes down to the bucket scan alongside the
     * partition probe (strictly better than the reference's over-fetch &
     * post-filter, `vectordb_optimized.py:530-573`, which can under-fill
-    * k). `metric` reranks with the collection's configured distance. */
+    * k). `metric` reranks with the collection's configured distance.
+    *
+    * `multiProbe` additionally probes, per band, every bucket whose
+    * value differs from the query's in ONE sign bit — the classic
+    * multi-probe LSH recall knob (Lv et al., VLDB'07): a near neighbor
+    * that lands just across one hyperplane is still found. Candidates
+    * grow from Bands to Bands·(1+BandBits) partitions (4 → 20 of 64);
+    * the probe stays a partition filter, and the result's top-k is
+    * always at-least-as-close as the single-probe result (candidate
+    * superset — pinned in IndexSpec). */
   def search(spark: SparkSession, path: String, vecCol: String,
       idCol: String, queryVec: Seq[Double], dim: Int, k: Int,
       filter: Option[org.apache.spark.sql.Column] = None,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine",
+      multiProbe: Boolean = false): DataFrame = {
     val qv = typedlit(queryVec)
     val qb = spark.range(1)
       .select((0 until Ann.Bands).map(b => Ann.bandCol(qv, b, dim)): _*)
       .collect()(0)
     val probe = (0 until Ann.Bands)
-      .map(b => col("band_idx") === b && col("band_val") === qb.getInt(b))
+      .map { b =>
+        val vals = Ann.probeVals(qb.getInt(b), multiProbe)
+        col("band_idx") === b && col("band_val").isin(vals: _*)
+      }
       .reduce(_ || _)
     val base = spark.read.parquet(s"$path/buckets").filter(probe)
     filter.map(base.filter).getOrElse(base)

@@ -40,6 +40,13 @@ object Ann {
       when(VectorFunctions.vecDot(vec, h) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Bucket values probed for one band value: the value itself plus —
+    * under multi-probe — every 1-bit flip (the buckets a near neighbor
+    * lands in when it sits just across one hyperplane). */
+  def probeVals(bandVal: Int, multiProbe: Boolean): Seq[Int] =
+    if (!multiProbe) Seq(bandVal)
+    else bandVal +: (0 until BandBits).map(j => bandVal ^ (1 << j))
+
   def bandSql(vecExpr: String, b: Int, dim: Int): String =
     (0 until BandBits).map { j =>
       val h = VectorFunctions.hashVectorSql((HyperplaneKeyBase + b * BandBits + j).toString, dim)
@@ -78,15 +85,22 @@ object Ann {
   /** `filterSql` (over columns of `relation`) applies to candidates
     * BEFORE the rerank — the filtered-ANN semantics of
     * [[graft.index.LshIndex.search]]: exact top-k among matching
-    * candidates. `metric` must mirror the searcher's rerank distance. */
+    * candidates. `metric` must mirror the searcher's rerank distance;
+    * `multiProbe` mirrors the searcher's 1-bit-flip bucket expansion. */
   def lshSearchSql(
       relation: String, vecCol: String, idCol: String,
       queryVecSql: String, dim: Int, k: Int,
       filterSql: Option[String] = None,
-      metric: String = "cosine"): String = {
+      metric: String = "cosine",
+      multiProbe: Boolean = false): String = {
     val qb = (0 until Bands).map(b => s"${bandSql("q.v", b, dim)} AS qb$b")
     val db = (0 until Bands).map(b => s"${bandSql(vecCol, b, dim)} AS b$b")
-    val anyBand = (0 until Bands).map(b => s"d.b$b = qb.qb$b").mkString(" OR ")
+    val anyBand = (0 until Bands).map { b =>
+      val vals =
+        if (!multiProbe) Seq(s"qb.qb$b")
+        else s"qb.qb$b" +: (0 until BandBits).map(j => s"xor(qb.qb$b, ${1 << j})")
+      vals.map(v => s"d.b$b = $v").mkString("(", " OR ", ")")
+    }.mkString(" OR ")
     val where = filterSql.map(f => s" AND ($f)").getOrElse("")
     s"""WITH q AS (SELECT $queryVecSql AS v),
        |qb AS (SELECT ${qb.mkString(", ")} FROM q),

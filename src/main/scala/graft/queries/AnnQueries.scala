@@ -60,6 +60,18 @@ object AnnQueries {
         hashVectorSql("11", D), D, K, filterSql = Some("label = 3"))),
       bench = true
     ),
+    // multi-probe: per band also probe every 1-bit-flip bucket (Lv et
+    // al., VLDB'07) — 20 of 64 partitions instead of 4, strictly better
+    // recall, still a partition filter
+    Q(
+      "ann_lsh_multiprobe",
+      (s, dir) =>
+        LshIndex.search(s, Indexes.lshEmb(s, dir), "embedding", "vec_id",
+          hashVectorValues(11L, D), D, K, multiProbe = true),
+      Some(Ann.lshSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, K, multiProbe = true)),
+      bench = true
+    ),
     // batch form: the banded signature as a join key — one probe join for
     // a whole query batch (the cluster-scale shape)
     Q(

@@ -167,6 +167,21 @@ class IndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("multi-probe LSH is a candidate superset: top-k at least as close") {
+    val qv = hashVectorValues(11L, D)
+    val p = Indexes.lshEmb(spark, sf)
+    val single = LshIndex.search(spark, p, "embedding", "vec_id", qv, D, 10)
+      .collect().map(_.getDouble(1)).toSeq
+    val multi = LshIndex.search(spark, p, "embedding", "vec_id", qv, D, 10,
+      multiProbe = true)
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    val md = multi.collect().map(_.getDouble(1)).toSeq
+    assert(md.size >= single.size)
+    // elementwise: the i-th best over a candidate SUPERSET can't be worse
+    single.zip(md).foreach { case (s1, m1) => assert(m1 <= s1, (s1, m1)) }
+  }
+
   test("indexed LSH search equals in-query LSH and prunes band partitions") {
     val qv = hashVectorValues(11L, D)
     val p = Indexes.lshEmb(spark, sf)
