@@ -270,13 +270,14 @@ final class VectorCollection(
     * to the exact filtered search rather than silently degrade recall.
     */
   def searchAnn(queryVec: Seq[Double], k: Int = 10,
-      filter: Option[Pred] = None): DataFrame =
+      filter: Option[Pred] = None, multiProbe: Boolean = false): DataFrame =
     if (config.metric != "cosine")
       // same (id, score) shape as the indexed path — search() returns
       // every collection column
       search(queryVec, k, filter).select("id", "score")
     else graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector",
-      "id", queryVec, config.dimensions, k, filter.map(_.column))
+      "id", queryVec, config.dimensions, k, filter.map(_.column),
+      multiProbe = multiProbe)
 
   private def textIndexPath: String =
     graft.index.IndexStore.path(spark, s"$root/${config.name}", "collbm25",
