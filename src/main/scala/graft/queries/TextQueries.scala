@@ -34,6 +34,30 @@ object TextQueries {
            |FROM documents""".stripMargin),
       bench = true
     ),
+    // per-source token-count distribution: exact interpolated quantiles
+    // (Spark percentile == DuckDB quantile_cont, both the (n−1)·p linear
+    // rule) — the corpus-profiling numbers a data curator reads before
+    // setting length filters
+    Q(
+      "text_token_quantiles",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .selectExpr("source", s"size(${wordTokens("text")}) as nt")
+          .groupBy("source")
+          .agg(
+            round(expr("percentile(nt, 0.5)"), 6).as("p50"),
+            round(expr("percentile(nt, 0.9)"), 6).as("p90"),
+            round(expr("percentile(nt, 0.99)"), 6).as("p99"))
+          .orderBy("source"),
+      Some(
+        s"""WITH n AS (
+           |  SELECT source, len(${wordTokensSql("text")}) AS nt FROM documents)
+           |SELECT source,
+           |  round(quantile_cont(nt, 0.5), 6) AS p50,
+           |  round(quantile_cont(nt, 0.9), 6) AS p90,
+           |  round(quantile_cont(nt, 0.99), 6) AS p99
+           |FROM n GROUP BY source ORDER BY source""".stripMargin)
+    ),
     Q(
       "text_quality",
       (s, dir) =>
