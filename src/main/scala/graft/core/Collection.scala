@@ -130,38 +130,47 @@ final class VectorCollection(
     * no-op and the next [[searchAnn]] builds lazily.
     */
   def insertBatch(rows: DataFrame): Unit = {
-    require(rows.select("id").distinct().count() == rows.count(),
+    // One materialization of the caller's plan, reused for the dup check,
+    // the commit, every index append, and CDC (localCheckpoint: executor
+    // storage, lineage truncated — same pattern as deleteWhere's doomed
+    // set). A lazy plan re-evaluated per consumer would let a
+    // non-deterministic source (rand/uuid/a re-read of mutable external
+    // data) commit one version of the batch and index/log another — the
+    // index is then marked ready at the new fingerprint and the wrong
+    // stored vectors never self-heal.
+    val snap = rows.localCheckpoint()
+    require(snap.select("id").distinct().count() == snap.count(),
       "duplicate ids within batch")
-    if (isEmpty) commit(rows)
+    if (isEmpty) commit(snap)
     else {
-      val dups = rows.join(df, Seq("id"), "left_semi").count()
+      val dups = snap.join(df, Seq("id"), "left_semi").count()
       require(dups == 0, s"$dups ids already exist")
       // fingerprint paths of the generation being replaced
-      val hasText = rows.columns.contains("text")
+      val hasText = snap.columns.contains("text")
       val prevAnn = annIndexPath
       val prevText = if (hasText) Some(textIndexPath) else None
       val prevHyb = if (hasText) Some(hybridIndexPath) else None
-      commit(df.unionByName(rows))
+      commit(df.unionByName(snap))
       // Best-effort: indexes are derived state (advance() already
       // swallows its own failures and leaves the path not-ready, so the
       // next search rebuilds) — a maintenance failure must never make a
       // COMMITTED insert report failure or skip its CDC events. Only
       // indexes that already exist advance; absent ones build lazily.
       graft.index.IndexStore.advance(spark, prevAnn, annIndexPath)(p =>
-        graft.index.LshIndex.append(spark, rows, "vector", "id",
-          config.dimensions, p, metaColumns(rows)))
-      def textRows = rows.select(col("id").as("doc_id"), col("text"))
+        graft.index.LshIndex.append(spark, snap, "vector", "id",
+          config.dimensions, p, metaColumns(snap)))
+      def textRows = snap.select(col("id").as("doc_id"), col("text"))
       prevText.foreach(pt =>
         graft.index.IndexStore.advance(spark, pt, textIndexPath)(p =>
           graft.index.Bm25Index.append(spark, textRows, p)))
       prevHyb.foreach(ph =>
         graft.index.IndexStore.advance(spark, ph, hybridIndexPath) { p =>
-          rows.select(col("id").as("doc_id"), col("vector").as("embedding"))
+          snap.select(col("id").as("doc_id"), col("vector").as("embedding"))
             .write.mode("append").parquet(s"$p/vectors")
           graft.index.Bm25Index.append(spark, textRows, p)
         })
     }
-    logEvents("insert", rows.select("id"))
+    logEvents("insert", snap.select("id"))
   }
 
   /** Delete-then-insert by id (reference upsert, `:418-423`). Rejects
@@ -170,12 +179,15 @@ final class VectorCollection(
     * (the reference's dict-based upsert cannot express two rows per id).
     */
   def upsert(rows: DataFrame): Unit = {
-    require(rows.select("id").distinct().count() == rows.count(),
+    // same single-materialization rule as insertBatch: the committed rows
+    // and the CDC ids must come from ONE evaluation of the caller's plan
+    val snap = rows.localCheckpoint()
+    require(snap.select("id").distinct().count() == snap.count(),
       "duplicate ids within batch")
-    if (isEmpty) commit(rows)
-    else commit(df.join(rows.select("id"), Seq("id"), "left_anti")
-      .unionByName(rows))
-    logEvents("upsert", rows.select("id"))
+    if (isEmpty) commit(snap)
+    else commit(df.join(snap.select("id"), Seq("id"), "left_anti")
+      .unionByName(snap))
+    logEvents("upsert", snap.select("id"))
   }
 
   /** Delete rows matching the predicate; returns deleted count.

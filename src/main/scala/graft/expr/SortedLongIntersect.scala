@@ -42,12 +42,29 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     throw new IllegalArgumentException(
       s"$prettyName: input array is not sorted ascending")
 
+  private def nullElement(): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: null array element (inputs must be dense shingle arrays)")
+
+  // Static nullability of each side: shinglesOf arrays are dense, but a
+  // schema that ADMITS null elements must pay a runtime check — getLong on
+  // a null slot reads an undefined value (0 for UnsafeArrayData) and would
+  // silently miscount without even tripping the sortedness tripwire. The
+  // check is emitted only when the static type says containsNull=true, so
+  // the dense hot path stays branch-free.
+  private def mayHaveNulls(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val checkA = mayHaveNulls(left); val checkB = mayHaveNulls(right)
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0
     var px = Long.MinValue; var py = Long.MinValue
     while (i < na && j < nb) {
+      if ((checkA && a.isNullAt(i)) || (checkB && b.isNullAt(j))) nullElement()
       val x = a.getLong(i); val y = b.getLong(j)
       if (x < px || y < py) unsorted()
       px = x; py = y
@@ -65,12 +82,22 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val px = ctx.freshName("px"); val py = ctx.freshName("py")
+      val nullCheck = (if (mayHaveNulls(left)) s"$a.isNullAt($i)" :: Nil else Nil) ++
+        (if (mayHaveNulls(right)) s"$b.isNullAt($j)" :: Nil else Nil)
+      val nullGuard =
+        if (nullCheck.isEmpty) ""
+        else
+          s"""if (${nullCheck.mkString(" || ")}) {
+             |  throw new IllegalArgumentException(
+             |    "$prettyName: null array element (inputs must be dense shingle arrays)");
+             |}""".stripMargin
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0, $j = 0, $n = 0;
          |long $px = Long.MIN_VALUE, $py = Long.MIN_VALUE;
          |while ($i < $na && $j < $nb) {
+         |  $nullGuard
          |  long $x = $a.getLong($i);
          |  long $y = $b.getLong($j);
          |  if ($x < $px || $y < $py) {

@@ -138,8 +138,10 @@ object LshIndex {
   }
 
   /** Probe the 4 query buckets, dedup candidates, exact rerank.
-    * Query band values are computed through the engine (one tiny job) so
-    * the sign arithmetic is bit-identical with the build.
+    * Query band values are computed driver-side (`Ann.bandValues`, the
+    * same left-to-right double accumulation as the build's codegen
+    * kernel — bit-identical, pinned by AnnSpec), so a single-query probe
+    * launches no job before the probe scan itself.
     *
     * `filter` (over metadata columns stored in the bucket rows) applies
     * BEFORE the rerank — exact filtered top-k among matching candidates,
@@ -162,12 +164,10 @@ object LshIndex {
       metric: String = "cosine",
       multiProbe: Boolean = false): DataFrame = {
     val qv = typedlit(queryVec)
-    val qb = spark.range(1)
-      .select((0 until Ann.Bands).map(b => Ann.bandCol(qv, b, dim)): _*)
-      .collect()(0)
+    val qb = Ann.bandValues(queryVec, dim)
     val probe = (0 until Ann.Bands)
       .map { b =>
-        val vals = Ann.probeVals(qb.getInt(b), multiProbe)
+        val vals = Ann.probeVals(qb(b), multiProbe)
         col("band_idx") === b && col("band_val").isin(vals: _*)
       }
       .reduce(_ || _)

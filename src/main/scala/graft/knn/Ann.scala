@@ -40,6 +40,25 @@ object Ann {
       when(VectorFunctions.vecDot(vec, h) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Driver-side [[bandCol]] for a CONSTANT query vector: the same
+    * strictly-left-to-right double accumulation as the codegen kernel
+    * (graft.expr.DotProduct), so the values are bit-identical with what
+    * the engine computes over `typedlit(queryVec)` — pinned by AnnSpec.
+    * Lets index probes (LshIndex.search, the AnnTopK optimizer rule)
+    * derive their partition filters without running a Spark job. */
+  def bandValues(queryVec: Seq[Double], dim: Int): Seq[Int] = {
+    val q = queryVec.toArray
+    (0 until Bands).map { b =>
+      (0 until BandBits).map { j =>
+        val h = hyperplane(b * BandBits + j, dim)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += q(i) * h(i); i += 1 }
+        if (dot > 0.0) 1 << j else 0
+      }.sum
+    }
+  }
+
   /** Bucket values probed for one band value: the value itself plus —
     * under multi-probe — every 1-bit flip (the buckets a near neighbor
     * lands in when it sits just across one hyperplane). */

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, first, typedlit}
+import org.apache.spark.sql.functions.{col, first}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.expr.CosineDistance
 import graft.knn.Ann
@@ -29,22 +29,43 @@ import graft.knn.Ann
   */
 object IndexedTables {
   final case class Reg(vecCol: String, idCol: String, dim: Int,
-      indexPath: String)
+      indexPath: String, sources: Seq[String])
 
+  // Keyed by (session UUID, qualified data path): registration is a
+  // SESSION-scoped opt-in — another session in the same JVM (with or
+  // without GraftExtensions) never inherits ANN semantics it didn't ask
+  // for.
   private val regs = new ConcurrentHashMap[String, Reg]()
 
   private def qualify(spark: SparkSession, p: String): String =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(new Path(p)).toString
 
+  private def uuid(spark: SparkSession): String =
+    org.apache.spark.sql.graft.bridge.sessionUuid(spark)
+
   def register(spark: SparkSession, dataPath: String, vecCol: String,
       idCol: String, dim: Int, indexPath: String): Unit =
-    regs.put(qualify(spark, dataPath), Reg(vecCol, idCol, dim, indexPath))
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+      Reg(vecCol, idCol, dim, indexPath, Seq(dataPath)))
 
+  /** The registration for this session and scan, IF its index is still
+    * live: the index must be READY and its fingerprint suffix must match
+    * the CURRENT fingerprint of the registered sources — a table whose
+    * parquet was rewritten after registration declines (the pinned index
+    * serves candidates for the PREVIOUS generation; IndexStore would
+    * rebuild at a new path, but the registry can't know the rebuild
+    * happened). Freshness checks are driver-side filesystem metadata —
+    * no Spark job. */
   def lookup(spark: SparkSession, rootPaths: Seq[Path]): Option[Reg] =
     rootPaths match {
-      case Seq(p) => Option(regs.get(p.toString))
-      case _      => None
+      case Seq(p) =>
+        Option(regs.get(s"${uuid(spark)}|$p")).filter { reg =>
+          graft.index.IndexStore.ready(spark, reg.indexPath) &&
+            reg.indexPath.endsWith(
+              "_" + graft.index.IndexStore.fingerprint(spark, reg.sources))
+        }
+      case _ => None
     }
 
   def clear(): Unit = regs.clear()
@@ -143,29 +164,16 @@ final case class AnnTopKRewrite(spark: SparkSession)
 
   private def splice(gl: LogicalPlan, scan: LogicalRelation,
       reg: IndexedTables.Reg, qv: Seq[Double]): Option[LogicalPlan] = {
-    // query band values through the engine (one 1-row local job) so the
-    // sign arithmetic is bit-identical with the build — same convention
-    // as LshIndex.search
-    val qb = spark.range(1)
-      .select((0 until Ann.Bands).map(b =>
-        Ann.bandCol(typedlit(qv), b, reg.dim)): _*)
-      .collect()(0)
-    val probe = (0 until Ann.Bands)
-      .map(b => col("band_idx") === b && col("band_val") === qb.getInt(b))
-      .reduce(_ || _)
     val names = scan.output.map(_.name)
-    // dedup collisions (an id matches in up to Bands buckets) as an
-    // explicit Aggregate: rows of one id are identical after the band
-    // columns are dropped, so first() is value-deterministic. Deduplicate
-    // would arrive after ReplaceDeduplicateWithAggregate already ran.
-    val others = names.filterNot(_ == reg.idCol)
-    val cand = spark.read.parquet(s"${reg.indexPath}/buckets")
-      .filter(probe)
-      .groupBy(col(reg.idCol))
-      .agg(first(col(others.head)).as(others.head),
-        others.tail.map(c => first(col(c)).as(c)): _*)
-      .select(names.map(col): _*)
-    val candPlan = cand.queryExecution.analyzed
+    // Everything below is driver-side plan construction — an optimizer
+    // rule must not run Spark jobs: band values come from Ann.bandValues
+    // (bit-identical with the build's codegen arithmetic, pinned by
+    // AnnSpec) instead of a 1-row collect, and the analyzed candidate
+    // plan (whose spark.read.parquet pays file listing + schema read) is
+    // cached per (indexPath, query, columns) so re-planning the same
+    // query is free. The indexPath embeds the source fingerprint, so a
+    // regenerated table can never hit a stale cache entry.
+    val candPlan = AnnTopK.candidatePlan(spark, reg, qv, names)
     // splice only if the bucket table carries every table column, then
     // restore the original output exprIds so the untouched sort/limit/
     // projections above still resolve
@@ -192,4 +200,38 @@ object AnnTopK {
         .exists(_.isInstanceOf[AnnTopKRewrite]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AnnTopKRewrite(spark)
+
+  private val candCache =
+    new ConcurrentHashMap[(String, Seq[Double], Seq[String]), LogicalPlan]()
+
+  /** Analyzed bucket-probe candidate plan for (index, query, columns) —
+    * built once, then served from cache on every re-optimization of the
+    * same query shape. Reusing ONE analyzed plan means reusing its
+    * exprIds; that is safe here because each splice re-aliases every
+    * output to the target scan's own exprIds, and a single query never
+    * matches two scans (the rewrite requires exactly one registered
+    * scan). */
+  private[plans] def candidatePlan(spark: SparkSession,
+      reg: IndexedTables.Reg, qv: Seq[Double],
+      names: Seq[String]): LogicalPlan =
+    candCache.computeIfAbsent((reg.indexPath, qv, names), _ => {
+      if (candCache.size > 64) candCache.clear()
+      val qb = Ann.bandValues(qv, reg.dim)
+      val probe = (0 until Ann.Bands)
+        .map(b => col("band_idx") === b && col("band_val") === qb(b))
+        .reduce(_ || _)
+      // dedup collisions (an id matches in up to Bands buckets) as an
+      // explicit Aggregate: rows of one id are identical after the band
+      // columns are dropped, so first() is value-deterministic.
+      // Deduplicate would arrive after ReplaceDeduplicateWithAggregate
+      // already ran.
+      val others = names.filterNot(_ == reg.idCol)
+      spark.read.parquet(s"${reg.indexPath}/buckets")
+        .filter(probe)
+        .groupBy(col(reg.idCol))
+        .agg(first(col(others.head)).as(others.head),
+          others.tail.map(c => first(col(c)).as(c)): _*)
+        .select(names.map(col): _*)
+        .queryExecution.analyzed
+    })
 }

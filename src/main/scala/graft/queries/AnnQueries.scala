@@ -232,6 +232,26 @@ object AnnQueries {
       dir: String): graft.core.VectorCollection = {
     import org.apache.spark.sql.functions.col
     val fp = IndexStore.fingerprint(s, Seq(s"$dir/embeddings.parquet"))
+    // Prune stale-fingerprint siblings of this scratch collection —
+    // mirrors IndexStore.ensure's stale-sibling removal, which doesn't
+    // apply here (collections live under _collections, not an index
+    // kind dir). Without this, every testdata regen leaks a full
+    // collection + its indexes into the tmp root forever.
+    val collRoot = new org.apache.hadoop.fs.Path(
+      s"${IndexStore.root}/_collections")
+    val fsys = collRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prefix = s"${IndexStore.slug(dir)}_"
+    if (fsys.exists(collRoot))
+      fsys.listStatus(collRoot).foreach { st =>
+        val n = st.getPath.getName
+        // only dirs whose suffix is a bare fingerprint (hex, no '_') —
+        // another dataset whose slug merely starts with this slug must
+        // not be swept up
+        val suffix = n.stripPrefix(prefix)
+        if (n.startsWith(prefix) && suffix != fp &&
+            suffix.matches("[0-9a-f]+"))
+          fsys.delete(st.getPath, true)
+      }
     val vdb = new graft.core.VectorDb(s,
       s"${IndexStore.root}/_collections/${IndexStore.slug(dir)}_$fp")
     val coll = vdb.getOrCreateCollection("emb", D, "cosine")

@@ -12,4 +12,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable per-session identity (`sessionUUID` is `private[sql]`) —
+    * used to key session-scoped registries like graft's IndexedTables. */
+  def sessionUuid(s: org.apache.spark.sql.SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

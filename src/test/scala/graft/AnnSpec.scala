@@ -50,4 +50,32 @@ class AnnSpec extends AnyFunSuite {
     info(s"IVF recall@10 (nprobe=4/16) = $recall")
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
+
+  test("driver-side bandValues is bit-identical with the engine's bandCol") {
+    // index probes (LshIndex.search, the AnnTopK optimizer rule) derive
+    // partition filters from Ann.bandValues WITHOUT a Spark job; a single
+    // sign bit differing from the build-side codegen arithmetic would
+    // probe the wrong bucket and silently lose the true neighbor. Cover
+    // hash vectors (the testdata family), including components near the
+    // sign boundary, across several dims.
+    for (dim <- Seq(3, 16, D); key <- 0L until 24L) {
+      val v = hashVectorValues(key, dim)
+      val engine = spark.range(1)
+        .select((0 until Ann.Bands).map(b =>
+          Ann.bandCol(typedlit(v), b, dim)): _*)
+        .collect()(0)
+      val driver = Ann.bandValues(v, dim)
+      assert((0 until Ann.Bands).map(engine.getInt) == driver,
+        s"key=$key dim=$dim")
+    }
+    // negated and scaled variants exercise the dot>0 branch both ways
+    for (key <- 0L until 8L) {
+      val v = hashVectorValues(key, D).map(x => -3.7 * x)
+      val engine = spark.range(1)
+        .select((0 until Ann.Bands).map(b =>
+          Ann.bandCol(typedlit(v), b, D)): _*)
+        .collect()(0)
+      assert((0 until Ann.Bands).map(engine.getInt) == Ann.bandValues(v, D))
+    }
+  }
 }
