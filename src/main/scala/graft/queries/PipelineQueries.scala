@@ -22,6 +22,8 @@ object PipelineQueries {
     * every testdata scale factor, incl. the shorter sf0.001 docs). */
   private val MinSharedShingles = 2
   private val TopN = 20
+  /** Token budget per packed training sequence (pipeline_pack). */
+  private val PackBudget = 4096
 
   val qs: Seq[Q] = Seq(
     // nightly shape: dedup the NEW batch against the standing corpus —
@@ -109,6 +111,151 @@ object PipelineQueries {
            |ORDER BY n_shared DESC, doc_id, eval_id LIMIT $TopN""".stripMargin
       },
       bench = true
+    ),
+    // PII scrub: detect + redact emails/phones/IPv4 before anything else
+    // reads the text (per-row regex passes, no shuffle — linear at
+    // 100 TB). The synthetic corpus carries no PII, so a deterministic
+    // doc_id-keyed injection seeds it first — the operator under test is
+    // graft.text.Pii (patterns shared verbatim with the DuckDB oracle).
+    Q(
+      "pipeline_pii",
+      (s, dir) => {
+        import graft.text.Pii
+        val aug = concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad(((col("doc_id") * 7919) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), ((col("doc_id") * 31) % 256).cast("string")))
+            .otherwise(lit("")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), aug.as("t2"))
+          .select(col("source"),
+            Pii.emailCount(col("t2")).as("ne"),
+            Pii.phoneCount(col("t2")).as("np"),
+            Pii.ipCount(col("t2")).as("ni"),
+            (length(col("t2")) - length(Pii.redact(col("t2")))).as("dlen"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ne").as("n_emails"),
+            sum("np").as("n_phones"),
+            sum("ni").as("n_ips"),
+            sum(when(col("ne") + col("np") + col("ni") > 0, 1L)
+              .otherwise(0L)).as("docs_flagged"),
+            sum("dlen").as("chars_redacted"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.text.Pii
+        val aug = "text" +
+          " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||" +
+          " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+          " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||" +
+          " lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+          " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' ||" +
+          " CAST(doc_id % 256 AS VARCHAR) || '.0.' ||" +
+          " CAST((doc_id * 31) % 256 AS VARCHAR) ELSE '' END"
+        s"""WITH aug AS (
+           |  SELECT doc_id, source, $aug AS t2 FROM documents),
+           |det AS (
+           |  SELECT source,
+           |         ${Pii.emailCountSql("t2")} AS ne,
+           |         ${Pii.phoneCountSql("t2")} AS np,
+           |         ${Pii.ipCountSql("t2")} AS ni,
+           |         length(t2) - length(${Pii.redactSql("t2")}) AS dlen
+           |  FROM aug)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(ne) AS BIGINT) AS n_emails,
+           |       CAST(sum(np) AS BIGINT) AS n_phones,
+           |       CAST(sum(ni) AS BIGINT) AS n_ips,
+           |       CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS docs_flagged,
+           |       CAST(sum(dlen) AS BIGINT) AS chars_redacted
+           |FROM det GROUP BY source ORDER BY source""".stripMargin
+      },
+      bench = true
+    ),
+    // sequence packing: fill fixed token-budget bins per source in
+    // doc_id order (running-sum window partitioned BY SOURCE — the
+    // packing parallelizes across sources/shards instead of one global
+    // sort) — the batch-shaping pass between curation and tokenization.
+    Q(
+      "pipeline_pack",
+      (s, dir) => {
+        import graft.text.TextAnalysis.wordTokens
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .selectExpr("doc_id", "source",
+            s"size(${wordTokens("text")}) as n_tokens")
+          .withColumn("prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("bin",
+            floor(col("prev") / lit(PackBudget.toDouble)).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+          .orderBy("source", "bin")
+      },
+      Some {
+        import graft.text.TextAnalysis.wordTokensSql
+        s"""WITH d AS (
+           |  SELECT doc_id, source, len(${wordTokensSql("text")}) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, n_tokens,
+           |         coalesce(sum(n_tokens) OVER (
+           |           PARTITION BY source ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS prev
+           |  FROM d)
+           |SELECT source, CAST(floor(prev / ${PackBudget}.0) AS BIGINT) AS bin,
+           |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
+      bench = true
+    ),
+    // domain mixing: deterministic per-source sampling rates (src0 keeps
+    // 100%, src9 keeps 10%) via the same affine id hash as the split —
+    // rerun/partitioning/engine stable, no RNG state to coordinate
+    // across 1000 executors.
+    Q(
+      "pipeline_sample",
+      (s, dir) => {
+        import graft.text.TextAnalysis.wordTokens
+        Tables.documents(s, dir)
+          .selectExpr("doc_id", "source",
+            s"size(${wordTokens("text")}) as n_tokens")
+          .withColumn("keep_pct",
+            lit(100) - lit(10) * substring(col("source"), 4, 10).cast("int"))
+          .withColumn("keep",
+            (col("doc_id") * Dedup.Knuth) % Dedup.P % 100 < col("keep_pct"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+              .as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.text.TextAnalysis.wordTokensSql
+        s"""WITH d AS (
+           |  SELECT doc_id, source, len(${wordTokensSql("text")}) AS n_tokens,
+           |         100 - 10 * CAST(substr(source, 4) AS INTEGER) AS keep_pct
+           |  FROM documents)
+           |SELECT source, count(*) AS n_total,
+           |       CAST(sum(CASE WHEN (doc_id * ${Dedup.Knuth}) % ${Dedup.P} % 100
+           |                          < keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_kept,
+           |       CAST(sum(CASE WHEN (doc_id * ${Dedup.Knuth}) % ${Dedup.P} % 100
+           |                          < keep_pct THEN n_tokens ELSE 0 END) AS BIGINT)
+           |         AS kept_tokens
+           |FROM d GROUP BY source ORDER BY source""".stripMargin
+      }
     ),
     // deterministic stratified split: bucket = affine hash of doc_id →
     // train/val/test, summarized per (source, split). Pure integer

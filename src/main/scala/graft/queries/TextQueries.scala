@@ -138,6 +138,92 @@ object TextQueries {
         s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
            |FROM documents""".stripMargin),
       bench = true
+    ),
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    // duplicate-word fraction and most-common-bigram fraction per doc —
+    // the filters that catch boilerplate and degenerate generations.
+    // Bigram counting goes through explode + groupBy (distributed — the
+    // per-doc bigram multiset never materializes as one row), then joins
+    // back to the per-doc scalars.
+    Q(
+      "text_repetition",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .selectExpr("doc_id", "source", s"${wordTokens("text")} as t")
+          .selectExpr("doc_id", "source", "t",
+            "size(t) as n", "size(array_distinct(t)) as nd")
+          .filter(col("n") >= 2)
+        val top = base
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+            .as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
+        base.join(top, Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            round(lit(1.0) - col("nd").cast("double") / col("n"), 6)
+              .as("dup_word_frac"),
+            round(col("top_bg").cast("double") / (col("n") - 1), 6)
+              .as("top_bigram_frac"))
+          .orderBy(desc("dup_word_frac"), col("doc_id"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, source, ${wordTokensSql("text")} AS t FROM documents),
+           |base AS (
+           |  SELECT doc_id, source, t, len(t) AS n, len(list_distinct(t)) AS nd
+           |  FROM tok WHERE len(t) >= 2),
+           |bg AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(len(t)-1),
+           |                               i -> t[i+1] || ' ' || t[i+2])) AS bg
+           |  FROM base),
+           |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+           |top AS (SELECT doc_id, max(c) AS top_bg FROM bgc GROUP BY 1)
+           |SELECT b.doc_id, b.source,
+           |       round(1.0::DOUBLE - nd::DOUBLE / n, 6) AS dup_word_frac,
+           |       round(top_bg::DOUBLE / (n - 1), 6) AS top_bigram_frac
+           |FROM base b JOIN top USING (doc_id)
+           |ORDER BY dup_word_frac DESC, doc_id LIMIT 20""".stripMargin),
+      bench = true
+    ),
+    // corpus-profiling: the 3 most common bigrams per source (explode →
+    // count → per-source top-k window) — the n-gram table a curator
+    // scans for templated/boilerplate text before writing filters
+    Q(
+      "text_ngram_topk",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("c"), col("bg"))
+        Tables.documents(s, dir)
+          .selectExpr("source", s"${wordTokens("text")} as t")
+          .filter(size(col("t")) >= 2)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+            .as("bg"))
+          .groupBy("source", "bg").agg(count(lit(1)).as("c"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("source", "rnk", "bg", "c")
+          .orderBy("source", "rnk")
+      },
+      Some(
+        s"""WITH tok AS (
+           |  SELECT source, ${wordTokensSql("text")} AS t FROM documents),
+           |bg AS (
+           |  SELECT source,
+           |         unnest(list_transform(range(len(t)-1),
+           |                               i -> t[i+1] || ' ' || t[i+2])) AS bg
+           |  FROM tok WHERE len(t) >= 2),
+           |bgc AS (SELECT source, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT source, bg, c,
+           |         row_number() OVER (PARTITION BY source
+           |                            ORDER BY c DESC, bg) AS rnk
+           |  FROM bgc)
+           |SELECT source, CAST(rnk AS INTEGER) AS rnk, bg, CAST(c AS BIGINT) AS c
+           |FROM ranked WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin)
     )
   )
 }
