@@ -76,6 +76,60 @@ class AnnTopKSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("a rewritten table declines: stale registration never serves") {
+    // the registry pins an indexPath at register time; if the table's
+    // parquet is regenerated afterwards the pinned index holds the OLD
+    // generation's candidates — lookup must decline (fingerprint suffix
+    // no longer matches the live files) and leave the exact plan
+    AnnTopK.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    val data = s"$tmp/emb"
+    Tables.embeddings(spark, sf).limit(200).write.parquet(data)
+    val idx = graft.index.IndexStore.path(spark, data, "testlsh", Seq(data))
+    graft.index.IndexStore.ensure(spark, idx)(p =>
+      LshIndex.build(spark, spark.read.parquet(data), "embedding", "vec_id",
+        D, p, Seq("label")))
+    IndexedTables.register(spark, data, "embedding", "vec_id", D, idx)
+    try {
+      val qc = typedlit(hashVectorValues(11L, D))
+      def q() = spark.read.parquet(data)
+        .orderBy(round(cosineDistance(col("embedding"), qc), 6),
+          col("vec_id"))
+        .limit(K)
+        .select(col("vec_id"),
+          round(cosineDistance(col("embedding"), qc), 6).as("score"))
+      assert(q().queryExecution.executedPlan.toString.contains("band_idx"))
+      // regenerate the table (different row count ⇒ different file
+      // lengths ⇒ new fingerprint) — the pinned index is now stale
+      spark.read.parquet(data).limit(100).write
+        .mode("overwrite").parquet(data)
+      spark.catalog.refreshByPath(data)
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains("band_idx"), plan)
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    } finally IndexedTables.clear()
+  }
+
+  test("registration is session-scoped: a sibling session is untouched") {
+    AnnTopK.install(spark)
+    IndexedTables.register(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.lshEmb(spark, sf))
+    try {
+      val s2 = spark.newSession()
+      AnnTopK.install(s2)
+      val qc = typedlit(hashVectorValues(11L, D))
+      val q = s2.read.parquet(s"$sf/embeddings.parquet")
+        .orderBy(round(cosineDistance(col("embedding"), qc), 6),
+          col("vec_id"))
+        .limit(K)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("band_idx"), plan)
+      // and the original session still rewrites
+      assert(topK().queryExecution.executedPlan.toString
+        .contains("band_idx"))
+    } finally IndexedTables.clear()
+  }
+
   test("a filter between sort and scan stays on the candidate subset") {
     AnnTopK.install(spark)
     IndexedTables.register(spark, s"$sf/embeddings.parquet",
