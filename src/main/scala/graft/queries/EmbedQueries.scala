@@ -44,6 +44,38 @@ object EmbedQueries {
            |FROM d, q ORDER BY score, doc_id LIMIT $K""".stripMargin
       },
       bench = true
+    ),
+    // embedding-table health profile: per-label count and norm
+    // statistics — the first thing a curator checks before trusting an
+    // embedding column (all-zero vectors, norm drift between shards).
+    // The mean goes through 6-decimal micro-unit integer sums so it is
+    // independent of partition/accumulation order (double sums are not).
+    Q(
+      "embedding_stats",
+      (s, dir) => {
+        val nrm = sqrt(vecDot(col("embedding"), col("embedding")))
+        Tables.embeddings(s, dir)
+          .select(col("label"), round(nrm, 6).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(nrm * 1000000) as bigint)")).as("s6"),
+            min("nrm").as("min_norm"),
+            max("nrm").as("max_norm"))
+          .select(col("label"), col("n"),
+            round(col("s6") / 1000000.0 / col("n"), 6).as("avg_norm"),
+            col("min_norm"), col("max_norm"))
+          .orderBy("label")
+      },
+      Some(
+        s"""WITH d AS (
+           |  SELECT label,
+           |         round(${normSql("embedding", D)}, 6) AS nrm
+           |  FROM embeddings)
+           |SELECT label, count(*) AS n,
+           |       round(CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS BIGINT)
+           |             / 1000000.0 / count(*), 6) AS avg_norm,
+           |       min(nrm) AS min_norm, max(nrm) AS max_norm
+           |FROM d GROUP BY label ORDER BY label""".stripMargin)
     )
   )
 }

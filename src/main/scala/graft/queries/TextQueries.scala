@@ -188,6 +188,45 @@ object TextQueries {
            |ORDER BY dup_word_frac DESC, doc_id LIMIT 20""".stripMargin),
       bench = true
     ),
+    // token accounting across the three tokenizers a pipeline actually
+    // uses: whitespace (display), \w+ (indexing/BM25), and the BPE-ish
+    // pre-tokenizer (training-budget estimation) — per source, with the
+    // bpe-per-word inflation ratio curators use to convert corpus sizes
+    // into training-token budgets
+    Q(
+      "text_bpe_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"),
+            expr(s"size(${wsTokens("text")})").as("nws"),
+            expr(s"size(${wordTokens("text")})").as("nw"),
+            size(graft.text.TextAnalysis.bpeTokens(col("text"))).as("nb"))
+          .groupBy("source")
+          .agg(sum("nws").as("ws_tokens"),
+            sum("nw").as("word_tokens"),
+            sum("nb").as("bpe_tokens"))
+          .select(col("source"), col("ws_tokens"), col("word_tokens"),
+            col("bpe_tokens"),
+            round(col("bpe_tokens").cast("double") / col("word_tokens"), 6)
+              .as("bpe_per_word"))
+          .orderBy("source"),
+      Some(
+        s"""WITH d AS (
+           |  SELECT source,
+           |         len(${wsTokensSql("text")}) AS nws,
+           |         len(${wordTokensSql("text")}) AS nw,
+           |         len(${graft.text.TextAnalysis.bpeTokensSql("text")}) AS nb
+           |  FROM documents),
+           |agg AS (
+           |  SELECT source,
+           |         CAST(sum(nws) AS BIGINT) AS ws_tokens,
+           |         CAST(sum(nw) AS BIGINT) AS word_tokens,
+           |         CAST(sum(nb) AS BIGINT) AS bpe_tokens
+           |  FROM d GROUP BY source)
+           |SELECT source, ws_tokens, word_tokens, bpe_tokens,
+           |       round(bpe_tokens::DOUBLE / word_tokens, 6) AS bpe_per_word
+           |FROM agg ORDER BY source""".stripMargin)
+    ),
     // corpus-profiling: the 3 most common bigrams per source (explode →
     // count → per-source top-k window) — the n-gram table a curator
     // scans for templated/boilerplate text before writing filters

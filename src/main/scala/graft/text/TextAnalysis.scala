@@ -34,6 +34,26 @@ object TextAnalysis {
   def wordTokensSql(text: String): String =
     s"regexp_extract_all(lower($text), '\\w+')"
 
+  /** BPE-ish pre-tokenizer: the GPT-2 pattern family (contraction
+    * suffixes | space?-letters | space?-digits | space?-punctuation run),
+    * restricted to the lookahead-free subset Java's engine and RE2
+    * (DuckDB) interpret identically — the \\s+(?!\\S) trailing-space
+    * branch is dropped (runs of spaces fold into the next token's
+    * optional leading space, matching how token COUNTS are used for
+    * budget accounting). This is the "how many tokens will the trainer
+    * see" estimator, distinct from the \\w+ indexing tokenizer above. */
+  private val BpePat =
+    """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"""
+  /** Column-API form (the pattern contains a quote — going through the
+    * DSL sidesteps two layers of SQL-literal escaping). Group 0 = whole
+    * match (the pattern's only group is non-capturing). */
+  def bpeTokens(text: Column): Column =
+    org.apache.spark.sql.functions.regexp_extract_all(
+      text, org.apache.spark.sql.functions.lit(BpePat),
+      org.apache.spark.sql.functions.lit(0))
+  def bpeTokensSql(text: String): String =
+    s"regexp_extract_all($text, '${BpePat.replace("'", "''")}')"
+
   /** Per-token polynomial hash: fold (acc·31 + ascii(char)) mod M.
     * Public: the dedup operators hash shingles with the same kernel. */
   // Lambda variables are deliberately obscure (`gci`/`gca`/`gcc`): the
