@@ -156,9 +156,16 @@ final class VectorCollection(
       // next search rebuilds) — a maintenance failure must never make a
       // COMMITTED insert report failure or skip its CDC events. Only
       // indexes that already exist advance; absent ones build lazily.
-      graft.index.IndexStore.advance(spark, prevAnn, annIndexPath)(p =>
-        graft.index.LshIndex.append(spark, snap, "vector", "id",
-          config.dimensions, p, metaColumns(snap)))
+      if (annKind.isDefined)
+        graft.index.IndexStore.advance(spark, prevAnn, annIndexPath)(p =>
+          config.metric match {
+            case "cosine" =>
+              graft.index.LshIndex.append(spark, snap, "vector", "id",
+                config.dimensions, p, metaColumns(snap))
+            case _ =>
+              graft.index.IvfIndex.append(spark, snap, "vector", "id", p,
+                metaColumns(snap), stringIds = true)
+          })
       def textRows = snap.select(col("id").as("doc_id"), col("text"))
       prevText.foreach(pt =>
         graft.index.IndexStore.advance(spark, pt, textIndexPath)(p =>
@@ -246,24 +253,51 @@ final class VectorCollection(
   private def metaColumns(d: DataFrame): Seq[String] =
     d.columns.toSeq.filterNot(c => c == "id" || c == "vector")
 
-  /** This collection's LSH index path for the CURRENT data generation:
+  /** This collection's ANN index path for the CURRENT data generation:
     * the fingerprint is computed from the live data files, so EVERY
     * committed mutation moves the path and a stale index can never be
     * served — the wiring that makes the persistent index layer follow
     * the collection the way the reference's in-memory indexes follow its
-    * mutations (`vectordb_optimized.py:337-365, 467-501`). */
-  private def annIndexPath: String =
-    graft.index.IndexStore.path(spark, s"$root/${config.name}", "colllsh",
-      Seq(dataPath.toString))
+    * mutations (`vectordb_optimized.py:337-365, 467-501`). The index
+    * family follows the metric: sign-hyperplane LSH is a cosine family,
+    * so cosine collections carry LSH buckets and l2 collections carry an
+    * IVF cell layout (k-means Voronoi = native l2 geometry); ip has no
+    * index family here (MIPS favors large-norm vectors at moderate
+    * angles — neither family bounds that) and stays exact. */
+  private def annKind: Option[String] = config.metric match {
+    case "cosine" => Some("colllsh")
+    case "l2"     => Some("collivf")
+    case _        => None
+  }
 
-  /** Build-if-absent the collection's persistent LSH index (build once,
+  private def annIndexPath: String =
+    graft.index.IndexStore.path(spark, s"$root/${config.name}",
+      annKind.getOrElse("collnone"), Seq(dataPath.toString))
+
+  /** Fixed deterministic IVF geometry for l2 collections (same
+    * oracle-friendly codebook family as the testdata IVF paths). */
+  private val IvfCells = 16
+  private val IvfNprobe = 4
+
+  /** Build-if-absent the collection's persistent ANN index (build once,
     * probe many; rebuilds only when the data generation changed and no
     * incremental advance covered it). Returns the index path. */
   def ensureAnnIndex(): String = {
     val data = df
-    graft.index.IndexStore.ensure(spark, annIndexPath)(p =>
-      graft.index.LshIndex.build(spark, data, "vector", "id",
-        config.dimensions, p, metaColumns(data)))
+    config.metric match {
+      case "cosine" =>
+        graft.index.IndexStore.ensure(spark, annIndexPath)(p =>
+          graft.index.LshIndex.build(spark, data, "vector", "id",
+            config.dimensions, p, metaColumns(data)))
+      case "l2" =>
+        graft.index.IndexStore.ensure(spark, annIndexPath)(p =>
+          graft.index.IvfIndex.build(spark, data, "vector", "id",
+            graft.knn.Ann.fixedIvfModel(IvfCells, config.dimensions), p,
+            metaColumns(data), stringIds = true))
+      case m =>
+        throw new IllegalArgumentException(
+          s"no ANN index family for metric '$m' — searchAnn runs exact")
+    }
   }
 
   /** ANN search over the collection's own persistent LSH index: 4-of-64
@@ -275,21 +309,28 @@ final class VectorCollection(
     * search rebuilds (or, after a pure insert, reuses the
     * incrementally-advanced index).
     *
-    * The sign-hyperplane signatures are a COSINE similarity family;
-    * for an l2/ip collection candidates from them can miss the true
-    * neighbor arbitrarily (e.g. max-inner-product favors large-norm
-    * vectors at moderate angles), so non-cosine collections fall back
-    * to the exact filtered search rather than silently degrade recall.
+    * The index family follows the metric ([[annKind]]): cosine probes
+    * LSH buckets, l2 probes IVF cells (reranked with the true l2
+    * distance), ip falls back to the exact filtered search rather than
+    * silently degrade recall. `multiProbe` is the recall knob of both
+    * families — 1-bit-flip buckets for LSH, doubled nprobe for IVF.
     */
   def searchAnn(queryVec: Seq[Double], k: Int = 10,
       filter: Option[Pred] = None, multiProbe: Boolean = false): DataFrame =
-    if (config.metric != "cosine")
-      // same (id, score) shape as the indexed path — search() returns
-      // every collection column
-      search(queryVec, k, filter).select("id", "score")
-    else graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector",
-      "id", queryVec, config.dimensions, k, filter.map(_.column),
-      multiProbe = multiProbe)
+    config.metric match {
+      case "cosine" =>
+        graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector",
+          "id", queryVec, config.dimensions, k, filter.map(_.column),
+          multiProbe = multiProbe)
+      case "l2" =>
+        graft.index.IvfIndex.search(spark, ensureAnnIndex(), "vector",
+          "id", queryVec, if (multiProbe) IvfNprobe * 2 else IvfNprobe, k,
+          filter.map(_.column), metric = "l2")
+      case _ =>
+        // same (id, score) shape as the indexed paths — search() returns
+        // every collection column
+        search(queryVec, k, filter).select("id", "score")
+    }
 
   private def textIndexPath: String =
     graft.index.IndexStore.path(spark, s"$root/${config.name}", "collbm25",

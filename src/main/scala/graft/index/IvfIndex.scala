@@ -21,13 +21,13 @@ import graft.knn.Ann
 object IvfIndex {
   def build(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, m: Ann.IvfModel, path: String,
-      metaCols: Seq[String] = Nil): Unit = {
+      metaCols: Seq[String] = Nil, stringIds: Boolean = false): Unit = {
     import spark.implicits._
     m.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Ann.writePartitioned(emb, vecCol, idCol, m, s"$path/cells",
-      metaCols = metaCols)
+      metaCols = metaCols, stringIds = stringIds)
   }
 
   /** Incremental maintenance: assign cells for the NEW rows only against
@@ -36,9 +36,11 @@ object IvfIndex {
     * ids; wrap in IndexStore.mutate/advance so a crash mid-append reads
     * as not-ready and rebuilds. */
   def append(spark: SparkSession, newRows: DataFrame, vecCol: String,
-      idCol: String, path: String, metaCols: Seq[String] = Nil): Unit = {
+      idCol: String, path: String, metaCols: Seq[String] = Nil,
+      stringIds: Boolean = false): Unit = {
     Ann.writePartitioned(newRows, vecCol, idCol, loadModel(spark, path),
-      s"$path/cells", mode = "append", metaCols = metaCols)
+      s"$path/cells", mode = "append", metaCols = metaCols,
+      stringIds = stringIds)
     spark.catalog.refreshByPath(s"$path/cells")
   }
 
@@ -49,7 +51,14 @@ object IvfIndex {
 
   def search(spark: SparkSession, path: String, vecCol: String,
       idCol: String, queryVec: Seq[Double], nprobe: Int, k: Int,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+      filter: Option[org.apache.spark.sql.Column] = None,
+      metric: String = "cosine"): DataFrame =
     Ann.searchPartitioned(spark, s"$path/cells", vecCol, idCol,
-      loadModel(spark, path), queryVec, nprobe, k, filter)
+      loadModel(spark, path), queryVec, nprobe, k, filter, metric)
+
+  def searchBatch(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, queries: Seq[(Long, Seq[Double])], nprobe: Int,
+      k: Int, metric: String = "cosine"): DataFrame =
+    Ann.searchBatchPartitioned(spark, s"$path/cells", vecCol, idCol,
+      loadModel(spark, path), queries, nprobe, k, metric)
 }

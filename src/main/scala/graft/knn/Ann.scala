@@ -157,10 +157,11 @@ object Ann {
   def ivfSearchSql(
       relation: String, vecCol: String, idCol: String,
       queryVecSql: String, dim: Int, cells: Int, nprobe: Int, k: Int,
-      floorRounding: Boolean, filterSql: Option[String] = None): String = {
+      floorRounding: Boolean, filterSql: Option[String] = None,
+      metric: String = "cosine"): String = {
     val d2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
     val qd2 = VectorFunctions.sqL2Sql("c.cv", "q.v", dim)
-    val cos = VectorFunctions.cosineDistanceSql(s"e.$vecCol", "q.v", dim)
+    val cos = Knn.distanceSql(metric, s"e.$vecCol", "q.v", dim)
     val score =
       if (floorRounding) s"floor(($cos) * 1000000 + 0.5) / 1000000.0"
       else s"round($cos, 6)"
@@ -216,40 +217,55 @@ object Ann {
     * scan, verified in AnnSpec. This is the durable form of [[ivfSearch]]
     * for a corpus too large to score per query.
     */
+  /** Strict-< argmin cell of one vector (ties to the lower index) —
+    * shared by the build kernel and [[ivfSearch]], and mirrored by the
+    * oracle's row_number ORDER BY d2, cell. */
+  private def bestCell(cents: Array[Array[Double]], vec: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < vec.length) { val x = vec(i) - cents(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def writePartitioned(
       emb: DataFrame, vecCol: String, idCol: String,
       m: IvfModel, path: String, mode: String = "overwrite",
-      metaCols: Seq[String] = Nil): Unit = {
-    graft.core.Ids.requireIntegral(emb, idCol)
+      metaCols: Seq[String] = Nil, stringIds: Boolean = false): Unit = {
     val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
     val spark = emb.sparkSession
     import spark.implicits._
-    val assigned = emb
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) =>
-        val vec = v.toArray
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var i = 0
-          while (i < vec.length) { val x = vec(i) - cents(c)(i); d += x * x; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        (id, v, best)
+    // two id regimes: the testdata tables carry integral ids (stored as
+    // long, matching their oracles' BIGINT); collections carry opaque
+    // STRING ids — same assignment kernel, different key encoder
+    val assigned =
+      if (stringIds)
+        emb.select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+          .as[(String, Seq[Double])]
+          .map { case (id, v) => (id, v, bestCell(cents, v.toArray)) }
+          .toDF(idCol, vecCol, "cell")
+      else {
+        graft.core.Ids.requireIntegral(emb, idCol)
+        emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, v) => (id, v, bestCell(cents, v.toArray)) }
+          .toDF(idCol, vecCol, "cell")
       }
-      .toDF(idCol, vecCol, "cell")
     // metadata travels into the cell rows (one build-time join back on
     // the id) so a filtered probe pushes its predicate into the cell
     // scan — the same space-for-latency trade as the LSH bucket table.
     // The vector column comes from `assigned` in BOTH branches so the
     // stored type (array<double>) is identical with and without metadata.
+    val idKey =
+      if (stringIds) col(idCol).cast("string") else col(idCol).cast("long")
     val rows =
       if (metaCols.isEmpty) assigned
       else assigned
-        .join(emb.select(col(idCol).cast("long") +: metaCols.map(col): _*),
-          idCol)
+        .join(emb.select(idKey +: metaCols.map(col): _*), idCol)
         .select(Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
           col("cell"): _*)
     rows.write.mode(mode).partitionBy("cell").parquet(path)
@@ -271,7 +287,8 @@ object Ann {
   def searchBatchPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       vecCol: String, idCol: String, m: IvfModel,
-      queries: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+      queries: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      metric: String = "cosine"): DataFrame = {
     import spark.implicits._
     val probePairs = queries
       .flatMap { case (qid, qv) => probeCells(m, qv, nprobe).map(qid -> _) }
@@ -285,7 +302,7 @@ object Ann {
       .join(broadcast(pairsDf), Seq("cell"))
       .join(broadcast(qDf), Seq("qid"))
       .withColumn("score",
-        round(VectorFunctions.cosineDistance(col(vecCol), col("qvec")), 6))
+        round(Knn.distance(metric, col(vecCol), col("qvec")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col(idCol), col("score"))
@@ -340,18 +357,21 @@ object Ann {
   /** Search the partitioned layout: cell predicate prunes whole files.
     * `filter` (over metadata columns stored in the cell rows) applies
     * BEFORE the rerank and pushes down to the cell scan alongside the
-    * partition probe — exact filtered top-k among probed candidates. */
+    * partition probe — exact filtered top-k among probed candidates.
+    * `metric` reranks with the collection's configured distance; the
+    * cell geometry itself is L2 (k-means Voronoi), which serves both l2
+    * (natively) and cosine (the fixed/trained centroids span the sphere). */
   def searchPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       vecCol: String, idCol: String, m: IvfModel,
       queryVec: Seq[Double], nprobe: Int, k: Int,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None, metric: String = "cosine"): DataFrame = {
     val probe = probeCells(m, queryVec, nprobe)
     val qv = typedlit(queryVec)
     val base = spark.read.parquet(path).filter(col("cell").isin(probe: _*))
     filter.map(base.filter).getOrElse(base)
       .withColumn("score",
-        round(VectorFunctions.cosineDistance(col(vecCol), qv), 6))
+        round(Knn.distance(metric, col(vecCol), qv), 6))
       .select(idCol, "score")
       .orderBy(col("score"), col(idCol))
       .limit(k)

@@ -222,6 +222,25 @@ object AnnQueries {
       },
       Some(LshIndex.searchBatchSql(CollOracleRel, "embedding", "id",
         Seq(11L, 12L, 13L), D, K))
+    ),
+    // an l2 collection carries an IVF cell index instead of LSH buckets
+    // (the index family follows the metric) — probe nprobe/cells
+    // partitions, rerank with the TRUE l2 distance, index maintained
+    // across mutations exactly like the cosine path
+    Q(
+      "collection_ann_l2",
+      (s, dir) => collectionAnnL2(s, dir).searchAnn(hashVectorValues(11L, D), K),
+      Some(Ann.ivfSearchSql(CollOracleRel, "embedding", "id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false, metric = "l2"))
+    ),
+    Q(
+      "collection_ann_l2_filtered",
+      (s, dir) => collectionAnnL2(s, dir).searchAnn(hashVectorValues(11L, D), K,
+        filter = Some(graft.filter.Eq("label", 3))),
+      Some(Ann.ivfSearchSql(CollOracleRel, "embedding", "id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false, filterSql = Some("label = 3"), metric = "l2"))
     )
   )
 
@@ -229,7 +248,15 @@ object AnnQueries {
     * under the (versioned) index root and keyed by the source fingerprint
     * — idempotent across runs, auto-fresh across testdata regens. */
   private def collectionAnn(s: org.apache.spark.sql.SparkSession,
-      dir: String): graft.core.VectorCollection = {
+      dir: String): graft.core.VectorCollection =
+    scratchCollection(s, dir, "emb", "cosine")
+
+  private def collectionAnnL2(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.core.VectorCollection =
+    scratchCollection(s, dir, "emb_l2", "l2")
+
+  private def scratchCollection(s: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, metric: String): graft.core.VectorCollection = {
     import org.apache.spark.sql.functions.col
     val fp = IndexStore.fingerprint(s, Seq(s"$dir/embeddings.parquet"))
     // Prune stale-fingerprint siblings of this scratch collection —
@@ -254,7 +281,7 @@ object AnnQueries {
       }
     val vdb = new graft.core.VectorDb(s,
       s"${IndexStore.root}/_collections/${IndexStore.slug(dir)}_$fp")
-    val coll = vdb.getOrCreateCollection("emb", D, "cosine")
+    val coll = vdb.getOrCreateCollection(name, D, metric)
     if (coll.isEmpty)
       coll.insertBatch(Tables.embeddings(s, dir).select(
         col("vec_id").cast("string").as("id"),

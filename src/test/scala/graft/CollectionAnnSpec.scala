@@ -113,19 +113,59 @@ class CollectionAnnSpec extends AnyFunSuite {
     assert(coll.count() == 0) // count() stays 0, not an error
   }
 
-  test("non-cosine collections fall back to exact search (no cosine-LSH candidates)") {
+  test("ip collections fall back to exact search (no index family for MIPS)") {
+    val root = Files.createTempDirectory("graft_collann_ip").toString
+    val coll = new VectorDb(spark, root)
+      .createCollection("c", dimensions = D, metric = "ip")
+    coll.insertBatch(rows((1 to 30).map(i => s"id$i" -> i): _*))
+    val qv = VectorFunctions.hashVectorValues(7L, D)
+    val a = coll.searchAnn(qv, 5).collect().toSeq
+    val b = coll.search(qv, 5).collect().toSeq
+    // exact equality with the exact path, and no bucket/cell scan
+    assert(a.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score"))))
+      == b.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score")))))
+    val plan = coll.searchAnn(qv, 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("band_idx") && !plan.contains("cell#"), plan)
+  }
+
+  test("l2 collection: ANN probes IVF cells, reranks true l2, maintains incrementally") {
     val root = Files.createTempDirectory("graft_collann_l2").toString
     val coll = new VectorDb(spark, root)
       .createCollection("c", dimensions = D, metric = "l2")
     coll.insertBatch(rows((1 to 30).map(i => s"id$i" -> i): _*))
     val qv = VectorFunctions.hashVectorValues(7L, D)
-    val a = coll.searchAnn(qv, 5).collect().toSeq
-    val b = coll.search(qv, 5).collect().toSeq
-    // exact equality with the exact path, and no bucket scan in the plan
-    assert(a.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score"))))
-      == b.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score")))))
-    val plan = coll.searchAnn(qv, 5).queryExecution.executedPlan.toString
+    val q = coll.searchAnn(qv, 5)
+    // the probe is a cell partition filter, never an LSH bucket scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+      plan)
     assert(!plan.contains("band_idx"), plan)
+    val res = q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(res.size == 5 && res.map(_._2) == res.map(_._2).sorted)
+    // id7's own vector sits in the query's nearest cell — always found,
+    // with the TRUE l2 distance (0), not a cosine score
+    assert(res.head == ("id7", 0.0))
+    // multi-probe doubles nprobe: top-1 is at least as close
+    val mp = coll.searchAnn(qv, 5, multiProbe = true)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(mp.head <= res.head._2)
+    // filtered probe: predicate pushed into the cell scan, results obey it
+    val f = coll.searchAnn(qv, 5, filter = Some(Eq("tag", "t1")))
+    val fplan = f.queryExecution.executedPlan.toString
+    assert(fplan.contains("PartitionFilters: [") &&
+      fplan.contains("PushedFilters: [") && fplan.contains("tag"), fplan)
+    assert(f.collect().forall(_.getString(0).stripPrefix("id").toInt % 2 == 1))
+    // a pure insert advances the IVF index (moved dir), no rebuild
+    val p1 = coll.ensureAnnIndex()
+    assert(new java.io.File(s"$p1/SENTINEL").createNewFile())
+    coll.insertBatch(rows("id31" -> 31, "id32" -> 32))
+    val p2 = coll.ensureAnnIndex()
+    assert(p2 != p1 && IndexStore.ready(spark, p2))
+    assert(new java.io.File(s"$p2/SENTINEL").exists(),
+      "insert must append to the moved IVF index, not rebuild it")
+    val hit = coll.searchAnn(
+      VectorFunctions.hashVectorValues(31L, D), 1).collect()(0)
+    assert(hit.getString(0) == "id31" && hit.getDouble(1) == 0.0)
   }
 
   test("a pure insert advances the index incrementally, not by rebuild") {
