@@ -403,18 +403,26 @@ final class VectorCollection(
   }
 
   /** Batch ANN over the collection's index: one probe JOIN for the whole
-    * (qid, qvec) relation — the cluster-scale form of [[searchAnn]]
-    * (same cosine-only gate: non-cosine collections run exact batch). */
+    * (qid, qvec) relation — the cluster-scale form of [[searchAnn]].
+    * cosine = LSH bucket equi-join; l2 = distributed IVF probe with
+    * dynamic partition pruning over the cell layout (the query relation
+    * is never collected to the driver); ip = exact batch. */
   def searchAnnBatch(queries: DataFrame, k: Int = 10): DataFrame =
-    if (config.metric != "cosine")
-      // same (qid, id, score) shape and order as the indexed path
-      graft.knn.Knn.searchBatch(df, col("vector"),
-          queries.withColumnRenamed("qid", "query_id"), config.metric, k,
-          idCol = "id")
-        .select(col("query_id").as("qid"), col("id"), col("score"))
-        .orderBy("qid", "score", "id")
-    else graft.index.LshIndex.searchBatch(spark, ensureAnnIndex(),
-      "vector", "id", queries, config.dimensions, k)
+    config.metric match {
+      case "cosine" =>
+        graft.index.LshIndex.searchBatch(spark, ensureAnnIndex(),
+          "vector", "id", queries, config.dimensions, k)
+      case "l2" =>
+        graft.index.IvfIndex.searchBatchDf(spark, ensureAnnIndex(),
+          "vector", "id", queries, IvfNprobe, k, metric = "l2")
+      case _ =>
+        // same (qid, id, score) shape and order as the indexed paths
+        graft.knn.Knn.searchBatch(df, col("vector"),
+            queries.withColumnRenamed("qid", "query_id"), config.metric, k,
+            idCol = "id")
+          .select(col("query_id").as("qid"), col("id"), col("score"))
+          .orderBy("qid", "score", "id")
+    }
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
 

@@ -61,4 +61,47 @@ object IvfIndex {
       k: Int, metric: String = "cosine"): DataFrame =
     Ann.searchBatchPartitioned(spark, s"$path/cells", vecCol, idCol,
       loadModel(spark, path), queries, nprobe, k, metric)
+
+  /** Batch probe for a DISTRIBUTED (qid, qvec) relation — the form that
+    * survives a million-query batch, where collecting the queries to the
+    * driver (searchBatch's Seq) is not an option. Probe-cell selection
+    * runs as a plan: queries × broadcast(centroids) → per-query nprobe
+    * window; the (qid, cell) pairs (localCheckpointed — computed once,
+    * reused for the pruning set and the membership join) then join the
+    * cell-partitioned corpus. File pruning is a LITERAL partition filter
+    * built from the distinct probed cells — that collect is bounded by
+    * the CODEBOOK size (≤ cells rows), never by the query count, so it
+    * stays a tiny driver round-trip at any batch size. The squared-l2
+    * probe arithmetic matches the stored-codebook oracle (left-to-right
+    * fold from 0.0 ≡ DuckDB's list_reduce over squares).
+    * Returns (qid, id, score). */
+  def searchBatchDf(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, queries: DataFrame, nprobe: Int, k: Int,
+      metric: String = "cosine"): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val d2 = expr("aggregate(zip_with(qvec, centroid, " +
+      "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2"), col("cell"))
+    val pairs = queries.crossJoin(broadcast(cent))
+      .withColumn("d2", d2)
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= nprobe)
+      .select("qid", "cell")
+      .localCheckpoint()
+    val probedCells = pairs.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score"), col(idCol))
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(pairs), Seq("cell"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score",
+        round(graft.knn.Knn.distance(metric, col(vecCol), col("qvec")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+      .orderBy(col("qid"), col("score"), col(idCol))
+  }
 }

@@ -313,12 +313,12 @@ object Ann {
     * whose vectors are hash vectors of the key (fixed codebook). */
   def ivfSearchBatchSql(
       relation: String, vecCol: String, idCol: String,
-      queryKeys: Seq[Long], dim: Int, cells: Int, nprobe: Int, k: Int)
-      : String = {
+      queryKeys: Seq[Long], dim: Int, cells: Int, nprobe: Int, k: Int,
+      metric: String = "cosine"): String = {
     val keys = queryKeys.map(kk => s"($kk)").mkString(", ")
     val d2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
     val qd2 = VectorFunctions.sqL2Sql("c.cv", "qs.qvec", dim)
-    val cos = VectorFunctions.cosineDistanceSql(s"e.$vecCol", "qs.qvec", dim)
+    val cos = Knn.distanceSql(metric, s"e.$vecCol", "qs.qvec", dim)
     s"""WITH qs AS (
        |  SELECT qid, ${VectorFunctions.hashVectorSql("qid", dim)} AS qvec
        |  FROM (VALUES $keys) t(qid)),

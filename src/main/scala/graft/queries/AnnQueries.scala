@@ -241,6 +241,21 @@ object AnnQueries {
       Some(Ann.ivfSearchSql(CollOracleRel, "embedding", "id",
         hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
         floorRounding = false, filterSql = Some("label = 3"), metric = "l2"))
+    ),
+    // distributed l2 batch: the (qid, qvec) relation never reaches the
+    // driver — probe cells come from a queries×broadcast(centroids)
+    // window, and dynamic partition pruning skips unprobed cell files
+    Q(
+      "collection_ann_l2_batch",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(11L, 12L, 13L).toDF("qid")
+          .withColumn("qvec", hashVector(org.apache.spark.sql.functions.col("qid"), D))
+        collectionAnnL2(s, dir).searchAnnBatch(queries, K)
+      },
+      Some(Ann.ivfSearchBatchSql(CollOracleRel, "embedding", "id",
+        Seq(11L, 12L, 13L), D, Indexes.IvfCells, nprobe = 4, K,
+        metric = "l2"))
     )
   )
 

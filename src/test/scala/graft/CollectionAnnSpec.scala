@@ -168,6 +168,31 @@ class CollectionAnnSpec extends AnyFunSuite {
     assert(hit.getString(0) == "id31" && hit.getDouble(1) == 0.0)
   }
 
+  test("l2 batch ANN: distributed probe with a literal cell partition filter") {
+    val root = Files.createTempDirectory("graft_collann_l2b").toString
+    val coll = new VectorDb(spark, root)
+      .createCollection("c", dimensions = D, metric = "l2")
+    coll.insertBatch(rows((1 to 40).map(i => s"id$i" -> i): _*))
+    val queries = Seq(3L, 9L, 17L).toDF("qid")
+      .withColumn("qvec", VectorFunctions.hashVector(col("qid"), D))
+    val q = coll.searchAnnBatch(queries, 5)
+    val plan = q.queryExecution.executedPlan.toString
+    // the probed-cell union must reach the corpus scan as a LITERAL
+    // partition filter (file pruning independent of DPP heuristics)
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell#") &&
+          l.contains(" IN (")), plan)
+    val res = q.collect()
+    // per-query top-k: each query's own vector is its nearest neighbor
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(3L, 9L, 17L))
+    for ((qid, rs) <- byQ) {
+      assert(rs.length == 5)
+      assert(rs.head.getString(1) == s"id$qid" && rs.head.getDouble(2) == 0.0)
+    }
+  }
+
   test("a pure insert advances the index incrementally, not by rebuild") {
     val coll = mkColl()
     coll.insertBatch(rows((1 to 20).map(i => s"id$i" -> i): _*))
