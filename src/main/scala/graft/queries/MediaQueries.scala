@@ -36,6 +36,30 @@ object MediaQueries {
            |FROM documents""".stripMargin
       }
     ),
+    // exact-byte blob dedup — the first pass every image/video corpus
+    // runs (identical files under different ids): content hash of the
+    // OPAQUE payload, per-kind duplication stats. No decode needed, so
+    // it is real (not stubbed) and linear at 100 TB (hash + groupBy).
+    Q(
+      "media_dedup",
+      (s, dir) =>
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+          .select(col("kind"), md5(col("payload")).as("h"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_blobs"),
+            countDistinct(col("h")).as("n_distinct"),
+            (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
+          .orderBy("kind"),
+      Some(
+        """WITH m AS (
+          |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+          |         md5(text) AS h
+          |  FROM documents)
+          |SELECT kind, count(*) AS n_blobs,
+          |       count(DISTINCT h) AS n_distinct,
+          |       count(*) - count(DISTINCT h) AS n_dupes
+          |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
+    ),
     Q(
       "media_frame_sample",
       (s, dir) =>
