@@ -56,12 +56,53 @@ object Dedup {
     * ([[intersectSize]]) is a merge scan over sorted arrays. Sorting
     * changes no downstream value — minhash is a min over the set,
     * Jaccard uses set sizes, and the oracle's list_intersect is
-    * order-insensitive. */
+    * order-insensitive.
+    *
+    * Value-identical to hashing the joined string `"t0 t1 t2"` char by
+    * char (the oracle's form), via the polynomial-hash composition
+    * identity `hash(s1 ++ s2) = (hash(s1)·B^|s2| + hash(s2)) mod M`:
+    * each token is hashed ONCE, and each shingle combines three cached
+    * (hash, B^len) pairs in O(1) — the corpus sweep reads every char 1×
+    * instead of 3×, with no per-shingle string building. */
   def shinglesOf(tokens: Array[String]): Array[Long] = {
-    val sh = tokens.sliding(3).map(w => charHashOf(w.mkString(" ")))
-      .toArray.distinct
-    java.util.Arrays.sort(sh)
-    sh
+    val n = tokens.length - 2
+    if (n <= 0) return Array.emptyLongArray
+    val hh = new Array[Long](tokens.length)
+    val pw = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      var h = 0L
+      var p = 1L
+      var j = 0
+      while (j < t.length) {
+        h = (h * CharB + t.charAt(j).toInt) % HashM
+        p = (p * CharB) % HashM
+        j += 1
+      }
+      hh(i) = h
+      pw(i) = p
+      i += 1
+    }
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      var h = hh(i)
+      h = (h * CharB + ' '.toInt) % HashM
+      h = (h * pw(i + 1) + hh(i + 1)) % HashM
+      h = (h * CharB + ' '.toInt) % HashM
+      h = (h * pw(i + 2) + hh(i + 2)) % HashM
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(w - 1) != out(i)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == n) out else java.util.Arrays.copyOf(out, w)
   }
 
   /** |A∩B| of two shingle arrays — codegen'd merge scan
@@ -100,10 +141,18 @@ object Dedup {
   private def bandSig(j: Int, mh: Int => String): String =
     s"(${mh(2 * j)} * $Knuth + ${mh(2 * j + 1)}) % $P"
 
-  /** (doc_id, shingles, band, sig) — one row per band per doc, computed
-    * in one typed pass (minhashes + band mixing are integer-exact twins
-    * of the SQL oracle's arithmetic). */
-  def lshBands(docs: DataFrame): DataFrame = {
+  /** One row per doc: (doc_id, shingles, sigs) — the shingle set and all
+    * [[Bands]] band signatures from ONE typed pass (minhashes + band
+    * mixing are integer-exact twins of the SQL oracle's arithmetic).
+    *
+    * This is the storage layout every LSH-dedup plan should share: the
+    * shingle array exists ONCE per doc. Band rows for bucket joins are
+    * derived by [[bandRows]] (posexplode of the 16 scalar sigs), so
+    * candidate generation never shuffles an array — the earlier layout
+    * (shingles repeated on each of 16 band rows, self-joined) wrote ~32
+    * array copies per doc into the bucket-join shuffle and dominated the
+    * operator's cost. */
+  def docSignatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (nh, bands) = (NumHashes, Bands)
@@ -113,7 +162,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val toks = tokensOf(text)
-        if (toks.length < 3) Iterator.empty
+        if (toks.length < 3) None
         else {
           val sh = shinglesOf(toks)
           val mh = Array.tabulate(nh) { i =>
@@ -126,12 +175,33 @@ object Dedup {
             }
             m
           }
-          (0 until bands).iterator.map { b =>
-            (id, sh.toSeq, b, (mh(2 * b) * Knuth + mh(2 * b + 1)) % P)
-          }
+          val sigs = Array.tabulate(bands)(b =>
+            (mh(2 * b) * Knuth + mh(2 * b + 1)) % P)
+          Some((id, sh.toSeq, sigs.toSeq))
         }
       })
-      .toDF("doc_id", "shingles", "band", "sig")
+      .toDF("doc_id", "shingles", "sigs")
+  }
+
+  /** Slim (doc_id, band, sig) rows derived from [[docSignatures]] —
+    * scalar-only, safe to self-join on the bucket key. */
+  def bandRows(ds: DataFrame): DataFrame =
+    ds.select(col("doc_id"), posexplode(col("sigs")))
+      .toDF("doc_id", "band", "sig")
+
+  /** Join candidate id pairs back to the stored shingle arrays and score
+    * exact Jaccard — arrays enter the plan only HERE, on the (small)
+    * colliding-candidate set, never in the bucket join. Output adds
+    * `ni` (intersection size), `sha`/`shb` (the arrays, for callers that
+    * filter on the unrounded ratio) and `jac` (6-decimal round). */
+  def scorePairs(cand: DataFrame, ds: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val sa = ds.select(col("doc_id").as(aCol), col("shingles").as("sha"))
+    val sb = ds.select(col("doc_id").as(bCol), col("shingles").as("shb"))
+    cand.join(sa, Seq(aCol)).join(sb, Seq(bCol))
+      .withColumn("ni", intersectSize(col("sha"), col("shb")))
+      .withColumn("jac", round(col("ni").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("ni")), 6))
   }
 
   /** Jaccard similarity of two sorted distinct-element arrays, via
@@ -147,24 +217,20 @@ object Dedup {
 
   /** LSH candidate pairs with exact-Jaccard verification, top-N. */
   def minhashLshPairs(docs: DataFrame, topN: Int): DataFrame = {
-    // localCheckpoint: the banded signatures feed both sides of the
-    // self-join — without the barrier the shingle hashing runs twice per
-    // row. Checkpoint (not persist): storage is released by GC when the
-    // query's result is dropped, instead of leaking in the CacheManager
-    // until an explicit unpersist, so a long-lived session stays bounded.
-    val bands = lshBands(docs).localCheckpoint()
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
+    // localCheckpoint: the signatures feed both sides of the self-join
+    // AND the score join-back — without the barrier the shingle hashing
+    // runs three times per row. Checkpoint (not persist): storage is
+    // released by GC when the query's result is dropped, instead of
+    // leaking in the CacheManager until an explicit unpersist, so a
+    // long-lived session stays bounded.
+    val ds = docSignatures(docs).localCheckpoint()
+    val b = bandRows(ds)
+    val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("ni", intersectSize(col("sha"), col("shb")))
-      .withColumn("jac", round(col("ni").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("ni")), 6))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    scorePairs(cand, ds, "doc_a", "doc_b")
       .select("doc_a", "doc_b", "jac")
       .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
       .limit(topN)
@@ -193,24 +259,20 @@ object Dedup {
     * signature collisions, not block size. */
   def minhashLshPairsBlocked(docs: DataFrame, blockCol: String,
       topN: Int): DataFrame = {
-    // localCheckpoint — see minhashLshPairs (GC-scoped barrier; both
-    // sides of the self-join reuse the shingle hashing)
-    val bands = lshBands(docs)
-      .join(docs.select(col("doc_id"), col(blockCol)), "doc_id")
-      .localCheckpoint()
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
+    // localCheckpoint — see minhashLshPairs (GC-scoped barrier; the
+    // bucket self-join and the score join-back reuse the shingle hashing)
+    val ds = docSignatures(docs).localCheckpoint()
+    val blocks =
+      docs.select(col("doc_id").cast("long").as("doc_id"), col(blockCol))
+    val b = bandRows(ds).join(blocks, Seq("doc_id"))
+    val cand = b.as("a").join(b.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col(s"a.$blockCol").as(blockCol),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("ni", intersectSize(col("sha"), col("shb")))
-      .withColumn("jac", round(col("ni").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("ni")), 6))
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    scorePairs(cand, ds, "doc_a", "doc_b")
       .select(blockCol, "doc_a", "doc_b", "jac")
       .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
       .limit(topN)
@@ -285,16 +347,15 @@ object Dedup {
     */
   def nearDupComponents(docs: DataFrame): DataFrame = {
     // localCheckpoint not persist — see minhashLshPairs (GC-scoped storage)
-    val bands = lshBands(docs).localCheckpoint()
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val pairs = a.join(b,
+    val ds = docSignatures(docs).localCheckpoint()
+    val b = bandRows(ds)
+    val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
-      .dropDuplicates("x", "y")
-      .withColumn("ni", intersectSize(col("sha"), col("shb")))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+    val pairs = scorePairs(cand, ds, "x", "y")
+      // threshold on the UNROUNDED ratio (jac is display-rounded)
       .filter(col("ni").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("ni")) >= ComponentJaccard)
       .select("x", "y")

@@ -57,6 +57,14 @@ object Indexes {
     Spec("pqemb", embSrc, (s, d, p) =>
       QuantIndex.buildPq(s, Tables.embeddings(s, d), "embedding", "vec_id",
         graft.quant.ProductQuant.fixedCodebooks(D, 8, 16), p)),
+    // IVF-PQ: cell partitions + in-cell PQ codes + raw vectors for the
+    // rerank pool — the composed billion-scale layout (label stored for
+    // filtered probes, like lshemb/ivfemb)
+    Spec("ivfpqemb", embSrc, (s, d, p) =>
+      IvfPqIndex.build(s, Tables.embeddings(s, d), "embedding", "vec_id",
+        Ann.fixedIvfModel(IvfCells, D),
+        graft.quant.ProductQuant.fixedCodebooks(D, 8, 16), p,
+        metaCols = Seq("label"))),
     Spec("custemb", d => Seq(s"$d/customer.parquet"), (s, d, p) =>
       Tables.customer(s, d).select(
           concat(lit("c:"), col("c_custkey")).as("id"),
@@ -120,6 +128,11 @@ object Indexes {
     * strongest at-rest compression; fixed deterministic codebooks). */
   def pqEmb(spark: SparkSession, dir: String): String =
     ensureKind(spark, dir, "pqemb")
+
+  /** IVF-PQ composed index over the embeddings table (partition-pruned
+    * probe + codes-only ADC scan + exact rerank; fixed models). */
+  def ivfPqEmb(spark: SparkSession, dir: String): String =
+    ensureKind(spark, dir, "ivfpqemb")
 
   /** Materialized node embeddings for graph+vector search: at scale an
     * embedded node's vector is a STORED column, not derived per query. */

@@ -1,0 +1,222 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.knn.{Ann, Knn}
+import graft.quant.ProductQuant
+
+/** IVF-PQ: the billion-scale ANN layout — coarse IVF cells as the
+  * PARTITION dimension, PQ codes as the IN-CELL storage, ADC as the
+  * candidate scorer, exact rerank of a small pool for the final top-k.
+  * The reference ships IVF (`parallel_search.py`) and PQ
+  * (`quantization.py:444-597`) separately; composing them is the standard
+  * scale path (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011 — the IVFADC system): a probe reads nprobe/cells
+  * of the FILES (partition pruning), and inside a probed cell the ADC
+  * pass reads only the m-byte codes column (column pruning), never the
+  * raw vectors — at 100 TB the scan that serves a query is
+  * (nprobe/cells) · (m bytes per vector), two orders of magnitude less
+  * I/O than an exact sweep. Raw vectors live in the SAME cell rows, so
+  * the rerank join reads them only for the candidate pool.
+  *
+  * Layout under an [[IndexStore]] path:
+  *   centroids/ (cell, centroid)   — IVF coarse codebook
+  *   codebooks/ (mi, c, centroid)  — PQ sub-codebooks
+  *   cells/ cell=N/ (id, codes[m·tinyint], vector) — corpus by cell
+  *
+  * Fixed deterministic models (Ann.fixedIvfModel + ProductQuant
+  * .fixedCodebooks) carry a bit-exact DuckDB oracle ([[searchSql]]);
+  * trained k-means models drop in unchanged (recall-gated, no oracle).
+  */
+object IvfPqIndex {
+  /** Exact-rerank pool size per query (ADC keeps this many candidates). */
+  val DefaultRerank = 50
+
+  def build(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, ivf: Ann.IvfModel, cb: ProductQuant.Codebooks,
+      path: String, metaCols: Seq[String] = Nil): Unit = {
+    import spark.implicits._
+    ivf.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for { mi <- 0 until cb.m; c <- 0 until cb.k } yield (mi, c, cb.cb(mi)(c)))
+      .toDF("mi", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    writeCells(spark, emb, vecCol, idCol, ivf, cb, path,
+      mode = "overwrite", metaCols = metaCols)
+  }
+
+  /** Cell assignment + PQ encode in ONE typed pass over the corpus (each
+    * vector is read once; both argmins share the strict-< / lowest-index
+    * tie rule the oracles mirror). */
+  private def writeCells(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, ivf: Ann.IvfModel, cb: ProductQuant.Codebooks,
+      path: String, mode: String, metaCols: Seq[String]): Unit = {
+    import spark.implicits._
+    graft.core.Ids.requireIntegral(emb, idCol)
+    val cents: Array[Array[Double]] = ivf.centroids.map(_.toArray).toArray
+    val books: Array[Array[Array[Double]]] =
+      cb.cb.map(_.map(_.toArray).toArray).toArray
+    val (m, subDim) = (cb.m, cb.subDim)
+    val assigned = emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val vec = v.toArray
+        val cell = Ann.bestCell(cents, vec)
+        val codes = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          val base = mi * subDim
+          val book = books(mi)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val x = vec(base + i) - book(c)(i); d += x * x; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(mi) = best
+          mi += 1
+        }
+        (cell, id, codes.toSeq, v)
+      }
+      .toDF("cell", idCol, "codes", vecCol)
+      .withColumn("codes", expr("transform(codes, pqc -> cast(pqc as tinyint))"))
+    val rows =
+      if (metaCols.isEmpty) assigned
+      else assigned
+        .join(emb.select(col(idCol).cast("long") +: metaCols.map(col): _*),
+          idCol)
+        .select(Seq(col("cell"), col(idCol), col("codes"), col(vecCol)) ++
+          metaCols.map(col): _*)
+    rows.write.mode(mode).partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Incremental maintenance: assign + encode the NEW rows against the
+    * STORED models and append to their cell partitions (the models are
+    * data-independent of the appended rows, exactly like IvfIndex). Wrap
+    * in IndexStore.mutate/advance. */
+  def append(spark: SparkSession, newRows: DataFrame, vecCol: String,
+      idCol: String, path: String, metaCols: Seq[String] = Nil): Unit = {
+    writeCells(spark, newRows, vecCol, idCol, loadIvf(spark, path),
+      QuantIndex.loadPqCodebooks(spark, path), path,
+      mode = "append", metaCols = metaCols)
+    spark.catalog.refreshByPath(s"$path/cells")
+  }
+
+  def loadIvf(spark: SparkSession, path: String): Ann.IvfModel =
+    Ann.IvfModel(
+      spark.read.parquet(s"$path/centroids").orderBy("cell")
+        .collect().map(_.getSeq[Double](1)).toSeq)
+
+  /** Probe → ADC → rerank. The ADC scan projects (id, codes) only —
+    * parquet column pruning keeps the probed-cell read at m bytes/vector;
+    * the rerank re-reads (id, vector) for the `rerank`-row candidate pool
+    * via a broadcast semi-join against the same pruned partitions.
+    * `filter` (metadata stored in the cell rows) applies before BOTH
+    * passes, pushed into the scans. Returns (id, score) = exact `metric`
+    * distance rounded to 6, ascending top-k. */
+  def search(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, queryVec: Seq[Double], nprobe: Int, k: Int,
+      rerank: Int = DefaultRerank, filter: Option[Column] = None,
+      metric: String = "l2"): DataFrame = {
+    import spark.implicits._
+    val ivf = loadIvf(spark, path)
+    val cb = QuantIndex.loadPqCodebooks(spark, path)
+    val lut = ProductQuant.adcLut(cb, queryVec)
+    val m = cb.m
+    val probe = Ann.probeCells(ivf, queryVec, nprobe)
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probe: _*))
+    val visible = filter.map(cells.filter).getOrElse(cells)
+    val cand = visible
+      .select(col(idCol).cast("long"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, cs) =>
+        var dist = 0.0
+        var mi = 0
+        while (mi < m) { dist += lut(mi)(cs(mi)); mi += 1 }
+        (id, math.round(math.sqrt(dist) * 1e6) / 1e6)
+      }
+      .toDF(idCol, "adc")
+      .orderBy(col("adc"), col(idCol))
+      .limit(rerank)
+    visible.select(col(idCol).cast("long"), col(vecCol))
+      .join(broadcast(cand.select(idCol)), Seq(idCol))
+      .withColumn("score",
+        round(Knn.distance(metric, col(vecCol), typedlit(queryVec)), 6))
+      .select(idCol, "score")
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[search]] over the FIXED models: IVF assignment /
+    * probe from Ann.ivfSearchSql's arithmetic, PQ encode / ADC from
+    * ProductQuant.searchAdcSql's (first-min argmins, mi-ordered ADC sum,
+    * `floor(x·1e6 + 0.5)/1e6` candidate rounding), then exact rerank of
+    * the `rerank`-row pool with `round(metric, 6)`. */
+  def searchSql(relation: String, vecCol: String, idCol: String,
+      queryVecSql: String, dim: Int, cells: Int, m: Int, kCb: Int,
+      nprobe: Int, k: Int, rerank: Int = DefaultRerank,
+      filterSql: Option[String] = None, metric: String = "l2"): String = {
+    val subDim = dim / m
+    val cellD2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
+    val qCellD2 = VectorFunctions.sqL2Sql("c.cv", "q.v", dim)
+    def sub(vec: String, cv: String) =
+      s"list_reduce(list_transform(range($subDim), gqi -> " +
+        s"(($vec)[b.mi * $subDim + gqi + 1]::DOUBLE - ($cv)[gqi+1]) * " +
+        s"(($vec)[b.mi * $subDim + gqi + 1]::DOUBLE - ($cv)[gqi+1])), " +
+        s"(x, y) -> x + y)"
+    val rerankDist = Knn.distanceSql(metric, s"e.$vecCol", "q.v", dim)
+    s"""WITH q AS (SELECT $queryVecSql AS v),
+       |cents AS (
+       |  SELECT cell, ${VectorFunctions.hashVectorSql(s"${Ann.CentroidKeyBase} + cell", dim)} AS cv
+       |  FROM range($cells) t(cell)),
+       |cdists AS (
+       |  SELECT e.$idCol, c.cell, $cellD2 AS d2
+       |  FROM $relation e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT $idCol, cell FROM (
+       |    SELECT $idCol, cell,
+       |           row_number() OVER (PARTITION BY $idCol ORDER BY d2, cell) AS rn
+       |    FROM cdists) WHERE rn = 1),
+       |probe AS (
+       |  SELECT c.cell FROM cents c, q ORDER BY $qCellD2, c.cell LIMIT $nprobe),
+       |vis AS (
+       |  SELECT e.* FROM $relation e
+       |  JOIN assign a ON a.$idCol = e.$idCol
+       |  WHERE a.cell IN (SELECT cell FROM probe)${
+        filterSql.map(f => s"\n    AND ($f)").getOrElse("")}),
+       |cb AS (
+       |  SELECT mi, c,
+       |         ${VectorFunctions.hashVectorSql(s"${ProductQuant.PqKeyBase} + mi * $kCb + c", subDim)} AS cv
+       |  FROM range($m) t(mi) CROSS JOIN range($kCb) u(c)),
+       |subdists AS (
+       |  SELECT e.$idCol, b.mi, b.c, ${sub(s"e.$vecCol", "b.cv")} AS d2
+       |  FROM vis e CROSS JOIN cb b),
+       |enc AS (
+       |  SELECT $idCol, mi, c FROM (
+       |    SELECT $idCol, mi, c,
+       |           row_number() OVER (PARTITION BY $idCol, mi ORDER BY d2, c) AS rn
+       |    FROM subdists) WHERE rn = 1),
+       |lut AS (
+       |  SELECT b.mi, b.c, ${sub("q.v", "b.cv")} AS ld
+       |  FROM cb b, q),
+       |adc AS (
+       |  SELECT e.$idCol,
+       |         floor(sqrt(list_reduce(list(l.ld ORDER BY e.mi), (x, y) -> x + y))
+       |               * 1000000 + 0.5) / 1000000.0 AS adc
+       |  FROM enc e JOIN lut l ON l.mi = e.mi AND l.c = e.c
+       |  GROUP BY e.$idCol),
+       |cand AS (
+       |  SELECT $idCol FROM adc ORDER BY adc, $idCol LIMIT $rerank)
+       |SELECT e.$idCol, round($rerankDist, 6) AS score
+       |FROM vis e JOIN cand USING ($idCol) CROSS JOIN q
+       |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
+  }
+}

@@ -220,7 +220,7 @@ object Ann {
   /** Strict-< argmin cell of one vector (ties to the lower index) —
     * shared by the build kernel and [[ivfSearch]], and mirrored by the
     * oracle's row_number ORDER BY d2, cell. */
-  private def bestCell(cents: Array[Array[Double]], vec: Array[Double]): Int = {
+  private[graft] def bestCell(cents: Array[Array[Double]], vec: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {

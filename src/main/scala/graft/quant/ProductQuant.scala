@@ -186,7 +186,7 @@ object ProductQuant {
   }
 
   /** Per-query lookup table: lut(mi)(c) = ‖q_sub − centroid‖². */
-  private def adcLut(cb: Codebooks, queryVec: Seq[Double])
+  private[graft] def adcLut(cb: Codebooks, queryVec: Seq[Double])
       : Array[Array[Double]] =
     (0 until cb.m).map { mi =>
       val base = mi * cb.subDim

@@ -138,6 +138,32 @@ object AnnQueries {
         floorRounding = false, filterSql = Some("e.label = 3"))),
       bench = true
     ),
+    // IVF-PQ, the composed billion-scale layout (Jégou et al. IVFADC):
+    // partition-pruned probe, codes-only ADC candidate scan (column
+    // pruning: m bytes/vector), exact-l2 rerank of a 50-row pool —
+    // bit-exact oracle via the fixed IVF + PQ models
+    Q(
+      "ann_ivfpq_search",
+      (s, dir) =>
+        graft.index.IvfPqIndex.search(s, Indexes.ivfPqEmb(s, dir),
+          "embedding", "vec_id", hashVectorValues(11L, D), nprobe = 4, K),
+      Some(graft.index.IvfPqIndex.searchSql("embeddings", "embedding",
+        "vec_id", hashVectorSql("11", D), D, Indexes.IvfCells, m = 8,
+        kCb = 16, nprobe = 4, k = K)),
+      bench = true
+    ),
+    // filtered IVF-PQ: the metadata predicate reaches BOTH pruned scans
+    // (ADC candidates and rerank), so the pool is filtered before ranking
+    Q(
+      "ann_ivfpq_filtered",
+      (s, dir) =>
+        graft.index.IvfPqIndex.search(s, Indexes.ivfPqEmb(s, dir),
+          "embedding", "vec_id", hashVectorValues(11L, D), nprobe = 4, K,
+          filter = Some(org.apache.spark.sql.functions.col("label") === 3)),
+      Some(graft.index.IvfPqIndex.searchSql("embeddings", "embedding",
+        "vec_id", hashVectorSql("11", D), D, Indexes.IvfCells, m = 8,
+        kCb = 16, nprobe = 4, k = K, filterSql = Some("e.label = 3")))
+    ),
     // the declarative surface: a plain ORDER BY cosine-distance LIMIT k
     // over a REGISTERED table — the AnnTopKRewrite optimizer rule swaps
     // the full scan for the LSH index probe (plan-verified in

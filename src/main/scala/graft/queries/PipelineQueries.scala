@@ -34,19 +34,17 @@ object PipelineQueries {
       "dedup_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val bands = Dedup.lshBands(docs).localCheckpoint()
+        val ds = Dedup.docSignatures(docs).localCheckpoint()
+        val bands = Dedup.bandRows(ds)
         val nw = bands.filter(col("doc_id") >= NewBatchFrom).as("n")
         val corpus = bands.filter(col("doc_id") < NewBatchFrom).as("c")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("jac"), col("dup_of"))
-        nw.join(corpus,
+        val cand = nw.join(corpus,
             col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
-          .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"),
-            col("n.shingles").as("sha"), col("c.shingles").as("shb"))
-          .dropDuplicates("doc_id", "dup_of")
-          .withColumn("ni", Dedup.intersectSize(col("sha"), col("shb")))
-          .withColumn("jac", round(col("ni").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("ni")), 6))
+          .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"))
+          .distinct()
+        Dedup.scorePairs(cand, ds, "doc_id", "dup_of")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("doc_id", "dup_of", "jac")

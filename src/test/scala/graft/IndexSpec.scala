@@ -272,4 +272,89 @@ class IndexSpec extends AnyFunSuite {
     }
     assert(builds == 2 && IndexStore.ready(spark, p))
   }
+
+  test("IVF-PQ probe prunes cell partitions and the ADC scan prunes columns") {
+    val p = Indexes.ivfPqEmb(spark, sf)
+    val q = graft.index.IvfPqIndex.search(spark, p, "embedding", "vec_id",
+      hashVectorValues(11L, D), nprobe = 4, k = 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    // the candidate pass must NOT read the vector column: of the two
+    // scans of the index's cell files, exactly one (the rerank's)
+    // carries `embedding` in its ReadSchema
+    val scans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("ivfpqemb"))
+      .toSeq
+    assert(scans.size == 2, plan)
+    assert(scans.count(_.contains("embedding")) == 1, plan)
+    assert(q.collect().length == 10)
+  }
+
+  test("IVF-PQ with an exhaustive rerank pool equals exact l2 over the probed cells") {
+    val p = Indexes.ivfPqEmb(spark, sf)
+    val qv = hashVectorValues(11L, D)
+    val ivf = graft.index.IvfPqIndex.loadIvf(spark, p)
+    val probe = Ann.probeCells(ivf, qv, 4)
+    val exact = spark.read.parquet(s"$p/cells")
+      .filter(col("cell").isin(probe: _*))
+      .withColumn("score", round(graft.knn.Knn.distance("l2",
+        col("embedding"), typedlit(qv)), 6))
+      .select("vec_id", "score")
+      .orderBy(col("score"), col("vec_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // pool ≥ probed-row-count ⇒ ADC only orders the pool, the exact
+    // rerank decides — IVF-PQ degenerates to exact IVF, bit-for-bit
+    val served = graft.index.IvfPqIndex.search(spark, p, "embedding",
+      "vec_id", qv, nprobe = 4, k = 10, rerank = 1000000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == exact)
+    // and at the DEFAULT pool size the ADC stage is a recall gate, not a
+    // guarantee: require most of the exact top-10 to survive
+    val defaultServed = graft.index.IvfPqIndex.search(spark, p, "embedding",
+      "vec_id", qv, nprobe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = defaultServed.intersect(exact.map(_._1).toSet).size
+    assert(overlap >= 6, s"recall@10 too low: $overlap/10")
+  }
+
+  test("IVF-PQ incremental append equals a full rebuild") {
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val first = emb.filter(col("vec_id") < 30)
+    val rest = emb.filter(col("vec_id") >= 30)
+    val m = Ann.fixedIvfModel(Indexes.IvfCells, D)
+    val cb = graft.quant.ProductQuant.fixedCodebooks(D, 8, 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    val incr = s"$tmp/incr"; val full = s"$tmp/full"
+    IndexStore.ensure(spark, incr)(p =>
+      graft.index.IvfPqIndex.build(spark, first, "embedding", "vec_id", m, cb, p))
+    IndexStore.mutate(spark, incr)(p =>
+      graft.index.IvfPqIndex.append(spark, rest, "embedding", "vec_id", p))
+    IndexStore.ensure(spark, full)(p =>
+      graft.index.IvfPqIndex.build(spark, emb, "embedding", "vec_id", m, cb, p))
+    val qv = hashVectorValues(11L, D)
+    val a = graft.index.IvfPqIndex.search(spark, incr, "embedding", "vec_id",
+      qv, 4, 10).collect().toSeq
+    val b = graft.index.IvfPqIndex.search(spark, full, "embedding", "vec_id",
+      qv, 4, 10).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("filtered IVF-PQ equals IVF-PQ over the filtered corpus") {
+    val p = Indexes.ivfPqEmb(spark, sf)
+    val qv = hashVectorValues(11L, D)
+    val a = graft.index.IvfPqIndex.search(spark, p, "embedding", "vec_id",
+      qv, nprobe = 4, k = 10, filter = Some(col("label") === 3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val m = Ann.fixedIvfModel(Indexes.IvfCells, D)
+    val cb = graft.quant.ProductQuant.fixedCodebooks(D, 8, 16)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_filt").toString
+    graft.index.IvfPqIndex.build(spark,
+      Tables.embeddings(spark, sf).filter(col("label") === 3),
+      "embedding", "vec_id", m, cb, tmp)
+    val b = graft.index.IvfPqIndex.search(spark, tmp, "embedding", "vec_id",
+      qv, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
