@@ -32,13 +32,30 @@ object QuantIndex {
       .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
     thrRows.toSeq.toDF("pos", "thr")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/thresholds")
-    val thrs = thrRows.map(_._2).toSeq
+    packRows(emb, vecCol, idCol, thrRows.map(_._2).toSeq)
+      .write.mode("overwrite").parquet(s"$path/packed")
+  }
+
+  private def packRows(emb: DataFrame, vecCol: String, idCol: String,
+      thrs: Seq[Double]): DataFrame =
     emb
       .withColumn("thrs", typedlit(thrs))
       .selectExpr(idCol,
         s"${BinaryQuant.packWordExpr(vecCol, 0)} as w0",
         s"${BinaryQuant.packWordExpr(vecCol, BinaryQuant.WordBits)} as w1")
-      .write.mode("overwrite").parquet(s"$path/packed")
+
+  /** Incremental maintenance: pack the NEW rows against the STORED
+    * thresholds and append — the quantizer is frozen at first build
+    * (the reference trains once and encodes inserts against the trained
+    * state, `quantization.py` train/encode split). Caller guarantees new
+    * ids; wrap in IndexStore.mutate/advance. */
+  def appendBq(spark: SparkSession, newRows: DataFrame, vecCol: String,
+      idCol: String, path: String): Unit = {
+    val thrs = spark.read.parquet(s"$path/thresholds").orderBy("pos")
+      .collect().map(_.getDouble(1)).toSeq
+    packRows(newRows, vecCol, idCol, thrs)
+      .write.mode("append").parquet(s"$path/packed")
+    spark.catalog.refreshByPath(s"$path/packed")
   }
 
   /** Hamming top-k over the packed table: two xor+popcounts per row over
@@ -82,6 +99,17 @@ object QuantIndex {
     ProductQuant.Codebooks(m, cb.head.length, cb.head.head.length, cb)
   }
 
+  /** Incremental maintenance: encode the NEW rows against the STORED
+    * codebooks and append (frozen quantizer, like [[appendBq]]). */
+  def appendPq(spark: SparkSession, newRows: DataFrame, vecCol: String,
+      idCol: String, path: String): Unit = {
+    ProductQuant.encode(newRows, vecCol, idCol, loadPqCodebooks(spark, path))
+      .selectExpr(idCol,
+        "transform(codes, pqc -> cast(pqc as tinyint)) as codes")
+      .write.mode("append").parquet(s"$path/codes")
+    spark.catalog.refreshByPath(s"$path/codes")
+  }
+
   /** ADC top-k over the stored codes: m lookup-table adds per row over
     * m bytes — 64× fewer bytes than the raw vectors. */
   def searchPq(spark: SparkSession, path: String, idCol: String,
@@ -104,13 +132,30 @@ object QuantIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     val mns = st.map(_._2).toSeq
     val scales = st.map { case (_, mn, mx) => (mx - mn) / ScalarQuant.Levels }.toSeq
+    encodeSqRows(emb, vecCol, idCol, dim, mns, scales)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  private def encodeSqRows(emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int, mns: Seq[Double], scales: Seq[Double]): DataFrame =
     emb
       .withColumn("mns", typedlit(mns))
       .withColumn("scales", typedlit(scales))
       .selectExpr(idCol,
         s"transform(${ScalarQuant.encodeExpr(vecCol, dim)}, " +
           "sqc -> cast(sqc as smallint)) as code")
-      .write.mode("overwrite").parquet(s"$path/codes")
+
+  /** Incremental maintenance: encode the NEW rows against the STORED
+    * per-dim stats and append (frozen quantizer, like [[appendBq]]). */
+  def appendSq(spark: SparkSession, newRows: DataFrame, vecCol: String,
+      idCol: String, dim: Int, path: String): Unit = {
+    val st = spark.read.parquet(s"$path/stats").orderBy("pos")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val mns = st.map(_._1).toSeq
+    val scales = st.map { case (mn, mx) => (mx - mn) / ScalarQuant.Levels }.toSeq
+    encodeSqRows(newRows, vecCol, idCol, dim, mns, scales)
+      .write.mode("append").parquet(s"$path/codes")
+    spark.catalog.refreshByPath(s"$path/codes")
   }
 
   /** Approx-L2 top-k over the stored codes: decode (code·scale + mn) and

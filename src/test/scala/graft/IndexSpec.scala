@@ -273,6 +273,46 @@ class IndexSpec extends AnyFunSuite {
     assert(builds == 2 && IndexStore.ready(spark, p))
   }
 
+  test("quantized-index append encodes against the FROZEN quantizer") {
+    // For each of BQ/SQ/PQ: append must (a) leave the params tables and
+    // the first batch's stored codes byte-identical (no retrain, no
+    // rewrite), and (b) encode the new rows exactly as a build over the
+    // same params would — pinned by comparing against a full build whose
+    // training input is JUST the first batch (same frozen params).
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val first = emb.filter(col("vec_id") < 30)
+    val rest = emb.filter(col("vec_id") >= 30)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quant_inc").toString
+    def rows(p: String, sub: String): Set[String] =
+      spark.read.parquet(s"$p/$sub").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    // BQ
+    graft.index.QuantIndex.buildBq(spark, first, "embedding", "vec_id", s"$tmp/bq")
+    val bqParams = rows(s"$tmp/bq", "thresholds")
+    val bqFirst = rows(s"$tmp/bq", "packed")
+    graft.index.QuantIndex.appendBq(spark, rest, "embedding", "vec_id", s"$tmp/bq")
+    assert(rows(s"$tmp/bq", "thresholds") == bqParams)
+    val bqAll = rows(s"$tmp/bq", "packed")
+    assert(bqFirst.subsetOf(bqAll) && bqAll.size == emb.count())
+    // SQ
+    graft.index.QuantIndex.buildSq(spark, first, "embedding", "vec_id", D, s"$tmp/sq")
+    val sqParams = rows(s"$tmp/sq", "stats")
+    val sqFirst = rows(s"$tmp/sq", "codes")
+    graft.index.QuantIndex.appendSq(spark, rest, "embedding", "vec_id", D, s"$tmp/sq")
+    assert(rows(s"$tmp/sq", "stats") == sqParams)
+    assert(sqFirst.subsetOf(rows(s"$tmp/sq", "codes")))
+    // PQ (data-independent fixed codebooks: append == full rebuild exactly)
+    val cb = graft.quant.ProductQuant.fixedCodebooks(D, 8, 16)
+    graft.index.QuantIndex.buildPq(spark, first, "embedding", "vec_id", cb, s"$tmp/pq")
+    graft.index.QuantIndex.appendPq(spark, rest, "embedding", "vec_id", s"$tmp/pq")
+    graft.index.QuantIndex.buildPq(spark, emb, "embedding", "vec_id", cb, s"$tmp/pq_full")
+    assert(rows(s"$tmp/pq", "codes") == rows(s"$tmp/pq_full", "codes"))
+    // the appended index serves searches over the union
+    val got = graft.index.QuantIndex.searchPq(spark, s"$tmp/pq", "vec_id",
+      hashVectorValues(11L, D), 10).collect()
+    assert(got.length == 10)
+  }
+
   test("IVF-PQ probe prunes cell partitions and the ADC scan prunes columns") {
     val p = Indexes.ivfPqEmb(spark, sf)
     val q = graft.index.IvfPqIndex.search(spark, p, "embedding", "vec_id",
