@@ -155,6 +155,145 @@ object IvfPqIndex {
       .limit(k)
   }
 
+  /** Batch probe — the cluster-scale form: the UNION of every query's
+    * probe cells is ONE literal partition filter, per-query membership a
+    * broadcast (qid, cell) join, the ADC pass a single codes-column scan
+    * scoring each candidate against its query's LUT, and one window pair
+    * (pool, then exact top-k) serves all queries. LUTs are driver-built
+    * (m·kCb doubles per query — bounded by the batch size, never the
+    * corpus). Returns (qid, id, score). */
+  def searchBatch(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, queries: Seq[(Long, Seq[Double])], nprobe: Int,
+      k: Int, rerank: Int = DefaultRerank, metric: String = "l2")
+      : DataFrame = {
+    import spark.implicits._
+    val ivf = loadIvf(spark, path)
+    val cb = QuantIndex.loadPqCodebooks(spark, path)
+    val m = cb.m
+    val luts: Map[Long, Array[Array[Double]]] =
+      queries.map { case (qid, qv) => qid -> ProductQuant.adcLut(cb, qv) }.toMap
+    val probePairs = queries.flatMap { case (qid, qv) =>
+      Ann.probeCells(ivf, qv, nprobe).map(qid -> _)
+    }
+    val allCells = probePairs.map(_._2).distinct
+    val pairsDf = probePairs.toDF("qid", "cell")
+    val qDf = queries.toDF("qid", "qvec")
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(allCells: _*))
+    val cand = cells
+      .select(col("cell"), col(idCol).cast("long"), col("codes").cast("array<int>"))
+      .join(broadcast(pairsDf), Seq("cell"))
+      .select(col("qid"), col(idCol), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions(_.map { case (qid, id, cs) =>
+        val lut = luts(qid)
+        var dist = 0.0
+        var mi = 0
+        while (mi < m) { dist += lut(mi)(cs(mi)); mi += 1 }
+        (qid, id, math.round(math.sqrt(dist) * 1e6) / 1e6)
+      })
+      .toDF("qid", idCol, "adc")
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc"), col(idCol))
+    val pool = cand
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= rerank)
+      .select("qid", idCol)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score"), col(idCol))
+    cells.select(col(idCol).cast("long"), col(vecCol))
+      .join(broadcast(pool), Seq(idCol))
+      .join(broadcast(qDf), Seq("qid"))
+      .withColumn("score",
+        round(Knn.distance(metric, col(vecCol), col("qvec")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+      .orderBy(col("qid"), col("score"), col(idCol))
+  }
+
+  /** DuckDB oracle for [[searchBatch]] over integer query keys whose
+    * vectors are hash vectors of the key (same convention as
+    * Ann.ivfSearchBatchSql); encode is query-independent so the enc CTE
+    * is computed once and shared by every query's ADC. */
+  def searchBatchSql(relation: String, vecCol: String, idCol: String,
+      queryKeys: Seq[Long], dim: Int, cells: Int, m: Int, kCb: Int,
+      nprobe: Int, k: Int, rerank: Int = DefaultRerank,
+      metric: String = "l2"): String = {
+    val subDim = dim / m
+    val keys = queryKeys.map(kk => s"($kk)").mkString(", ")
+    val cellD2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
+    val qCellD2 = VectorFunctions.sqL2Sql("c.cv", "qs.v", dim)
+    def sub(vec: String, cv: String) =
+      s"list_reduce(list_transform(range($subDim), gqi -> " +
+        s"(($vec)[b.mi * $subDim + gqi + 1]::DOUBLE - ($cv)[gqi+1]) * " +
+        s"(($vec)[b.mi * $subDim + gqi + 1]::DOUBLE - ($cv)[gqi+1])), " +
+        s"(x, y) -> x + y)"
+    val rerankDist = Knn.distanceSql(metric, s"e.$vecCol", "qs.v", dim)
+    s"""WITH qs AS (
+       |  SELECT qid, ${VectorFunctions.hashVectorSql("qid", dim)} AS v
+       |  FROM (VALUES $keys) t(qid)),
+       |cents AS (
+       |  SELECT cell, ${VectorFunctions.hashVectorSql(s"${Ann.CentroidKeyBase} + cell", dim)} AS cv
+       |  FROM range($cells) t(cell)),
+       |cdists AS (
+       |  SELECT e.$idCol, c.cell, $cellD2 AS d2
+       |  FROM $relation e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT $idCol, cell FROM (
+       |    SELECT $idCol, cell,
+       |           row_number() OVER (PARTITION BY $idCol ORDER BY d2, cell) AS rn
+       |    FROM cdists) WHERE rn = 1),
+       |qd AS (
+       |  SELECT qs.qid, c.cell, $qCellD2 AS d2 FROM cents c CROSS JOIN qs),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+       |    FROM qd) WHERE rn <= $nprobe),
+       |cb AS (
+       |  SELECT mi, c,
+       |         ${VectorFunctions.hashVectorSql(s"${ProductQuant.PqKeyBase} + mi * $kCb + c", subDim)} AS cv
+       |  FROM range($m) t(mi) CROSS JOIN range($kCb) u(c)),
+       |subdists AS (
+       |  SELECT e.$idCol, b.mi, b.c, ${sub(s"e.$vecCol", "b.cv")} AS d2
+       |  FROM $relation e CROSS JOIN cb b),
+       |enc AS (
+       |  SELECT $idCol, mi, c FROM (
+       |    SELECT $idCol, mi, c,
+       |           row_number() OVER (PARTITION BY $idCol, mi ORDER BY d2, c) AS rn
+       |    FROM subdists) WHERE rn = 1),
+       |lut AS (
+       |  SELECT qs.qid, b.mi, b.c, ${sub("qs.v", "b.cv")} AS ld
+       |  FROM cb b CROSS JOIN qs),
+       |vis AS (
+       |  SELECT p.qid, a.$idCol FROM assign a JOIN probe p ON p.cell = a.cell),
+       |adc AS (
+       |  SELECT v.qid, v.$idCol,
+       |         floor(sqrt(list_reduce(list(l.ld ORDER BY e.mi), (x, y) -> x + y))
+       |               * 1000000 + 0.5) / 1000000.0 AS adc
+       |  FROM vis v
+       |  JOIN enc e ON e.$idCol = v.$idCol
+       |  JOIN lut l ON l.qid = v.qid AND l.mi = e.mi AND l.c = e.c
+       |  GROUP BY v.qid, v.$idCol),
+       |cand AS (
+       |  SELECT qid, $idCol FROM (
+       |    SELECT qid, $idCol,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, $idCol) AS rn
+       |    FROM adc) WHERE rn <= $rerank),
+       |scored AS (
+       |  SELECT c.qid, e.$idCol, round($rerankDist, 6) AS score
+       |  FROM cand c
+       |  JOIN $relation e ON e.$idCol = c.$idCol
+       |  JOIN qs ON qs.qid = c.qid),
+       |ranked AS (
+       |  SELECT qid, $idCol, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score, $idCol) AS rnk
+       |  FROM scored)
+       |SELECT qid, $idCol, score FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, score, $idCol""".stripMargin
+  }
+
   /** DuckDB oracle for [[search]] over the FIXED models: IVF assignment /
     * probe from Ann.ivfSearchSql's arithmetic, PQ encode / ADC from
     * ProductQuant.searchAdcSql's (first-min argmins, mi-ordered ADC sum,

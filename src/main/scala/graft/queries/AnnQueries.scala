@@ -152,6 +152,22 @@ object AnnQueries {
         kCb = 16, nprobe = 4, k = K)),
       bench = true
     ),
+    // IVF-PQ batch: union of probe cells = one partition filter, ADC over
+    // the codes column once for the whole batch, per-query pool + top-k
+    // windows — the cluster-scale serving shape for query streams
+    Q(
+      "ann_ivfpq_batch",
+      (s, dir) => {
+        val queries = Seq(11L, 12L, 13L)
+          .map(kk => kk -> hashVectorValues(kk, D))
+        graft.index.IvfPqIndex.searchBatch(s, Indexes.ivfPqEmb(s, dir),
+          "embedding", "vec_id", queries, nprobe = 4, K)
+      },
+      Some(graft.index.IvfPqIndex.searchBatchSql("embeddings", "embedding",
+        "vec_id", Seq(11L, 12L, 13L), D, Indexes.IvfCells, m = 8,
+        kCb = 16, nprobe = 4, k = K)),
+      bench = true
+    ),
     // filtered IVF-PQ: the metadata predicate reaches BOTH pruned scans
     // (ADC candidates and rerank), so the pool is filtered before ranking
     Q(

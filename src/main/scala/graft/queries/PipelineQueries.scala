@@ -24,6 +24,9 @@ object PipelineQueries {
   private val TopN = 20
   /** Token budget per packed training sequence (pipeline_pack). */
   private val PackBudget = 4096
+  /** Chunk window / stride (tokens) for pipeline_chunk — W−S overlap. */
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
 
   val qs: Seq[Q] = Seq(
     // nightly shape: dedup the NEW batch against the standing corpus —
@@ -280,6 +283,47 @@ object PipelineQueries {
            |  count(*) AS n_docs
            |FROM documents
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // sliding token-window chunking — the doc→embedding-unit splitter of
+    // an embedding/RAG ingest pipeline: W-token windows at stride S
+    // (W−S-token overlap), final partial window kept. One tokenize pass,
+    // one explode of the per-doc start offsets — linear in token volume
+    // and embarrassingly parallel at 100 TB (no shuffle at all until the
+    // output sort, which a real pipeline wouldn't do).
+    Q(
+      "pipeline_chunk",
+      (s, dir) => {
+        import graft.text.TextAnalysis._
+        Tables.documents(s, dir)
+          .selectExpr("doc_id", "source", s"${wordTokens("text")} as toks")
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("source"), col("toks"),
+            posexplode(expr(s"sequence(0, size(toks) - 1, $ChunkStride)")))
+          .withColumnRenamed("pos", "chunk_idx")
+          .select(col("doc_id"), col("source"), col("chunk_idx"),
+            expr(s"slice(toks, col + 1, $ChunkTokens)").as("ctoks"))
+          .select(col("doc_id"), col("source"), col("chunk_idx"),
+            size(col("ctoks")).as("n_tokens"),
+            expr("array_join(ctoks, ' ')").as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some {
+        import graft.text.TextAnalysis._
+        s"""WITH tk AS (
+           |  SELECT doc_id, source, ${wordTokensSql("text")} AS t
+           |  FROM documents),
+           |st AS (
+           |  SELECT doc_id, source, t,
+           |         unnest(range(0, len(t), $ChunkStride)) AS st
+           |  FROM tk WHERE len(t) > 0),
+           |ch AS (
+           |  SELECT doc_id, source, CAST(st // $ChunkStride AS INT) AS chunk_idx,
+           |         t[st + 1 : st + $ChunkTokens] AS ctoks
+           |  FROM st)
+           |SELECT doc_id, source, chunk_idx, len(ctoks) AS n_tokens,
+           |       array_to_string(ctoks, ' ') AS chunk_text
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+      }
     )
   )
 }
