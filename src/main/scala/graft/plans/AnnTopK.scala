@@ -14,12 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.expr.CosineDistance
 import graft.knn.Ann
 
-/** Registry of parquet tables that carry a persistent LSH index — the
+/** Registry of parquet tables that carry a persistent ANN index — the
   * opt-in surface for [[AnnTopKRewrite]]. Registering a table declares
-  * "top-k-by-cosine over this table may be served from its index"
+  * "top-k-by-distance over this table may be served from its index"
   * (ANN semantics), exactly what the reference's collection does
   * implicitly for every search once an index exists
-  * (jcolano/fastpyvectordb `vectordb_optimized.py:507-575`).
+  * (jcolano/fastpyvectordb `vectordb_optimized.py:507-575`). The index
+  * family follows the metric: cosine sorts probe an LSH bucket table,
+  * l2 sorts probe an IVF cell layout.
   *
   * The index must have been built over ALL of the table's columns
   * (`LshIndex.build` with every non-vector column in `metaCols`) — the
@@ -28,8 +30,14 @@ import graft.knn.Ann
   * declines the rewrite otherwise.
   */
 object IndexedTables {
+  /** kind "lsh" serves cosine sorts from the bucket table; kind "ivf"
+    * serves l2 sorts from the cell layout. IVF registrations CARRY the
+    * coarse centroids (tiny: cells·dim doubles) so probe-cell selection
+    * at optimization time is pure driver arithmetic — an optimizer rule
+    * must never run a Spark job. */
   final case class Reg(vecCol: String, idCol: String, dim: Int,
-      indexPath: String, sources: Seq[String])
+      indexPath: String, sources: Seq[String], kind: String = "lsh",
+      centroids: Seq[Seq[Double]] = Nil, nprobe: Int = 4)
 
   // Keyed by (session UUID, qualified data path): registration is a
   // SESSION-scoped opt-in — another session in the same JVM (with or
@@ -48,6 +56,16 @@ object IndexedTables {
       idCol: String, dim: Int, indexPath: String): Unit =
     regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
       Reg(vecCol, idCol, dim, indexPath, Seq(dataPath)))
+
+  /** Declare "l2 top-k over this table may be served from its IVF cell
+    * index". The model is passed in (the caller built or loaded it) so
+    * optimization stays job-free. */
+  def registerIvf(spark: SparkSession, dataPath: String, vecCol: String,
+      idCol: String, dim: Int, indexPath: String,
+      model: graft.knn.Ann.IvfModel, nprobe: Int = 4): Unit =
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+      Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "ivf",
+        centroids = model.centroids, nprobe = nprobe))
 
   /** The registration for this session and scan, IF its index is still
     * live: the index must be READY and its fingerprint suffix must match
@@ -100,14 +118,18 @@ final case class AnnTopKRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   /** Strip round()/cast wrappers from a sort key; queries sort on the
-    * 6-decimal-rounded distance for oracle determinism. */
+    * 6-decimal-rounded distance for oracle determinism. Yields the
+    * distance operands plus the index kind that serves the metric:
+    * cosine ⇒ LSH buckets, l2 ⇒ IVF cells. */
   private object DistanceKey {
-    def unapply(e: Expression): Option[CosineDistance] = e match {
-      case c: CosineDistance => Some(c)
-      case r: Round          => unapply(r.child)
-      case c: Cast           => unapply(c.child)
-      case _                 => None
-    }
+    def unapply(e: Expression): Option[(Expression, Expression, String)] =
+      e match {
+        case c: CosineDistance => Some((c.left, c.right, "lsh"))
+        case l: graft.expr.L2Distance => Some((l.left, l.right, "ivf"))
+        case r: Round          => unapply(r.child)
+        case c: Cast           => unapply(c.child)
+        case _                 => None
+      }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -122,8 +144,8 @@ final case class AnnTopKRewrite(spark: SparkSession)
       }
       sort.filter(s => s.global && s.order.nonEmpty).flatMap { s =>
         s.order.head match {
-          case SortOrder(DistanceKey(d), Ascending, _, _) =>
-            try rewrite(gl, d, s.child)
+          case SortOrder(DistanceKey(l, r, kind), Ascending, _, _) =>
+            try rewrite(gl, l, r, kind, s.child)
             catch {
               case NonFatal(e) =>
                 logWarning(s"ANN top-k rewrite declined: $e"); None
@@ -140,9 +162,9 @@ final case class AnnTopKRewrite(spark: SparkSession)
     else ad.toDoubleArray().toSeq
   }
 
-  private def rewrite(gl: LogicalPlan, dist: CosineDistance,
-      child: LogicalPlan): Option[LogicalPlan] = {
-    val sides = (dist.left, dist.right) match {
+  private def rewrite(gl: LogicalPlan, distL: Expression, distR: Expression,
+      kind: String, child: LogicalPlan): Option[LogicalPlan] = {
+    val sides = (distL, distR) match {
       case (a: AttributeReference, q) if q.foldable => Some((a, q))
       case (q, a: AttributeReference) if q.foldable => Some((a, q))
       case _                                        => None
@@ -155,7 +177,8 @@ final case class AnnTopKRewrite(spark: SparkSession)
           (l, IndexedTables.lookup(spark, fs.location.rootPaths))
       }
       scans match {
-        case Seq((scan, Some(reg))) if reg.vecCol == vecAttr.name =>
+        case Seq((scan, Some(reg)))
+            if reg.vecCol == vecAttr.name && reg.kind == kind =>
           splice(gl, scan, reg, queryVec(qExpr))
         case _ => None
       }
@@ -173,7 +196,8 @@ final case class AnnTopKRewrite(spark: SparkSession)
     // cached per (indexPath, query, columns) so re-planning the same
     // query is free. The indexPath embeds the source fingerprint, so a
     // regenerated table can never hit a stale cache entry.
-    val candPlan = AnnTopK.candidatePlan(spark, reg, qv, names)
+    val candPlan = AnnTopK.candidatePlan(spark, reg, qv,
+      scan.output.map(a => a.name -> a.dataType))
     // splice only if the bucket table carries every table column, then
     // restore the original output exprIds so the untouched sort/limit/
     // projections above still resolve
@@ -202,7 +226,7 @@ object AnnTopK {
         spark.experimental.extraOptimizations :+ AnnTopKRewrite(spark)
 
   private val candCache =
-    new ConcurrentHashMap[(String, Seq[Double], Seq[String]), LogicalPlan]()
+    new ConcurrentHashMap[(String, Seq[Double], String), LogicalPlan]()
 
   /** Analyzed bucket-probe candidate plan for (index, query, columns) —
     * built once, then served from cache on every re-optimization of the
@@ -210,28 +234,47 @@ object AnnTopK {
     * exprIds; that is safe here because each splice re-aliases every
     * output to the target scan's own exprIds, and a single query never
     * matches two scans (the rewrite requires exactly one registered
-    * scan). */
+    * scan). Each output is CAST to the scan's exact column type: the
+    * index may store a widened copy (IVF cells keep array<double> of a
+    * float source) and the splice re-tags attributes with the scan's
+    * exprIds — a type that differs underneath would be silently misread
+    * by codegen downstream. (float→double→float is value-exact.) */
   private[plans] def candidatePlan(spark: SparkSession,
       reg: IndexedTables.Reg, qv: Seq[Double],
-      names: Seq[String]): LogicalPlan =
-    candCache.computeIfAbsent((reg.indexPath, qv, names), _ => {
-      if (candCache.size > 64) candCache.clear()
-      val qb = Ann.bandValues(qv, reg.dim)
-      val probe = (0 until Ann.Bands)
-        .map(b => col("band_idx") === b && col("band_val") === qb(b))
-        .reduce(_ || _)
-      // dedup collisions (an id matches in up to Bands buckets) as an
-      // explicit Aggregate: rows of one id are identical after the band
-      // columns are dropped, so first() is value-deterministic.
-      // Deduplicate would arrive after ReplaceDeduplicateWithAggregate
-      // already ran.
-      val others = names.filterNot(_ == reg.idCol)
-      spark.read.parquet(s"${reg.indexPath}/buckets")
-        .filter(probe)
-        .groupBy(col(reg.idCol))
-        .agg(first(col(others.head)).as(others.head),
-          others.tail.map(c => first(col(c)).as(c)): _*)
-        .select(names.map(col): _*)
-        .queryExecution.analyzed
-    })
+      fields: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : LogicalPlan =
+    candCache.computeIfAbsent(
+      (reg.indexPath, qv, fields.map(f => f._1 + ":" + f._2.sql).mkString(",")),
+      _ => {
+        if (candCache.size > 64) candCache.clear()
+        val typed = fields.map { case (n, dt) => col(n).cast(dt).as(n) }
+        if (reg.kind == "ivf") {
+          // each id lives in exactly ONE cell — a partition probe needs
+          // no dedup; the untouched sort/limit above reranks exactly
+          val probe = Ann.probeCells(
+            Ann.IvfModel(reg.centroids), qv, reg.nprobe)
+          spark.read.parquet(s"${reg.indexPath}/cells")
+            .filter(col("cell").isin(probe: _*))
+            .select(typed: _*)
+            .queryExecution.analyzed
+        } else {
+          val qb = Ann.bandValues(qv, reg.dim)
+          val probe = (0 until Ann.Bands)
+            .map(b => col("band_idx") === b && col("band_val") === qb(b))
+            .reduce(_ || _)
+          // dedup collisions (an id matches in up to Bands buckets) as an
+          // explicit Aggregate: rows of one id are identical after the
+          // band columns are dropped, so first() is value-deterministic.
+          // Deduplicate would arrive after
+          // ReplaceDeduplicateWithAggregate already ran.
+          val others = fields.map(_._1).filterNot(_ == reg.idCol)
+          spark.read.parquet(s"${reg.indexPath}/buckets")
+            .filter(probe)
+            .groupBy(col(reg.idCol))
+            .agg(first(col(others.head)).as(others.head),
+              others.tail.map(c => first(col(c)).as(c)): _*)
+            .select(typed: _*)
+            .queryExecution.analyzed
+        }
+      })
 }

@@ -209,6 +209,32 @@ object AnnQueries {
         hashVectorSql("11", D), D, K)),
       bench = true
     ),
+    // the l2 face of the declarative surface: ORDER BY l2-distance LIMIT
+    // k over a table registered with its IVF index ⇒ the optimizer swaps
+    // the full scan for the nprobe-cell partition probe; sort/limit stay
+    // and rerank exactly (each id lives in one cell — no dedup needed)
+    Q(
+      "sql_ann_topk_l2",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round, typedlit}
+        graft.plans.AnnTopK.install(s)
+        graft.plans.IndexedTables.registerIvf(s, s"$dir/embeddings.parquet",
+          "embedding", "vec_id", D, Indexes.ivfEmb(s, dir),
+          Ann.fixedIvfModel(Indexes.IvfCells, D))
+        val qc = typedlit(hashVectorValues(11L, D))
+        Tables.embeddings(s, dir)
+          .orderBy(round(l2Distance(col("embedding"), qc), 6),
+            col("vec_id"))
+          .limit(K)
+          .select(col("vec_id"),
+            round(l2Distance(col("embedding"), qc), 6).as("score"))
+          .orderBy("score", "vec_id")
+      },
+      Some(Ann.ivfSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false, metric = "l2")),
+      bench = true
+    ),
     // trained-quantizer scale paths, rows-only (k-means has no SQL
     // oracle; recall is gated in AnnSpec/QuantSpec — these entries pin
     // that the trained paths EXECUTE in CI, not just in unit tests)

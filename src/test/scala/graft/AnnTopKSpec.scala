@@ -130,6 +130,58 @@ class AnnTopKSpec extends AnyFunSuite {
     } finally IndexedTables.clear()
   }
 
+  private def topKL2() = {
+    val qc = typedlit(hashVectorValues(11L, D))
+    Tables.embeddings(spark, sf)
+      .orderBy(round(l2Distance(col("embedding"), qc), 6), col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), qc), 6).as("score"))
+      .orderBy("score", "vec_id")
+  }
+
+  test("l2 top-k over an IVF-registered table is served from the cell index") {
+    AnnTopK.install(spark)
+    IndexedTables.registerIvf(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfEmb(spark, sf),
+      graft.knn.Ann.fixedIvfModel(Indexes.IvfCells, D))
+    try {
+      val q = topKL2()
+      val plan = q.queryExecution.executedPlan.toString
+      // cell partition probe in the plan, and the scan's float column
+      // type restored over the index's double copy
+      assert(plan.contains("PartitionFilters: [cell"), plan)
+      val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = graft.index.IvfIndex.search(spark, Indexes.ivfEmb(spark, sf),
+          "embedding", "vec_id", hashVectorValues(11L, D), nprobe = 4, K,
+          metric = "l2")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b && a.nonEmpty)
+    } finally IndexedTables.clear()
+  }
+
+  test("metric/kind mismatches decline: cosine needs lsh, l2 needs ivf") {
+    AnnTopK.install(spark)
+    IndexedTables.registerIvf(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfEmb(spark, sf),
+      graft.knn.Ann.fixedIvfModel(Indexes.IvfCells, D))
+    try {
+      // cosine sort over an ivf registration: untouched exact plan
+      val plan = topK().queryExecution.executedPlan.toString
+      assert(!plan.contains("band_idx") &&
+        !plan.contains("PartitionFilters: [cell"), plan)
+    } finally IndexedTables.clear()
+    IndexedTables.register(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.lshEmb(spark, sf))
+    try {
+      // l2 sort over an lsh registration: untouched exact plan
+      val plan = topKL2().queryExecution.executedPlan.toString
+      assert(!plan.contains("band_idx") &&
+        !plan.contains("PartitionFilters: [cell"), plan)
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    } finally IndexedTables.clear()
+  }
+
   test("a filter between sort and scan stays on the candidate subset") {
     AnnTopK.install(spark)
     IndexedTables.register(spark, s"$sf/embeddings.parquet",
