@@ -120,4 +120,40 @@ class StreamIngestSpec extends AnyFunSuite {
       assert(a == b && a.nonEmpty)
     } finally q.stop()
   }
+
+  test("foreachBatch maintains an IVF-PQ index incrementally from a vector stream") {
+    import graft.index.{IndexStore, IvfPqIndex}
+    val D = core.Tables.EmbeddingDim
+    val idx = Files.createTempDirectory("graft_stream_ivfpq").toString + "/ivfpq"
+    val emb = core.Tables.embeddings(spark, SparkTestSession.sf)
+      .localCheckpoint()
+    val m = graft.knn.Ann.fixedIvfModel(graft.index.Indexes.IvfCells, D)
+    val cb = graft.quant.ProductQuant.fixedCodebooks(D, 8, 16)
+    IndexStore.ensure(spark, idx)(p =>
+      IvfPqIndex.build(spark, emb.filter(col("vec_id") < 30),
+        "embedding", "vec_id", m, cb, p))
+    val src = Files.createTempDirectory("graft_emb_stream2").toString
+    emb.filter(col("vec_id") >= 30).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(emb.schema).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.localCheckpoint()
+        if (rows.count() > 0)
+          IndexStore.mutate(spark, idx)(p =>
+            IvfPqIndex.append(spark, rows, "embedding", "vec_id", p))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val qv = graft.functions.VectorFunctions.hashVectorValues(11L, D)
+      val a = IvfPqIndex.search(spark, idx, "embedding", "vec_id", qv, 4, 10)
+        .collect().toSeq
+      val full = Files.createTempDirectory("graft_full_ivfpq").toString + "/ivfpq"
+      IndexStore.ensure(spark, full)(p =>
+        IvfPqIndex.build(spark, emb, "embedding", "vec_id", m, cb, p))
+      val b = IvfPqIndex.search(spark, full, "embedding", "vec_id", qv, 4, 10)
+        .collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally q.stop()
+  }
 }
