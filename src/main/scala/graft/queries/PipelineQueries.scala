@@ -323,7 +323,8 @@ object PipelineQueries {
            |SELECT doc_id, source, chunk_idx, len(ctoks) AS n_tokens,
            |       array_to_string(ctoks, ' ') AS chunk_text
            |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
-      }
+      },
+      bench = true
     )
   )
 }
