@@ -69,24 +69,31 @@ object DedupQueries {
       "dedup_embedding",
       (s, dir) => {
         val D = Tables.EmbeddingDim
-        // band arithmetic once per row (GC-scoped barrier), then a
-        // self-equi-join on the bucket key
-        val bands = graft.index.LshIndex.bucketRows(
-          Tables.embeddings(s, dir), "embedding", "vec_id", D,
-          metaCols = Seq("label")).localCheckpoint()
+        // vectors stored once (GC-scoped barrier); the bucket self-join
+        // carries only (vec_id, label, band) scalars, arrays re-enter
+        // through the scoring joins on the distinct candidate pairs
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .localCheckpoint()
+        val bands = graft.index.LshIndex
+          .bucketRows(emb, "embedding", "vec_id", D, metaCols = Seq("label"))
+          .select("vec_id", "label", "band_idx", "band_val")
         val a = bands.as("a")
         val b = bands.as("b")
-        a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
-          // score map-side, dedup band collisions with min() (identical
-          // value per pair) — the shuffle carries scalars, not vectors
           .select(col("a.label").as("label"),
-                  col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-                  round(cosineDistance(col("a.embedding"), col("b.embedding")), 6)
-                    .as("d"))
-          .groupBy("label", "vec_a", "vec_b").agg(min("d").as("dist"))
+            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        cand
+          .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+            Seq("vec_a"))
+          .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+            Seq("vec_b"))
+          .select(col("label"), col("vec_a"), col("vec_b"),
+            round(cosineDistance(col("ea"), col("eb")), 6).as("dist"))
           .orderBy(col("dist"), col("vec_a"), col("vec_b"))
           .limit(TopN)
       },

@@ -44,28 +44,37 @@ object KnnQueries {
     Q(
       "knn_self_join",
       (s, dir) => {
-        val bands = graft.index.LshIndex.bucketRows(
-          Tables.embeddings(s, dir), "embedding", "vec_id", D)
-          .localCheckpoint() // band arithmetic once; both join sides reuse
+        // vectors stored ONCE (localCheckpoint); the bucket self-join
+        // carries only (vec_id, band) scalars, and the arrays re-enter
+        // the plan through the two scoring joins on the distinct
+        // candidate pairs — at corpus scale the candidate shuffle is the
+        // expensive one, and it must never carry Bands copies of the
+        // vector (same layout as Dedup.docSignatures/bandRows)
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        val bands = graft.index.LshIndex
+          .bucketRows(emb, "embedding", "vec_id", D)
+          .select("vec_id", "band_idx", "band_val")
         val a = bands.as("a")
         val b = bands.as("b")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("nbr_id"))
         // ordered pairs (a < b) halve the join output and the cosine
-        // evaluations; the symmetric (b, a) rows are mirrored AFTER the
-        // dedup aggregate, where each pair is one scalar row
-        val pairs = a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        // evaluations; the symmetric (b, a) rows are mirrored AFTER
+        // scoring, where each pair is one scalar row
+        val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.vec_id") < col("b.vec_id"))
-          // score map-side, THEN dedup band collisions with a min()
-          // aggregate (identical value per pair): the dedup shuffle
-          // carries 3 numeric columns with map-side combine instead of
-          // two 64-float vectors per candidate row
-          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-            round(cosineDistance(col("a.embedding"), col("b.embedding")), 6)
-              .as("d"))
-          .groupBy("va", "vb").agg(min("d").as("dist"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .distinct()
+        val pairs = cand
+          .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")),
+            Seq("va"))
+          .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+            Seq("vb"))
+          .select(col("va"), col("vb"),
+            round(cosineDistance(col("ea"), col("eb")), 6).as("dist"))
         pairs.select(col("va").as("vec_id"), col("vb").as("nbr_id"), col("dist"))
           .unionAll(pairs.select(col("vb").as("vec_id"),
             col("va").as("nbr_id"), col("dist")))
