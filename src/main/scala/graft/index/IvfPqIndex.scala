@@ -128,6 +128,10 @@ object IvfPqIndex {
     import spark.implicits._
     val ivf = loadIvf(spark, path)
     val cb = QuantIndex.loadPqCodebooks(spark, path)
+    require(queryVec.length == cb.m * cb.subDim,
+      s"query dim ${queryVec.length} != index dim ${cb.m * cb.subDim}")
+    require(nprobe >= 1 && k >= 1 && rerank >= k,
+      s"need nprobe>=1, k>=1, rerank>=k (got $nprobe, $k, $rerank)")
     val lut = ProductQuant.adcLut(cb, queryVec)
     val m = cb.m
     val probe = Ann.probeCells(ivf, queryVec, nprobe)

@@ -129,6 +129,49 @@ object TextQueries {
            |  round(avg(len(${wordTokensSql("text")})), 4) AS avg_tokens
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     ),
+    // per-source character-class profile — the mojibake/garbage and
+    // shouting/numeric-boilerplate signals of a corpus-cleaning sweep:
+    // integer char-class counts summed per source (order-independent),
+    // one division at the end. Ranges are written without regex escapes
+    // ('[^ -~]' = non-printable-ASCII) so Java and RE2 read them alike.
+    Q(
+      "text_charset_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .selectExpr("source",
+            "length(text) as nc",
+            "length(regexp_replace(text, '[^ -~]', '')) as np",
+            "length(regexp_replace(text, '[^0-9]', '')) as nd",
+            "length(regexp_replace(text, '[^A-Z]', '')) as nu",
+            "length(regexp_replace(text, '[^A-Za-z]', '')) as na")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nc").as("total_chars"),
+            round(sum("np") / sum("nc"), 6).as("printable_ratio"),
+            round(sum("nd") / sum("nc"), 6).as("digit_ratio"),
+            round(sum("nu") / sum("nc"), 6).as("upper_ratio"),
+            round(sum("na") / sum("nc"), 6).as("alpha_ratio"))
+          .orderBy("source"),
+      Some(
+        """WITH c AS (
+          |  SELECT source, length(text) AS nc,
+          |         length(regexp_replace(text, '[^ -~]', '', 'g')) AS np,
+          |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+          |         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu,
+          |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(sum(nc) AS BIGINT) AS total_chars,
+          |       round(CAST(sum(np) AS BIGINT) / CAST(sum(nc) AS BIGINT), 6)
+          |         AS printable_ratio,
+          |       round(CAST(sum(nd) AS BIGINT) / CAST(sum(nc) AS BIGINT), 6)
+          |         AS digit_ratio,
+          |       round(CAST(sum(nu) AS BIGINT) / CAST(sum(nc) AS BIGINT), 6)
+          |         AS upper_ratio,
+          |       round(CAST(sum(na) AS BIGINT) / CAST(sum(nc) AS BIGINT), 6)
+          |         AS alpha_ratio
+          |FROM c GROUP BY source ORDER BY source""".stripMargin)
+    ),
     Q(
       "text_fingerprint",
       (s, dir) =>
