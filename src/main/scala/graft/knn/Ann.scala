@@ -188,6 +188,96 @@ object Ann {
        |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
   }
 
+  /** MIPS (ip-metric) ANN via the L2 augmentation (Bachrach et al.,
+    * RecSys 2014): append aug(x) = √(M² − ‖x‖²) to every corpus vector
+    * (M = max corpus norm) and 0 to the query — then
+    * ‖q_aug − x_aug‖² = ‖q‖² + M² − 2·⟨q,x⟩, so L2 geometry over the
+    * augmented space ORDERS exactly like inner product. Cells come from
+    * the fixed (dim+1)-dim codebook; candidates in the probed cells are
+    * reranked by the TRUE dot product, so with nprobe = cells this
+    * equals the exact ip top-k (pinned in AnnSpec). This closes the "ip
+    * has no index family" gap: the reference serves ip only brute-force
+    * (`vectordb_optimized.py:681-683`).
+    *
+    * M² is one tiny aggregate (a stored constant when the layout is
+    * persisted — it must NOT be recomputed per append, a new max would
+    * silently re-geometrize existing cells). */
+  def mipsIvfSearch(emb: DataFrame, vecCol: String, idCol: String,
+      cells: Int, queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    graft.core.Ids.requireIntegral(emb, idCol)
+    val model = fixedIvfModel(cells, queryVec.length + 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m2 = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
+      .head.getDouble(0)
+    val cents = model.centroids.map(_.toArray).toArray
+    val probed = probeCells(model, queryVec :+ 0.0, nprobe).toSet
+    val q = queryVec.toArray
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, v) =>
+          val vec = v.toArray
+          var n2 = 0.0
+          var i = 0
+          while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
+          val augv = new Array[Double](vec.length + 1)
+          System.arraycopy(vec, 0, augv, 0, vec.length)
+          augv(vec.length) = math.sqrt(math.max(0.0, m2 - n2))
+          if (!probed.contains(bestCell(cents, augv))) None
+          else {
+            var d = 0.0
+            i = 0
+            while (i < vec.length) { d += vec(i) * q(i); i += 1 }
+            Some((id, math.round(-d * 1e6) / 1e6))
+          }
+        }
+      }
+      .toDF(idCol, "score")
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[mipsIvfSearch]]: max-norm constant, augmented
+    * assignment (sqL2 over the base dims + the aug term LAST, matching
+    * the kernel's fold order), augmented probe with q_aug = [q, 0], true
+    * ip rerank with the kernel's floor rounding. */
+  def mipsIvfSearchSql(relation: String, vecCol: String, idCol: String,
+      queryVecSql: String, dim: Int, cells: Int, nprobe: Int, k: Int)
+      : String = {
+    val n2 = VectorFunctions.dotSql(s"e.$vecCol", s"e.$vecCol", dim)
+    val baseD2 = VectorFunctions.sqL2Sql(s"a.$vecCol", "c.cv", dim)
+    val qBaseD2 = VectorFunctions.sqL2Sql("c.cv", "q.v", dim)
+    val ip = Knn.distanceSql("ip", s"e.$vecCol", "q.v", dim)
+    s"""WITH q AS (SELECT $queryVecSql AS v),
+       |m2 AS (SELECT max($n2) AS m2 FROM $relation e),
+       |aug AS (
+       |  SELECT e.*, sqrt(greatest(0.0, m2.m2 - $n2)) AS augd
+       |  FROM $relation e, m2),
+       |cents AS (
+       |  SELECT cell, ${VectorFunctions.hashVectorSql(s"$CentroidKeyBase + cell", dim + 1)} AS cv
+       |  FROM range($cells) t(cell)),
+       |cdists AS (
+       |  SELECT a.$idCol, c.cell,
+       |         $baseD2 + (a.augd - (c.cv)[${dim + 1}]) * (a.augd - (c.cv)[${dim + 1}]) AS d2
+       |  FROM aug a CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT $idCol, cell FROM (
+       |    SELECT $idCol, cell,
+       |           row_number() OVER (PARTITION BY $idCol ORDER BY d2, cell) AS rn
+       |    FROM cdists) WHERE rn = 1),
+       |probe AS (
+       |  SELECT c.cell FROM cents c, q
+       |  ORDER BY $qBaseD2 + (c.cv)[${dim + 1}] * (c.cv)[${dim + 1}], c.cell
+       |  LIMIT $nprobe)
+       |SELECT e.$idCol, floor(($ip) * 1000000 + 0.5) / 1000000.0 AS score
+       |FROM $relation e
+       |JOIN assign a ON a.$idCol = e.$idCol
+       |CROSS JOIN q
+       |WHERE a.cell IN (SELECT cell FROM probe)
+       |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
+  }
+
   /** Max rows sampled for centroid training; samples at or below
     * LocalTrainThreshold run Lloyd's driver-side (MLlib schedules a job
     * per iteration — pure overhead on small samples; see LocalKMeans). */

@@ -138,6 +138,18 @@ object AnnQueries {
         floorRounding = false, filterSql = Some("e.label = 3"))),
       bench = true
     ),
+    // ip-metric ANN via the MIPS→L2 augmentation (Bachrach et al. 2014):
+    // augmented-space IVF cells prune candidates, the TRUE dot product
+    // reranks — the metric the reference serves only brute-force
+    Q(
+      "ann_ip_mips",
+      (s, dir) =>
+        Ann.mipsIvfSearch(Tables.embeddings(s, dir), "embedding", "vec_id",
+          Indexes.IvfCells, hashVectorValues(11L, D), nprobe = 4, K),
+      Some(Ann.mipsIvfSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K)),
+      bench = true
+    ),
     // IVF-PQ, the composed billion-scale layout (Jégou et al. IVFADC):
     // partition-pruned probe, codes-only ADC candidate scan (column
     // pruning: m bytes/vector), exact-l2 rerank of a 50-row pool —

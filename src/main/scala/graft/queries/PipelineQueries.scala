@@ -292,21 +292,11 @@ object PipelineQueries {
     // output sort, which a real pipeline wouldn't do).
     Q(
       "pipeline_chunk",
-      (s, dir) => {
-        import graft.text.TextAnalysis._
-        Tables.documents(s, dir)
-          .selectExpr("doc_id", "source", s"${wordTokens("text")} as toks")
-          .filter(size(col("toks")) > 0)
-          .select(col("doc_id"), col("source"), col("toks"),
-            posexplode(expr(s"sequence(0, size(toks) - 1, $ChunkStride)")))
-          .withColumnRenamed("pos", "chunk_idx")
-          .select(col("doc_id"), col("source"), col("chunk_idx"),
-            expr(s"slice(toks, col + 1, $ChunkTokens)").as("ctoks"))
-          .select(col("doc_id"), col("source"), col("chunk_idx"),
-            size(col("ctoks")).as("n_tokens"),
-            expr("array_join(ctoks, ' ')").as("chunk_text"))
-          .orderBy("doc_id", "chunk_idx")
-      },
+      (s, dir) =>
+        graft.text.Chunking.chunk(Tables.documents(s, dir), "text",
+            "doc_id", ChunkTokens, ChunkStride, passthrough = Seq("source"))
+          .select("doc_id", "source", "chunk_idx", "n_tokens", "chunk_text")
+          .orderBy("doc_id", "chunk_idx"),
       Some {
         import graft.text.TextAnalysis._
         s"""WITH tk AS (

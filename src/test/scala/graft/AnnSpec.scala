@@ -51,6 +51,31 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("MIPS with an exhaustive probe equals the exact ip top-k") {
+    // nprobe = cells ⇒ every candidate survives pruning and the true-dot
+    // rerank decides — the augmentation must then be a NO-OP on the
+    // result (the order-embedding property of the MIPS→L2 reduction)
+    val a = Ann.mipsIvfSearch(emb, "embedding", "vec_id", cells = 16,
+      qv, nprobe = 16, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Knn.search(emb, col("embedding"), typedlit(qv), "ip", 10,
+      idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("MIPS probing 4/16 augmented cells keeps most of the exact ip top-10") {
+    val exact = Knn.search(emb, col("embedding"), typedlit(qv), "ip", 10,
+      idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Ann.mipsIvfSearch(emb, "embedding", "vec_id", cells = 16,
+      qv, nprobe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size / 10.0
+    info(s"MIPS recall@10 vs exact ip = $recall")
+    assert(recall >= 0.2, s"MIPS recall collapsed: $recall")
+  }
+
   test("driver-side bandValues is bit-identical with the engine's bandCol") {
     // index probes (LshIndex.search, the AnnTopK optimizer rule) derive
     // partition filters from Ann.bandValues WITHOUT a Spark job; a single
