@@ -162,6 +162,9 @@ final class VectorCollection(
             case "cosine" =>
               graft.index.LshIndex.append(spark, snap, "vector", "id",
                 config.dimensions, p, metaColumns(snap))
+            case "ip" =>
+              graft.index.MipsIndex.append(spark, snap, "vector", "id", p,
+                metaColumns(snap), stringIds = true)
             case _ =>
               graft.index.IvfIndex.append(spark, snap, "vector", "id", p,
                 metaColumns(snap), stringIds = true)
@@ -260,13 +263,15 @@ final class VectorCollection(
     * the collection the way the reference's in-memory indexes follow its
     * mutations (`vectordb_optimized.py:337-365, 467-501`). The index
     * family follows the metric: sign-hyperplane LSH is a cosine family,
-    * so cosine collections carry LSH buckets and l2 collections carry an
-    * IVF cell layout (k-means Voronoi = native l2 geometry); ip has no
-    * index family here (MIPS favors large-norm vectors at moderate
-    * angles — neither family bounds that) and stays exact. */
+    * so cosine collections carry LSH buckets, l2 collections carry an
+    * IVF cell layout (k-means Voronoi = native l2 geometry), and ip
+    * collections carry the MIPS augmented-cell layout (the L2
+    * augmentation turns inner-product order into augmented-L2 order —
+    * graft.index.MipsIndex). */
   private def annKind: Option[String] = config.metric match {
     case "cosine" => Some("colllsh")
     case "l2"     => Some("collivf")
+    case "ip"     => Some("collmips")
     case _        => None
   }
 
@@ -294,6 +299,10 @@ final class VectorCollection(
           graft.index.IvfIndex.build(spark, data, "vector", "id",
             graft.knn.Ann.fixedIvfModel(IvfCells, config.dimensions), p,
             metaColumns(data), stringIds = true))
+      case "ip" =>
+        graft.index.IndexStore.ensure(spark, annIndexPath)(p =>
+          graft.index.MipsIndex.build(spark, data, "vector", "id",
+            IvfCells, p, metaColumns(data), stringIds = true))
       case m =>
         throw new IllegalArgumentException(
           s"no ANN index family for metric '$m' — searchAnn runs exact")
@@ -311,9 +320,9 @@ final class VectorCollection(
     *
     * The index family follows the metric ([[annKind]]): cosine probes
     * LSH buckets, l2 probes IVF cells (reranked with the true l2
-    * distance), ip falls back to the exact filtered search rather than
-    * silently degrade recall. `multiProbe` is the recall knob of both
-    * families — 1-bit-flip buckets for LSH, doubled nprobe for IVF.
+    * distance), ip probes MIPS augmented cells (reranked with the true
+    * dot product). `multiProbe` is the recall knob of every family —
+    * 1-bit-flip buckets for LSH, doubled nprobe for IVF/MIPS.
     */
   def searchAnn(queryVec: Seq[Double], k: Int = 10,
       filter: Option[Pred] = None, multiProbe: Boolean = false): DataFrame =
@@ -326,6 +335,10 @@ final class VectorCollection(
         graft.index.IvfIndex.search(spark, ensureAnnIndex(), "vector",
           "id", queryVec, if (multiProbe) IvfNprobe * 2 else IvfNprobe, k,
           filter.map(_.column), metric = "l2")
+      case "ip" =>
+        graft.index.MipsIndex.search(spark, ensureAnnIndex(), "vector",
+          "id", queryVec, if (multiProbe) IvfNprobe * 2 else IvfNprobe, k,
+          filter.map(_.column))
       case _ =>
         // same (id, score) shape as the indexed paths — search() returns
         // every collection column

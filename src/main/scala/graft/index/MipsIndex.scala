@@ -1,0 +1,115 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.knn.{Ann, Knn}
+
+/** Persistent ip-metric (MIPS) ANN layout via the L2 augmentation
+  * (Bachrach et al., RecSys 2014 — see [[Ann.mipsIvfSearch]] for the
+  * identity): vectors are assigned to fixed (dim+1)-dim IVF cells in the
+  * AUGMENTED space at build time, stored with their ORIGINAL vector; a
+  * probe prunes cell partitions and reranks by the true dot product.
+  *
+  * Layout under an [[IndexStore]] path:
+  *   meta/  (m2, dim, cells)  — the augmentation constant and geometry
+  *   cells/ cell=N/(id, vector, meta…)
+  *
+  * The max-norm constant M² is FROZEN at first build and appends reuse
+  * it: recomputing a (possibly larger) max on append would silently
+  * re-geometrize the cells existing rows were assigned under. A vector
+  * with ‖x‖² > M² still lands in its nearest cell (aug clamps to 0) —
+  * recall for such outliers degrades gracefully, correctness of the
+  * rerank never does.
+  */
+object MipsIndex {
+  def build(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, cells: Int, path: String,
+      metaCols: Seq[String] = Nil, stringIds: Boolean = false): Unit = {
+    import spark.implicits._
+    val m2 = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
+      .head.getDouble(0)
+    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    Seq((m2, dim, cells)).toDF("m2", "dim", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeCells(spark, emb, vecCol, idCol, m2, dim, cells, path,
+      mode = "overwrite", metaCols = metaCols, stringIds = stringIds)
+  }
+
+  private def writeCells(spark: SparkSession, emb: DataFrame, vecCol: String,
+      idCol: String, m2: Double, dim: Int, cells: Int, path: String,
+      mode: String, metaCols: Seq[String], stringIds: Boolean): Unit = {
+    import spark.implicits._
+    val cents = Ann.fixedIvfModel(cells, dim + 1).centroids
+      .map(_.toArray).toArray
+    def cellOf(v: Seq[Double]): Int = {
+      val vec = v.toArray
+      var n2 = 0.0
+      var i = 0
+      while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
+      val augv = java.util.Arrays.copyOf(vec, vec.length + 1)
+      augv(vec.length) = math.sqrt(math.max(0.0, m2 - n2))
+      Ann.bestCell(cents, augv)
+    }
+    val assigned =
+      if (stringIds)
+        emb.select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+          .as[(String, Seq[Double])]
+          .map { case (id, v) => (id, v, cellOf(v)) }
+          .toDF(idCol, vecCol, "cell")
+      else {
+        graft.core.Ids.requireIntegral(emb, idCol)
+        emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, v) => (id, v, cellOf(v)) }
+          .toDF(idCol, vecCol, "cell")
+      }
+    val idKey =
+      if (stringIds) col(idCol).cast("string") else col(idCol).cast("long")
+    val rows =
+      if (metaCols.isEmpty) assigned
+      else assigned
+        .join(emb.select(idKey +: metaCols.map(col): _*), idCol)
+        .select(Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+          col("cell"): _*)
+    rows.write.mode(mode).partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  private def loadMeta(spark: SparkSession, path: String): (Double, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head
+    (r.getDouble(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Incremental maintenance against the FROZEN augmentation constant
+    * and geometry; wrap in IndexStore.mutate/advance. */
+  def append(spark: SparkSession, newRows: DataFrame, vecCol: String,
+      idCol: String, path: String, metaCols: Seq[String] = Nil,
+      stringIds: Boolean = false): Unit = {
+    val (m2, dim, cells) = loadMeta(spark, path)
+    writeCells(spark, newRows, vecCol, idCol, m2, dim, cells, path,
+      mode = "append", metaCols = metaCols, stringIds = stringIds)
+    spark.catalog.refreshByPath(s"$path/cells")
+  }
+
+  /** Probe nprobe augmented cells (q_aug = [q, 0]), rerank the surviving
+    * candidates by the true ip distance (−dot, `round(…, 6)` like the
+    * other partitioned readers); optional metadata filter pushes into
+    * the pruned cell scan BEFORE the rerank. */
+  def search(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, queryVec: Seq[Double], nprobe: Int, k: Int,
+      filter: Option[Column] = None): DataFrame = {
+    val (_, dim, cells) = loadMeta(spark, path)
+    require(queryVec.length == dim,
+      s"query dim ${queryVec.length} != index dim $dim")
+    val probe = Ann.probeCells(
+      Ann.fixedIvfModel(cells, dim + 1), queryVec :+ 0.0, nprobe)
+    val base = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probe: _*))
+    filter.map(base.filter).getOrElse(base)
+      .withColumn("score",
+        round(Knn.distance("ip", col(vecCol), typedlit(queryVec)), 6))
+      .select(idCol, "score")
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+  }
+}

@@ -243,12 +243,16 @@ object Ann {
     * the kernel's fold order), augmented probe with q_aug = [q, 0], true
     * ip rerank with the kernel's floor rounding. */
   def mipsIvfSearchSql(relation: String, vecCol: String, idCol: String,
-      queryVecSql: String, dim: Int, cells: Int, nprobe: Int, k: Int)
+      queryVecSql: String, dim: Int, cells: Int, nprobe: Int, k: Int,
+      floorRounding: Boolean = true, filterSql: Option[String] = None)
       : String = {
     val n2 = VectorFunctions.dotSql(s"e.$vecCol", s"e.$vecCol", dim)
     val baseD2 = VectorFunctions.sqL2Sql(s"a.$vecCol", "c.cv", dim)
     val qBaseD2 = VectorFunctions.sqL2Sql("c.cv", "q.v", dim)
     val ip = Knn.distanceSql("ip", s"e.$vecCol", "q.v", dim)
+    val score =
+      if (floorRounding) s"floor(($ip) * 1000000 + 0.5) / 1000000.0"
+      else s"round($ip, 6)"
     s"""WITH q AS (SELECT $queryVecSql AS v),
        |m2 AS (SELECT max($n2) AS m2 FROM $relation e),
        |aug AS (
@@ -270,11 +274,12 @@ object Ann {
        |  SELECT c.cell FROM cents c, q
        |  ORDER BY $qBaseD2 + (c.cv)[${dim + 1}] * (c.cv)[${dim + 1}], c.cell
        |  LIMIT $nprobe)
-       |SELECT e.$idCol, floor(($ip) * 1000000 + 0.5) / 1000000.0 AS score
+       |SELECT e.$idCol, $score AS score
        |FROM $relation e
        |JOIN assign a ON a.$idCol = e.$idCol
        |CROSS JOIN q
-       |WHERE a.cell IN (SELECT cell FROM probe)
+       |WHERE a.cell IN (SELECT cell FROM probe)${
+        filterSql.map(f => s"\n  AND ($f)").getOrElse("")}
        |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
   }
 

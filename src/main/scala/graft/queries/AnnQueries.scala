@@ -322,6 +322,25 @@ object AnnQueries {
         hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
         floorRounding = false, filterSql = Some("label = 3"), metric = "l2"))
     ),
+    // an ip collection carries the MIPS augmented-cell layout — probe
+    // nprobe/cells partitions in the augmented space, rerank with the
+    // TRUE dot product, index maintained across mutations like the
+    // other metric families
+    Q(
+      "collection_ann_ip",
+      (s, dir) => collectionAnnIp(s, dir).searchAnn(hashVectorValues(11L, D), K),
+      Some(Ann.mipsIvfSearchSql(CollOracleRel, "embedding", "id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false))
+    ),
+    Q(
+      "collection_ann_ip_filtered",
+      (s, dir) => collectionAnnIp(s, dir).searchAnn(hashVectorValues(11L, D), K,
+        filter = Some(graft.filter.Eq("label", 3))),
+      Some(Ann.mipsIvfSearchSql(CollOracleRel, "embedding", "id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false, filterSql = Some("e.label = 3")))
+    ),
     // distributed l2 batch: the (qid, qvec) relation never reaches the
     // driver — probe cells come from a queries×broadcast(centroids)
     // window, and dynamic partition pruning skips unprobed cell files
@@ -349,6 +368,10 @@ object AnnQueries {
   private def collectionAnnL2(s: org.apache.spark.sql.SparkSession,
       dir: String): graft.core.VectorCollection =
     scratchCollection(s, dir, "emb_l2", "l2")
+
+  private def collectionAnnIp(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.core.VectorCollection =
+    scratchCollection(s, dir, "emb_ip", "ip")
 
   private def scratchCollection(s: org.apache.spark.sql.SparkSession,
       dir: String, name: String, metric: String): graft.core.VectorCollection = {

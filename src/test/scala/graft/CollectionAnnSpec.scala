@@ -113,19 +113,49 @@ class CollectionAnnSpec extends AnyFunSuite {
     assert(coll.count() == 0) // count() stays 0, not an error
   }
 
-  test("ip collections fall back to exact search (no index family for MIPS)") {
+  test("ip collection: ANN probes MIPS augmented cells, maintains incrementally") {
     val root = Files.createTempDirectory("graft_collann_ip").toString
     val coll = new VectorDb(spark, root)
       .createCollection("c", dimensions = D, metric = "ip")
     coll.insertBatch(rows((1 to 30).map(i => s"id$i" -> i): _*))
     val qv = VectorFunctions.hashVectorValues(7L, D)
-    val a = coll.searchAnn(qv, 5).collect().toSeq
-    val b = coll.search(qv, 5).collect().toSeq
-    // exact equality with the exact path, and no bucket/cell scan
-    assert(a.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score"))))
-      == b.map(r => (r.getString(0), r.getDouble(r.fieldIndex("score")))))
-    val plan = coll.searchAnn(qv, 5).queryExecution.executedPlan.toString
-    assert(!plan.contains("band_idx") && !plan.contains("cell#"), plan)
+    val q = coll.searchAnn(qv, 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+      plan)
+    assert(!plan.contains("band_idx"), plan)
+    // exhaustive probe over the SAME index equals the exact ip search —
+    // the order-embedding identity of the MIPS→L2 augmentation
+    val a = graft.index.MipsIndex.search(spark, coll.ensureAnnIndex(),
+      "vector", "id", qv, nprobe = 16, k = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val b = coll.search(qv, 5).select("id", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+    // filtered probe: predicate pushed into the pruned cell scan
+    val f = coll.searchAnn(qv, 5, filter = Some(Eq("tag", "t1")))
+    val fplan = f.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters: [") && fplan.contains("tag"), fplan)
+    assert(f.collect().forall(_.getString(0).stripPrefix("id").toInt % 2 == 1))
+    // a pure insert advances the MIPS index (moved dir), no rebuild, and
+    // the frozen m2 still serves the appended rows
+    val p1 = coll.ensureAnnIndex()
+    assert(new java.io.File(s"$p1/SENTINEL").createNewFile())
+    coll.insertBatch(rows("id31" -> 31, "id32" -> 32))
+    val p2 = coll.ensureAnnIndex()
+    assert(p2 != p1 && IndexStore.ready(spark, p2))
+    assert(new java.io.File(s"$p2/SENTINEL").exists(),
+      "insert must append to the moved MIPS index, not rebuild it")
+    // (under ip the self-match need not win — a larger-norm vector can
+    // out-dot it — so the right invariant is exhaustive-probe equality
+    // with the exact search over the GROWN collection)
+    val qv31 = VectorFunctions.hashVectorValues(31L, D)
+    val a2 = graft.index.MipsIndex.search(spark, p2, "vector", "id",
+      qv31, nprobe = 16, k = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val b2 = coll.search(qv31, 3).select("id", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a2 == b2 && a2.nonEmpty)
   }
 
   test("l2 collection: ANN probes IVF cells, reranks true l2, maintains incrementally") {
