@@ -65,6 +65,10 @@ object Indexes {
         Ann.fixedIvfModel(IvfCells, D),
         graft.quant.ProductQuant.fixedCodebooks(D, 8, 16), p,
         metaCols = Seq("label"))),
+    // MIPS augmented-cell layout for ip-metric top-k (true-dot rerank)
+    Spec("mipsemb", embSrc, (s, d, p) =>
+      MipsIndex.build(s, Tables.embeddings(s, d), "embedding", "vec_id",
+        IvfCells, p, metaCols = Seq("label"))),
     Spec("custemb", d => Seq(s"$d/customer.parquet"), (s, d, p) =>
       Tables.customer(s, d).select(
           concat(lit("c:"), col("c_custkey")).as("id"),
@@ -133,6 +137,10 @@ object Indexes {
     * probe + codes-only ADC scan + exact rerank; fixed models). */
   def ivfPqEmb(spark: SparkSession, dir: String): String =
     ensureKind(spark, dir, "ivfpqemb")
+
+  /** MIPS augmented-cell index over the embeddings table (ip metric). */
+  def mipsEmb(spark: SparkSession, dir: String): String =
+    ensureKind(spark, dir, "mipsemb")
 
   /** Materialized node embeddings for graph+vector search: at scale an
     * embedded node's vector is a STORED column, not derived per query. */

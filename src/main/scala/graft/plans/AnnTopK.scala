@@ -67,6 +67,19 @@ object IndexedTables {
       Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "ivf",
         centroids = model.centroids, nprobe = nprobe))
 
+  /** Declare "ip top-k over this table may be served from its MIPS
+    * augmented-cell index" (graft.index.MipsIndex layout). Probe-cell
+    * selection needs only the FIXED (dim+1)-dim codebook — the augmented
+    * query's extra component is 0 — so no stored state is read at
+    * optimization time. */
+  def registerMips(spark: SparkSession, dataPath: String, vecCol: String,
+      idCol: String, dim: Int, indexPath: String, cells: Int,
+      nprobe: Int = 4): Unit =
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+      Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "mips",
+        centroids = graft.knn.Ann.fixedIvfModel(cells, dim + 1).centroids,
+        nprobe = nprobe))
+
   /** The registration for this session and scan, IF its index is still
     * live: the index must be READY and its fingerprint suffix must match
     * the CURRENT fingerprint of the registered sources — a table whose
@@ -126,6 +139,9 @@ final case class AnnTopKRewrite(spark: SparkSession)
       e match {
         case c: CosineDistance => Some((c.left, c.right, "lsh"))
         case l: graft.expr.L2Distance => Some((l.left, l.right, "ivf"))
+        // ip distance is −dot: ascending −dot = descending dot = MIPS
+        case UnaryMinus(d: graft.expr.DotProduct, _) =>
+          Some((d.left, d.right, "mips"))
         case r: Round          => unapply(r.child)
         case c: Cast           => unapply(c.child)
         case _                 => None
@@ -248,11 +264,14 @@ object AnnTopK {
       _ => {
         if (candCache.size > 64) candCache.clear()
         val typed = fields.map { case (n, dt) => col(n).cast(dt).as(n) }
-        if (reg.kind == "ivf") {
+        if (reg.kind == "ivf" || reg.kind == "mips") {
           // each id lives in exactly ONE cell — a partition probe needs
-          // no dedup; the untouched sort/limit above reranks exactly
+          // no dedup; the untouched sort/limit above reranks exactly.
+          // MIPS probes with the augmented query [q, 0] against the
+          // (dim+1)-dim codebook the registration carries.
+          val probeQ = if (reg.kind == "mips") qv :+ 0.0 else qv
           val probe = Ann.probeCells(
-            Ann.IvfModel(reg.centroids), qv, reg.nprobe)
+            Ann.IvfModel(reg.centroids), probeQ, reg.nprobe)
           spark.read.parquet(s"${reg.indexPath}/cells")
             .filter(col("cell").isin(probe: _*))
             .select(typed: _*)

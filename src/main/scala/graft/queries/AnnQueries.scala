@@ -247,6 +247,31 @@ object AnnQueries {
         floorRounding = false, metric = "l2")),
       bench = true
     ),
+    // the ip face of the declarative surface: ORDER BY ip-distance
+    // (−dot) LIMIT k over a MIPS-registered table ⇒ augmented-cell
+    // partition probe; sort/limit stay and rerank by the true dot
+    Q(
+      "sql_ann_topk_ip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round, typedlit}
+        graft.plans.AnnTopK.install(s)
+        graft.plans.IndexedTables.registerMips(s, s"$dir/embeddings.parquet",
+          "embedding", "vec_id", D, Indexes.mipsEmb(s, dir),
+          cells = Indexes.IvfCells)
+        val qc = typedlit(hashVectorValues(11L, D))
+        Tables.embeddings(s, dir)
+          .orderBy(round(ipDistance(col("embedding"), qc), 6),
+            col("vec_id"))
+          .limit(K)
+          .select(col("vec_id"),
+            round(ipDistance(col("embedding"), qc), 6).as("score"))
+          .orderBy("score", "vec_id")
+      },
+      Some(Ann.mipsIvfSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
+        floorRounding = false)),
+      bench = true
+    ),
     // trained-quantizer scale paths, rows-only (k-means has no SQL
     // oracle; recall is gated in AnnSpec/QuantSpec — these entries pin
     // that the trained paths EXECUTE in CI, not just in unit tests)

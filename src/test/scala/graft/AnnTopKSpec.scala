@@ -160,6 +160,31 @@ class AnnTopKSpec extends AnyFunSuite {
     } finally IndexedTables.clear()
   }
 
+  test("ip top-k over a MIPS-registered table is served from augmented cells") {
+    AnnTopK.install(spark)
+    IndexedTables.registerMips(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.mipsEmb(spark, sf),
+      cells = Indexes.IvfCells)
+    try {
+      val qc = typedlit(hashVectorValues(11L, D))
+      val q = Tables.embeddings(spark, sf)
+        .orderBy(round(ipDistance(col("embedding"), qc), 6), col("vec_id"))
+        .limit(K)
+        .select(col("vec_id"),
+          round(ipDistance(col("embedding"), qc), 6).as("score"))
+        .orderBy("score", "vec_id")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell"), plan)
+      // equals the persistent-index probe with the same nprobe
+      val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = graft.index.MipsIndex.search(spark,
+          Indexes.mipsEmb(spark, sf), "embedding", "vec_id",
+          hashVectorValues(11L, D), nprobe = 4, k = K)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b && a.nonEmpty)
+    } finally IndexedTables.clear()
+  }
+
   test("metric/kind mismatches decline: cosine needs lsh, l2 needs ivf") {
     AnnTopK.install(spark)
     IndexedTables.registerIvf(spark, s"$sf/embeddings.parquet",
