@@ -50,6 +50,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.minhashLshPairs(docs, 5).count() == 0)
   }
 
+  test("index searches reject malformed parameters up front, not mid-job") {
+    val sf = SparkTestSession.sf
+    val D = graft.core.Tables.EmbeddingDim
+    val good = hashVectorValues(11L, D)
+    // IVF-PQ: wrong query dim / rerank smaller than k
+    val ivfpq = graft.index.Indexes.ivfPqEmb(spark, sf)
+    intercept[IllegalArgumentException] {
+      graft.index.IvfPqIndex.search(spark, ivfpq, "embedding", "vec_id",
+        hashVectorValues(11L, D + 1), nprobe = 4, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.index.IvfPqIndex.search(spark, ivfpq, "embedding", "vec_id",
+        good, nprobe = 4, k = 10, rerank = 5)
+    }
+    // MIPS: wrong query dim
+    val mips = graft.index.Indexes.mipsEmb(spark, sf)
+    intercept[IllegalArgumentException] {
+      graft.index.MipsIndex.search(spark, mips, "embedding", "vec_id",
+        hashVectorValues(11L, D - 1), nprobe = 4, k = 10)
+    }
+    // Chunking: degenerate stride
+    intercept[IllegalArgumentException] {
+      graft.text.Chunking.chunk(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "text", "doc_id", 4, 0)
+    }
+  }
+
   test("scalar quantization survives constant dimensions (scale 0)") {
     val df = Seq(
       (1L, Seq(5.0f, 1.0f, 5.0f, 2.0f)),
