@@ -68,6 +68,32 @@ class ExtensionsSpec extends AnyFunSuite {
           .collect().map(_.getLong(0)).toSeq
         assert(ids == expect)
       } finally graft.plans.IndexedTables.clear()
+      // …and the l2/ip faces, from plain SQL text, once registered with
+      // their IVF / MIPS index
+      val arr = graft.functions.VectorFunctions.hashVectorValues(11L, D)
+        .map(v => s"${v}D").mkString("array(", ", ", ")")
+      graft.plans.IndexedTables.registerIvf(s, s"$sf/embeddings.parquet",
+        "embedding", "vec_id", D, graft.index.Indexes.ivfEmb(s, sf),
+        graft.knn.Ann.fixedIvfModel(graft.index.Indexes.IvfCells, D))
+      try {
+        val l2Top = s.sql(
+          s"""SELECT vec_id FROM emb
+             |ORDER BY vec_l2_distance(embedding, $arr) LIMIT 5""".stripMargin)
+        assert(l2Top.queryExecution.executedPlan.toString
+          .contains("PartitionFilters: [cell"))
+        assert(l2Top.collect().length == 5)
+      } finally graft.plans.IndexedTables.clear()
+      graft.plans.IndexedTables.registerMips(s, s"$sf/embeddings.parquet",
+        "embedding", "vec_id", D, graft.index.Indexes.mipsEmb(s, sf),
+        cells = graft.index.Indexes.IvfCells)
+      try {
+        val ipTop = s.sql(
+          s"""SELECT vec_id FROM emb
+             |ORDER BY vec_ip_distance(embedding, $arr) LIMIT 5""".stripMargin)
+        assert(ipTop.queryExecution.executedPlan.toString
+          .contains("PartitionFilters: [cell"))
+        assert(ipTop.collect().length == 5)
+      } finally graft.plans.IndexedTables.clear()
     } finally {
       // do not stop() (shared SparkContext); restore the original session
       SparkSession.setActiveSession(prev)
