@@ -48,6 +48,9 @@ object PipelineQueries {
           .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"))
           .distinct()
         Dedup.scorePairs(cand, ds, "doc_id", "dup_of")
+          // project the arrays away BEFORE the per-doc window: the
+          // best-match exchange should carry three scalars, not shingles
+          .select("doc_id", "dup_of", "jac")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("doc_id", "dup_of", "jac")
