@@ -83,4 +83,37 @@ object Multimodal {
     * re-encode per partition), dimensions scaled. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  /** Container-format sniffing from magic bytes — REAL, not a stub (no
+    * codec needed): the first pass a mixed-media corpus runs to catch
+    * mislabeled/corrupt blobs before they reach a decoder. Detects
+    * JPEG (FF D8 FF), PNG (89 50 4E 47 0D 0A 1A 0A), GIF (GIF87a/89a),
+    * RIFF-contained WAV/AVI (bytes 9-12 disambiguate), else
+    * application/octet-stream. Pure codegen'd string ops over hex() —
+    * linear, shuffle-free, works on any BinaryType column. */
+  def sniffMime(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(payload)
+    when(h.startsWith("FFD8FF"), "image/jpeg")
+      .when(h.startsWith("89504E470D0A1A0A"), "image/png")
+      .when(h.startsWith("474946383761") || h.startsWith("474946383961"),
+        "image/gif")
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645",
+        "audio/wav")
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "41564920",
+        "video/avi")
+      .otherwise("application/octet-stream")
+  }
+
+  /** DuckDB twin of [[sniffMime]] over a BLOB expression. */
+  def sniffMimeSql(payload: String): String =
+    s"""CASE
+       |  WHEN starts_with(hex($payload), 'FFD8FF') THEN 'image/jpeg'
+       |  WHEN starts_with(hex($payload), '89504E470D0A1A0A') THEN 'image/png'
+       |  WHEN starts_with(hex($payload), '474946383761')
+       |    OR starts_with(hex($payload), '474946383961') THEN 'image/gif'
+       |  WHEN starts_with(hex($payload), '52494646')
+       |   AND substring(hex($payload), 17, 8) = '57415645' THEN 'audio/wav'
+       |  WHEN starts_with(hex($payload), '52494646')
+       |   AND substring(hex($payload), 17, 8) = '41564920' THEN 'video/avi'
+       |  ELSE 'application/octet-stream' END""".stripMargin
 }

@@ -75,6 +75,44 @@ object MediaQueries {
           |SELECT id, frame_idx, "offset",
           |       ascii(substr(text, "offset" + 1, 1)) AS byte_val
           |FROM f ORDER BY id, frame_idx""".stripMargin)
+    ),
+    // container-format sniffing from magic bytes — REAL (no codec):
+    // payloads synthesized with deterministic JPEG/PNG/GIF/WAV headers
+    // (doc_id mod 5 picks the family; mod 5 == 4 stays headerless), then
+    // classified byte-first the way a mixed 100 TB media corpus screens
+    // for mislabeled/corrupt blobs before decoding
+    Q(
+      "media_sniff",
+      (s, dir) => {
+        val text = col("text").cast("binary")
+        def magic(bytes: Array[Byte]) = concat(lit(bytes), text)
+        val payload = when(col("doc_id") % 5 === 0,
+            magic(Array(0xFF, 0xD8, 0xFF).map(_.toByte)))
+          .when(col("doc_id") % 5 === 1,
+            magic(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+              .map(_.toByte)))
+          .when(col("doc_id") % 5 === 2, magic("GIF89a".getBytes))
+          .when(col("doc_id") % 5 === 3, magic("RIFF0000WAVE".getBytes))
+          .otherwise(text)
+        Tables.documents(s, dir)
+          .select(Multimodal.sniffMime(payload).as("mime"))
+          .groupBy("mime")
+          .agg(count(lit(1)).as("n_blobs"))
+          .orderBy("mime")
+      },
+      Some {
+        val payload =
+          """CASE doc_id % 5
+            |  WHEN 0 THEN '\xFF\xD8\xFF'::BLOB || text::BLOB
+            |  WHEN 1 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || text::BLOB
+            |  WHEN 2 THEN 'GIF89a'::BLOB || text::BLOB
+            |  WHEN 3 THEN 'RIFF0000WAVE'::BLOB || text::BLOB
+            |  ELSE text::BLOB END""".stripMargin
+        s"""WITH m AS (SELECT $payload AS payload FROM documents)
+           |SELECT ${Multimodal.sniffMimeSql("payload")} AS mime,
+           |       count(*) AS n_blobs
+           |FROM m GROUP BY mime ORDER BY mime""".stripMargin
+      }
     )
   )
 }
