@@ -188,6 +188,27 @@ object Ann {
        |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
   }
 
+  /** DuckDB oracle for cell-occupancy stats over the fixed IVF
+    * assignment — the skew-health diagnostic of a partitioned ANN layout
+    * (a hot cell = a hot partition = a slow probe at scale). */
+  def ivfCellStatsSql(relation: String, vecCol: String, idCol: String,
+      dim: Int, cells: Int): String = {
+    val d2 = VectorFunctions.sqL2Sql(s"e.$vecCol", "c.cv", dim)
+    s"""WITH cents AS (
+       |  SELECT cell, ${VectorFunctions.hashVectorSql(s"$CentroidKeyBase + cell", dim)} AS cv
+       |  FROM range($cells) t(cell)),
+       |cdists AS (
+       |  SELECT e.$idCol, c.cell, $d2 AS d2
+       |  FROM $relation e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT $idCol, cell FROM (
+       |    SELECT $idCol, cell,
+       |           row_number() OVER (PARTITION BY $idCol ORDER BY d2, cell) AS rn
+       |    FROM cdists) WHERE rn = 1)
+       |SELECT cell, count(*) AS n_vectors
+       |FROM assign GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** MIPS (ip-metric) ANN via the L2 augmentation (Bachrach et al.,
     * RecSys 2014): append aug(x) = √(M² − ‖x‖²) to every corpus vector
     * (M = max corpus norm) and 0 to the query — then

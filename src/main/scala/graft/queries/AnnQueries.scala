@@ -138,6 +138,21 @@ object AnnQueries {
         floorRounding = false, filterSql = Some("e.label = 3"))),
       bench = true
     ),
+    // cell-occupancy profile of the persistent IVF layout — the skew
+    // diagnostic for a partitioned ANN corpus (a hot cell is a hot
+    // partition is a slow probe); read straight off the index's
+    // partition column, no vectors touched
+    Q(
+      "ann_ivf_cell_stats",
+      (s, dir) =>
+        s.read.parquet(s"${Indexes.ivfEmb(s, dir)}/cells")
+          .groupBy("cell")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_vectors"))
+          .orderBy("cell"),
+      Some(Ann.ivfCellStatsSql("embeddings", "embedding", "vec_id", D,
+        Indexes.IvfCells))
+    ),
     // ip-metric ANN via the MIPS→L2 augmentation (Bachrach et al. 2014):
     // augmented-space IVF cells prune candidates, the TRUE dot product
     // reranks — the metric the reference serves only brute-force
