@@ -419,7 +419,8 @@ final class VectorCollection(
     * (qid, qvec) relation — the cluster-scale form of [[searchAnn]].
     * cosine = LSH bucket equi-join; l2 = distributed IVF probe with
     * dynamic partition pruning over the cell layout (the query relation
-    * is never collected to the driver); ip = exact batch. */
+    * is never collected to the driver); ip = distributed MIPS
+    * augmented-cell probe with true-dot rerank. */
   def searchAnnBatch(queries: DataFrame, k: Int = 10): DataFrame =
     config.metric match {
       case "cosine" =>
@@ -428,6 +429,9 @@ final class VectorCollection(
       case "l2" =>
         graft.index.IvfIndex.searchBatchDf(spark, ensureAnnIndex(),
           "vector", "id", queries, IvfNprobe, k, metric = "l2")
+      case "ip" =>
+        graft.index.MipsIndex.searchBatchDf(spark, ensureAnnIndex(),
+          "vector", "id", queries, IvfNprobe, k)
       case _ =>
         // same (qid, id, score) shape and order as the indexed paths
         graft.knn.Knn.searchBatch(df, col("vector"),

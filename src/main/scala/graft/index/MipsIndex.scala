@@ -91,6 +91,46 @@ object MipsIndex {
     spark.catalog.refreshByPath(s"$path/cells")
   }
 
+  /** Batch probe for a DISTRIBUTED (qid, qvec) relation — the form that
+    * survives a million-query batch (mirrors IvfIndex.searchBatchDf).
+    * Probe-cell selection runs as a plan: queries × broadcast(augmented
+    * centroids) with the augmented distance (query aug component is 0,
+    * so it is sqL2 over the base dims plus the centroid's aug² term);
+    * the file-pruning filter collect is bounded by the CODEBOOK size,
+    * never the query count. Returns (qid, id, score = −dot rounded). */
+  def searchBatchDf(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val (_, dim, cells) = loadMeta(spark, path)
+    val cents = Ann.fixedIvfModel(cells, dim + 1).centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val d2 = expr(s"aggregate(zip_with(qvec, slice(centroid, 1, $dim), " +
+      "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v) + " +
+      s"element_at(centroid, ${dim + 1}) * element_at(centroid, ${dim + 1})")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2"), col("cell"))
+    val pairs = queries.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= nprobe)
+      .select("qid", "cell")
+      .localCheckpoint()
+    val probedCells = pairs.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score"), col(idCol))
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(pairs), Seq("cell"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score",
+        round(Knn.distance("ip", col(vecCol), col("qvec")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+      .orderBy(col("qid"), col("score"), col(idCol))
+  }
+
   /** Probe nprobe augmented cells (q_aug = [q, 0]), rerank the surviving
     * candidates by the true ip distance (−dot, `round(…, 6)` like the
     * other partitioned readers); optional metadata filter pushes into

@@ -304,6 +304,60 @@ object Ann {
        |ORDER BY score, e.$idCol LIMIT $k""".stripMargin
   }
 
+  /** DuckDB oracle for [[graft.index.MipsIndex.searchBatchDf]] over
+    * integer query keys whose vectors are hash vectors of the key (same
+    * convention as ivfSearchBatchSql); `round(…, 6)` like the
+    * partitioned readers. */
+  def mipsIvfSearchBatchSql(relation: String, vecCol: String, idCol: String,
+      queryKeys: Seq[Long], dim: Int, cells: Int, nprobe: Int, k: Int)
+      : String = {
+    val keys = queryKeys.map(kk => s"($kk)").mkString(", ")
+    val n2 = VectorFunctions.dotSql(s"e.$vecCol", s"e.$vecCol", dim)
+    val baseD2 = VectorFunctions.sqL2Sql(s"a.$vecCol", "c.cv", dim)
+    val qBaseD2 = VectorFunctions.sqL2Sql("c.cv", "qs.qvec", dim)
+    val ip = Knn.distanceSql("ip", s"e.$vecCol", "qs.qvec", dim)
+    s"""WITH qs AS (
+       |  SELECT qid, ${VectorFunctions.hashVectorSql("qid", dim)} AS qvec
+       |  FROM (VALUES $keys) t(qid)),
+       |m2 AS (SELECT max($n2) AS m2 FROM $relation e),
+       |aug AS (
+       |  SELECT e.*, sqrt(greatest(0.0, m2.m2 - $n2)) AS augd
+       |  FROM $relation e, m2),
+       |cents AS (
+       |  SELECT cell, ${VectorFunctions.hashVectorSql(s"$CentroidKeyBase + cell", dim + 1)} AS cv
+       |  FROM range($cells) t(cell)),
+       |cdists AS (
+       |  SELECT a.$idCol, c.cell,
+       |         $baseD2 + (a.augd - (c.cv)[${dim + 1}]) * (a.augd - (c.cv)[${dim + 1}]) AS d2
+       |  FROM aug a CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT $idCol, cell FROM (
+       |    SELECT $idCol, cell,
+       |           row_number() OVER (PARTITION BY $idCol ORDER BY d2, cell) AS rn
+       |    FROM cdists) WHERE rn = 1),
+       |qd AS (
+       |  SELECT qs.qid, c.cell,
+       |         $qBaseD2 + (c.cv)[${dim + 1}] * (c.cv)[${dim + 1}] AS d2
+       |  FROM cents c CROSS JOIN qs),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+       |    FROM qd) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, e.$idCol, round($ip, 6) AS score
+       |  FROM assign a
+       |  JOIN probe p ON p.cell = a.cell
+       |  JOIN $relation e ON e.$idCol = a.$idCol
+       |  JOIN qs ON qs.qid = p.qid),
+       |ranked AS (
+       |  SELECT qid, $idCol, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score, $idCol) AS rnk
+       |  FROM scored)
+       |SELECT qid, $idCol, score FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, score, $idCol""".stripMargin
+  }
+
   /** Max rows sampled for centroid training; samples at or below
     * LocalTrainThreshold run Lloyd's driver-side (MLlib schedules a job
     * per iteration — pure overhead on small samples; see LocalKMeans). */

@@ -381,6 +381,20 @@ object AnnQueries {
         hashVectorSql("11", D), D, Indexes.IvfCells, nprobe = 4, K,
         floorRounding = false, filterSql = Some("e.label = 3")))
     ),
+    // distributed ip batch: the MIPS twin of the l2 batch below — probe
+    // cells from a queries×broadcast(augmented centroids) window, true
+    // dot product reranks
+    Q(
+      "collection_ann_ip_batch",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(11L, 12L, 13L).toDF("qid")
+          .withColumn("qvec", hashVector(org.apache.spark.sql.functions.col("qid"), D))
+        collectionAnnIp(s, dir).searchAnnBatch(queries, K)
+      },
+      Some(Ann.mipsIvfSearchBatchSql(CollOracleRel, "embedding", "id",
+        Seq(11L, 12L, 13L), D, Indexes.IvfCells, nprobe = 4, K))
+    ),
     // distributed l2 batch: the (qid, qvec) relation never reaches the
     // driver — probe cells come from a queries×broadcast(centroids)
     // window, and dynamic partition pruning skips unprobed cell files
