@@ -101,9 +101,11 @@ object GraphVector {
       dim: Int,
       k: Int,
       vw: Double,
-      gw: Double): String = {
+      gw: Double,
+      edgeType: Option[String] = None): String = {
     val emb = VectorFunctions.hashVectorSql("c_custkey", dim)
     val dist = VectorFunctions.cosineDistanceSql("emb", "q.v", dim)
+    val typeFilter = edgeType.map(t => s" WHERE type = '$t'").getOrElse("")
     s"""WITH $graphCtes,
        |q AS (SELECT ${VectorFunctions.hashVectorSql(queryKey.toString, dim)} AS v),
        |en AS (SELECT 'c:' || c_custkey AS id, $emb AS emb FROM customer),
@@ -111,8 +113,8 @@ object GraphVector {
        |  SELECT en.id, 1.0 - $dist AS sim FROM en, q
        |  ORDER BY sim DESC, id LIMIT ${2 * k}),
        |ms AS (SELECT max(sim) AS max_sim FROM seeds),
-       |und AS (SELECT src AS a, dst AS b FROM edges
-       |        UNION ALL SELECT dst, src FROM edges),
+       |und AS (SELECT src AS a, dst AS b FROM edges$typeFilter
+       |        UNION ALL SELECT dst, src FROM edges$typeFilter),
        |h1 AS (
        |  SELECT DISTINCT und.b AS id FROM seeds JOIN und ON und.a = seeds.id
        |  WHERE und.b NOT IN (SELECT id FROM seeds)),

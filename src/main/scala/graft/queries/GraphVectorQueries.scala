@@ -33,6 +33,20 @@ object GraphVectorQueries {
       Some(GraphVector.semanticGraphSearchSql(C, 9L, D, K, vw = 0.7, gw = 0.3)),
       bench = true
     ),
+    // edge-type-scoped expansion (the reference's edge_types argument,
+    // hybrid_graph_vector.py semantic_graph_search): hops traverse ONLY
+    // the named relation — here PLACED_BY, so expansion stays inside the
+    // customer↔order neighborhood
+    Q(
+      "semantic_graph_search_typed",
+      (s, dir) =>
+        GraphVector.semanticGraphSearch(
+          TpchGraph.build(s, dir), custEmb(s, dir),
+          hashVectorValues(9L, D), K, expandHops = 2, vw = 0.7, gw = 0.3,
+          edgeType = Some("PLACED_BY")),
+      Some(GraphVector.semanticGraphSearchSql(C, 9L, D, K, vw = 0.7,
+        gw = 0.3, edgeType = Some("PLACED_BY")))
+    ),
     Q(
       "graph_rerank",
       (s, dir) => {
