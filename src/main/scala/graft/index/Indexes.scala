@@ -152,9 +152,20 @@ object Indexes {
   def docEmb(spark: SparkSession, dir: String): String =
     ensureKind(spark, dir, "docemb")
 
-  /** Build every index for a directory (bench build phase). */
-  def buildAll(spark: SparkSession, dir: String): Unit =
-    specs.foreach(sp => ensureKind(spark, dir, sp.kind))
+  /** Build every index for a directory (bench build phase). The builds
+    * are independent (distinct IndexStore paths, per-path locks), so
+    * they are SUBMITTED concurrently — Spark's scheduler interleaves the
+    * jobs and the many small build stages stop serializing on driver
+    * round-trips. Failures propagate like the sequential form. */
+  def buildAll(spark: SparkSession, dir: String): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(specs)(sp => Future(ensureKind(spark, dir, sp.kind))),
+      Duration.Inf)
+    ()
+  }
 
   /** Drop every index for a directory so the next buildAll pays the full
     * construction cost (bench measures build and search separately). */
