@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the single right row of the
+  * same key with the greatest (time, tieBreak) at or before the left
+  * row's time. The event-attribution primitive (click → latest prior
+  * view) Spark has no built-in for.
+  *
+  * Scale shape: tag both sides, union, ONE shuffle on the key, and a
+  * single carry-forward window (`last(…, ignoreNulls)` over rows
+  * unbounded-preceding..current) — never the naive time-range join,
+  * whose candidate set is quadratic in events-per-key. Right rows sort
+  * BEFORE left rows at an equal timestamp, making the match inclusive
+  * (`right.time <= left.time`); ties among right rows resolve to the
+  * greatest `tieBreak`, so the result is total-order deterministic.
+  */
+object AsOfJoin {
+  /** Returns every left row (all its columns) plus `payloadCols` from
+    * the matched right row, renamed `prefix+name` (null when no right
+    * row precedes). `tieBreak` must be an integral right column. */
+  def asof(left: DataFrame, right: DataFrame, key: String, time: String,
+      tieBreak: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rSel = right.select(
+      col(key).as("__k"), col(time).as("__t"),
+      lit(0).as("__side"), col(tieBreak).cast("long").as("__tb"),
+      struct(payloadCols.map(col): _*).as("__rp"))
+    val lrowType = org.apache.spark.sql.types.StructType(
+      lCols.map(c => left.schema(c)))
+    val rpType = rSel.schema("__rp").dataType
+    val lSel = left.select(
+      col(key).as("__k"), col(time).as("__t"),
+      lit(1).as("__side"), lit(0L).as("__tb"),
+      lit(null).cast(rpType).as("__rp"),
+      struct(lCols.map(col): _*).as("__lrow"))
+    val all = rSel
+      .withColumn("__lrow", lit(null).cast(lrowType))
+      .unionByName(lSel)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
+        payloadCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
+  }
+}

@@ -124,6 +124,46 @@ object StreamQueries {
         """SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec, event_type, value
           |FROM events
           |ORDER BY ts_sec DESC, event_id DESC LIMIT 10""".stripMargin)
+    ),
+    // backward as-of join: every click attributed to the user's latest
+    // at-or-before view (graft.core.AsOfJoin — union-tag + carry-forward
+    // window, ONE shuffle on the key; never a quadratic time-range join).
+    // The oracle mirrors the same union+window so tie semantics are
+    // identical by construction.
+    Q(
+      "events_asof",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "event_id", "value")
+        graft.core.AsOfJoin.asof(clicks, views, "user_id", "ts",
+            tieBreak = "event_id", payloadCols = Seq("event_id", "value"),
+            prefix = "view_")
+          .select(col("event_id"), col("user_id"), col("view_event_id"),
+            round(col("view_value"), 6).as("view_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT user_id AS k, ts AS t, 0 AS side, event_id AS tb,
+          |         event_id AS r_eid, value AS r_val,
+          |         CAST(NULL AS BIGINT) AS l_eid
+          |  FROM events WHERE event_type = 'view'
+          |  UNION ALL
+          |  SELECT user_id, ts, 1, 0, NULL, NULL, event_id
+          |  FROM events WHERE event_type = 'click'),
+          |m AS (
+          |  SELECT *,
+          |    last_value(r_eid IGNORE NULLS) OVER w AS view_event_id,
+          |    last_value(r_val IGNORE NULLS) OVER w AS view_value
+          |  FROM u
+          |  WINDOW w AS (PARTITION BY k ORDER BY t, side, tb
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT l_eid AS event_id, k AS user_id, view_event_id,
+          |       round(view_value, 6) AS view_value
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)
     )
   )
 }

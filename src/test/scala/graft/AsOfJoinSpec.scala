@@ -1,0 +1,41 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.AsOfJoin
+
+/** AsOfJoin semantics: inclusive at equal timestamps, greatest-tieBreak
+  * among simultaneous right rows, null when nothing precedes, and keys
+  * never leak across. */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("matches the latest at-or-before right row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts(10)), // after r2 → matches r2
+      (101L, 1L, ts(5)),  // equal ts to r2 → inclusive match
+      (102L, 1L, ts(1)),  // before everything → null
+      (103L, 2L, ts(50))  // other key: only r4 visible
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts(3), 10.0),  // r1
+      (2L, 1L, ts(5), 20.0),  // r2
+      (3L, 1L, ts(5), 30.0),  // r3: same ts as r2, larger id → wins ties
+      (4L, 2L, ts(40), 40.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asof(left, right, "user_id", "ts",
+        tieBreak = "event_id", payloadCols = Seq("event_id", "value"),
+        prefix = "m_")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_ => r.getLong(3)), Option(r.get(4)).map(_ => r.getDouble(4))))
+      .toMap
+    assert(got(100L) == (Some(3L), Some(30.0))) // latest ts wins, tie → id 3
+    assert(got(101L) == (Some(3L), Some(30.0))) // inclusive at equal ts
+    assert(got(102L) == (None, None))
+    assert(got(103L) == (Some(4L), Some(40.0)))
+  }
+}
