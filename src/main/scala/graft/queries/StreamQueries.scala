@@ -164,6 +164,32 @@ object StreamQueries {
           |SELECT l_eid AS event_id, k AS user_id, view_event_id,
           |       round(view_value, 6) AS view_value
           |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)
+    ),
+    // time-band range join, binned (graft.core.RangeJoin): views in the
+    // 10 minutes BEFORE each error, per user — two covering bins per
+    // left row + an equi-join on (key, bin), never a per-key cartesian
+    Q(
+      "events_band_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select("user_id", "ts", "event_id")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "event_id")
+        graft.core.RangeJoin.backwardBand(errors, views, "user_id",
+            "ts", "ts", deltaSec = 600,
+            lCols = Seq("user_id", "event_id"), rCols = Seq("event_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_views_before_error"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT e.user_id, count(*) AS n_views_before_error
+          |FROM events e JOIN events v
+          |  ON v.user_id = e.user_id
+          | AND e.event_type = 'error' AND v.event_type = 'view'
+          | AND v.ts >= e.ts - INTERVAL 600 SECOND AND v.ts < e.ts
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
