@@ -27,6 +27,8 @@ object PipelineQueries {
   /** Chunk window / stride (tokens) for pipeline_chunk — W−S overlap. */
   private val ChunkTokens = 32
   private val ChunkStride = 24
+  /** Per-source quota for pipeline_quota_sample. */
+  private val QuotaPerSource = 5
 
   val qs: Seq[Q] = Seq(
     // nightly shape: dedup the NEW batch against the standing corpus —
@@ -286,6 +288,33 @@ object PipelineQueries {
            |  count(*) AS n_docs
            |FROM documents
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // exact per-source quota sampling: take EXACTLY min(N, count) docs
+    // per source, chosen by affine-hash order — deterministic across
+    // engines/partitionings/reruns (the property a reproducible data mix
+    // needs), one window per source, no RNG state. Emits the selected
+    // doc ids so the downstream mix is pinned row-for-row.
+    Q(
+      "pipeline_quota_sample",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(((col("doc_id") * Dedup.Knuth) % Dedup.P).as("h"),
+            col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= QuotaPerSource)
+          .select("source", "rn", "doc_id")
+          .orderBy("source", "rn")
+      },
+      Some(
+        s"""SELECT source, rn, doc_id FROM (
+           |  SELECT source, doc_id,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY (doc_id * ${Dedup.Knuth}) % ${Dedup.P}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= $QuotaPerSource ORDER BY source, rn""".stripMargin)
     ),
     // sliding token-window chunking — the doc→embedding-unit splitter of
     // an embedding/RAG ingest pipeline: W-token windows at stride S
