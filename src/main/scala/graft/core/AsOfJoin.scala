@@ -23,7 +23,26 @@ object AsOfJoin {
     * row precedes). `tieBreak` must be an integral right column. */
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
       tieBreak: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    joined(left, right, key, time, tieBreak, payloadCols, prefix,
+      forward = false)
+
+  /** Forward variant: the EARLIEST right row at or after the left row's
+    * time (ties to the SMALLEST tieBreak) — "the next event after". */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, tieBreak: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    joined(left, right, key, time, tieBreak, payloadCols, prefix,
+      forward = true)
+
+  /** One shape, two scan directions: backward scans time ascending and
+    * carries the last right row seen (greatest ≤); forward scans time
+    * DESCENDING (ties: greatest tieBreak first) so the carried value is
+    * the smallest (time, tieBreak) ≥ — right rows sort before left rows
+    * at an equal timestamp in both, keeping the bound inclusive. */
+  private def joined(left: DataFrame, right: DataFrame, key: String,
+      time: String, tieBreak: String, payloadCols: Seq[String],
+      prefix: String, forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val rSel = right.select(
       col(key).as("__k"), col(time).as("__t"),
@@ -34,14 +53,18 @@ object AsOfJoin {
     val rpType = rSel.schema("__rp").dataType
     val lSel = left.select(
       col(key).as("__k"), col(time).as("__t"),
-      lit(1).as("__side"), lit(0L).as("__tb"),
+      lit(1).as("__side"),
+      lit(if (forward) Long.MaxValue else 0L).as("__tb"),
       lit(null).cast(rpType).as("__rp"),
       struct(lCols.map(col): _*).as("__lrow"))
     val all = rSel
       .withColumn("__lrow", lit(null).cast(lrowType))
       .unionByName(lSel)
+    val order =
+      if (forward) Seq(col("__t").desc, col("__side").asc, col("__tb").desc)
+      else Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     all
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))

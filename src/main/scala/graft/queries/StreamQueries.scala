@@ -165,6 +165,44 @@ object StreamQueries {
           |       round(view_value, 6) AS view_value
           |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)
     ),
+    // forward as-of: for each error, the user's NEXT view at-or-after it
+    // (recovery tracking) — same union+window shape, scanned descending
+    Q(
+      "events_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "event_id", "value")
+        graft.core.AsOfJoin.asofForward(errors, views, "user_id", "ts",
+            tieBreak = "event_id", payloadCols = Seq("event_id", "value"),
+            prefix = "next_view_")
+          .select(col("event_id"), col("user_id"),
+            col("next_view_event_id"),
+            round(col("next_view_value"), 6).as("next_view_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT user_id AS k, ts AS t, 0 AS side, event_id AS tb,
+          |         event_id AS r_eid, value AS r_val,
+          |         CAST(NULL AS BIGINT) AS l_eid
+          |  FROM events WHERE event_type = 'view'
+          |  UNION ALL
+          |  SELECT user_id, ts, 1, 9223372036854775807, NULL, NULL, event_id
+          |  FROM events WHERE event_type = 'error'),
+          |m AS (
+          |  SELECT *,
+          |    last_value(r_eid IGNORE NULLS) OVER w AS next_view_event_id,
+          |    last_value(r_val IGNORE NULLS) OVER w AS next_view_value
+          |  FROM u
+          |  WINDOW w AS (PARTITION BY k ORDER BY t DESC, side ASC, tb DESC
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT l_eid AS event_id, k AS user_id, next_view_event_id,
+          |       round(next_view_value, 6) AS next_view_value
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)
+    ),
     // time-band range join, binned (graft.core.RangeJoin): views in the
     // 10 minutes BEFORE each error, per user — two covering bins per
     // left row + an equi-join on (key, bin), never a per-key cartesian

@@ -38,4 +38,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(102L) == (None, None))
     assert(got(103L) == (Some(4L), Some(40.0)))
   }
+
+  test("forward variant matches the earliest at-or-after right row") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts(4)),  // before r1/r2/r3 → earliest after is r1 (ts 5, min id 2? ids below)
+      (101L, 1L, ts(5)),  // equal ts → inclusive, smallest id among ts-5 rows
+      (102L, 1L, ts(6)),  // after ts-5 rows → null (nothing later)
+      (103L, 2L, ts(10))  // other key
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (2L, 1L, ts(5), 20.0),
+      (3L, 1L, ts(5), 30.0), // same ts as id 2: smaller id wins forward ties
+      (4L, 2L, ts(40), 40.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asofForward(left, right, "user_id", "ts",
+        tieBreak = "event_id", payloadCols = Seq("event_id"), prefix = "m_")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getLong(3)))
+      .toMap
+    assert(got(100L) == Some(2L))
+    assert(got(101L) == Some(2L)) // inclusive, min-tieBreak resolution
+    assert(got(102L) == None)
+    assert(got(103L) == Some(4L))
+  }
 }
