@@ -44,7 +44,12 @@ object AsOfJoin {
       time: String, tieBreak: String, payloadCols: Seq[String],
       prefix: String, forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
-    val rSel = right.select(
+    // a NULL time is not "before everything": Spark sorts NULLS FIRST,
+    // so an unfiltered null-time right row would be carried into every
+    // left row that has no real predecessor (and the SQL oracles, which
+    // default to NULLS LAST, would disagree) — null-time rows match
+    // nothing and are matched by nothing
+    val rSel = right.filter(col(time).isNotNull).select(
       col(key).as("__k"), col(time).as("__t"),
       lit(0).as("__side"), col(tieBreak).cast("long").as("__tb"),
       struct(payloadCols.map(col): _*).as("__rp"))
@@ -57,9 +62,11 @@ object AsOfJoin {
       lit(if (forward) Long.MaxValue else 0L).as("__tb"),
       lit(null).cast(rpType).as("__rp"),
       struct(lCols.map(col): _*).as("__lrow"))
+    val nullTimeLeft = lSel.filter(col("__t").isNull)
+      .select((Seq(col("__lrow")) :+ col("__rp")): _*)
     val all = rSel
       .withColumn("__lrow", lit(null).cast(lrowType))
-      .unionByName(lSel)
+      .unionByName(lSel.filter(col("__t").isNotNull))
     val order =
       if (forward) Seq(col("__t").desc, col("__side").asc, col("__tb").desc)
       else Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
@@ -69,7 +76,11 @@ object AsOfJoin {
     all
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .select(col("__lrow"), col("__m").as("__rp"))
+      // null-time LEFT rows are kept (they are the caller's rows) with a
+      // null match, never a carried one
+      .unionByName(nullTimeLeft)
       .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
-        payloadCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
+        payloadCols.map(c => col(s"__rp.$c").as(prefix + c)): _*)
   }
 }

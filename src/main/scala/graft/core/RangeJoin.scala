@@ -19,6 +19,12 @@ object RangeJoin {
       lTime: String, rTime: String, deltaSec: Long,
       lCols: Seq[String], rCols: Seq[String]): DataFrame = {
     require(deltaSec >= 1, s"deltaSec must be >= 1 (got $deltaSec)")
+    // the exact filter below uses timestamp INTERVAL arithmetic, which
+    // does not resolve against numeric epoch columns — reject them up
+    // front rather than fail mid-analysis with an opaque error
+    Seq(left.schema(lTime), right.schema(rTime)).foreach(f =>
+      require(f.dataType == org.apache.spark.sql.types.TimestampType,
+        s"time column '${f.name}' must be TimestampType, got ${f.dataType}"))
     val lBin = floor(col(lTime).cast("long") / deltaSec)
     val rBin = floor(col(rTime).cast("long") / deltaSec)
     val l = left.select(

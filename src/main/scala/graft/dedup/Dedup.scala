@@ -147,11 +147,11 @@ object Dedup {
     *
     * This is the storage layout every LSH-dedup plan should share: the
     * shingle array exists ONCE per doc. Band rows for bucket joins are
-    * derived by [[bandRows]] (posexplode of the 16 scalar sigs), so
-    * candidate generation never shuffles an array — the earlier layout
-    * (shingles repeated on each of 16 band rows, self-joined) wrote ~32
-    * array copies per doc into the bucket-join shuffle and dominated the
-    * operator's cost. */
+    * derived by [[bandRows]] (posexplode of the [[Bands]] scalar sigs),
+    * so candidate generation never shuffles an array — the earlier
+    * layout (shingles repeated on each of the Bands band rows, then
+    * self-joined) wrote 2·Bands array copies per doc into the
+    * bucket-join shuffle and dominated the operator's cost. */
   def docSignatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

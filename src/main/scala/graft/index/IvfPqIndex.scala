@@ -54,6 +54,10 @@ object IvfPqIndex {
       idCol: String, ivf: Ann.IvfModel, cb: ProductQuant.Codebooks,
       path: String, mode: String, metaCols: Seq[String]): Unit = {
     import spark.implicits._
+    // codes are stored as SIGNED tinyint: k beyond 128 would silently
+    // wrap negative and crash every later LUT lookup
+    require(cb.k <= 128,
+      s"PQ codebook k=${cb.k} exceeds the tinyint code range (max 128)")
     graft.core.Ids.requireIntegral(emb, idCol)
     val cents: Array[Array[Double]] = ivf.centroids.map(_.toArray).toArray
     val books: Array[Array[Array[Double]]] =

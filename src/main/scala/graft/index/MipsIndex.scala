@@ -42,15 +42,11 @@ object MipsIndex {
     import spark.implicits._
     val cents = Ann.fixedIvfModel(cells, dim + 1).centroids
       .map(_.toArray).toArray
-    def cellOf(v: Seq[Double]): Int = {
-      val vec = v.toArray
-      var n2 = 0.0
-      var i = 0
-      while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
-      val augv = java.util.Arrays.copyOf(vec, vec.length + 1)
-      augv(vec.length) = math.sqrt(math.max(0.0, m2 - n2))
-      Ann.bestCell(cents, augv)
-    }
+    // Ann.augmentedCellOf is THE assignment kernel — shared with the
+    // in-query mipsIvfSearch so build-time cells and search-time cells
+    // can never drift
+    def cellOf(v: Seq[Double]): Int =
+      Ann.augmentedCellOf(cents, v.toArray, m2)
     val assigned =
       if (stringIds)
         emb.select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
@@ -102,6 +98,13 @@ object MipsIndex {
       idCol: String, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     import spark.implicits._
     val (_, dim, cells) = loadMeta(spark, path)
+    // zip_with/slice would SILENTLY truncate a wrong-dimension qvec into
+    // wrong probe cells and wrong scores — fail the job instead (the
+    // single-query path rejects the same mistake driver-side)
+    val checked = queries.withColumn("qvec",
+      when(size(col("qvec")) === dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit(s"query dim != index dim $dim, got "), size(col("qvec"))))))
     val cents = Ann.fixedIvfModel(cells, dim + 1).centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
     val d2 = expr(s"aggregate(zip_with(qvec, slice(centroid, 1, $dim), " +
@@ -109,7 +112,7 @@ object MipsIndex {
       s"element_at(centroid, ${dim + 1}) * element_at(centroid, ${dim + 1})")
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("d2"), col("cell"))
-    val pairs = queries.crossJoin(broadcast(cents))
+    val pairs = checked.crossJoin(broadcast(cents))
       .withColumn("d2", d2)
       .withColumn("rnk", row_number().over(wProbe))
       .filter(col("rnk") <= nprobe)
@@ -122,7 +125,7 @@ object MipsIndex {
     spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(pairs), Seq("cell"))
-      .join(broadcast(queries), Seq("qid"))
+      .join(broadcast(checked), Seq("qid"))
       .withColumn("score",
         round(Knn.distance("ip", col(vecCol), col("qvec")), 6))
       .withColumn("rnk", row_number().over(wTop))

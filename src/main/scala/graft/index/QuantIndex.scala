@@ -78,6 +78,10 @@ object QuantIndex {
   def buildPq(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, cb: ProductQuant.Codebooks, path: String): Unit = {
     import spark.implicits._
+    // codes are stored as SIGNED tinyint: k beyond 128 would silently
+    // wrap negative and crash every later LUT lookup
+    require(cb.k <= 128,
+      s"PQ codebook k=${cb.k} exceeds the tinyint code range (max 128)")
     (for { mi <- 0 until cb.m; c <- 0 until cb.k }
       yield (mi, c, cb.cb(mi)(c)))
       .toDF("mi", "c", "centroid")

@@ -223,6 +223,20 @@ object Ann {
     * M² is one tiny aggregate (a stored constant when the layout is
     * persisted — it must NOT be recomputed per append, a new max would
     * silently re-geometrize existing cells). */
+  /** The ONE augmented-assignment kernel (norm → clamp-sqrt aug → argmin
+    * over (dim+1) centroids) shared by the in-query MIPS search and the
+    * persistent MipsIndex build/append — a semantics change here changes
+    * both paths AND must update the SQL oracles' aug/cdists CTEs. */
+  private[graft] def augmentedCellOf(cents: Array[Array[Double]],
+      vec: Array[Double], m2: Double): Int = {
+    var n2 = 0.0
+    var i = 0
+    while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
+    val augv = java.util.Arrays.copyOf(vec, vec.length + 1)
+    augv(vec.length) = math.sqrt(math.max(0.0, m2 - n2))
+    bestCell(cents, augv)
+  }
+
   def mipsIvfSearch(emb: DataFrame, vecCol: String, idCol: String,
       cells: Int, queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame = {
     graft.core.Ids.requireIntegral(emb, idCol)
@@ -239,16 +253,10 @@ object Ann {
       .mapPartitions { rows =>
         rows.flatMap { case (id, v) =>
           val vec = v.toArray
-          var n2 = 0.0
-          var i = 0
-          while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
-          val augv = new Array[Double](vec.length + 1)
-          System.arraycopy(vec, 0, augv, 0, vec.length)
-          augv(vec.length) = math.sqrt(math.max(0.0, m2 - n2))
-          if (!probed.contains(bestCell(cents, augv))) None
+          if (!probed.contains(augmentedCellOf(cents, vec, m2))) None
           else {
             var d = 0.0
-            i = 0
+            var i = 0
             while (i < vec.length) { d += vec(i) * q(i); i += 1 }
             Some((id, math.round(-d * 1e6) / 1e6))
           }

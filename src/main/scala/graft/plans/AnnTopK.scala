@@ -259,8 +259,13 @@ object AnnTopK {
       reg: IndexedTables.Reg, qv: Seq[Double],
       fields: Seq[(String, org.apache.spark.sql.types.DataType)])
       : LogicalPlan =
+    // the key carries EVERY registration field the plan depends on:
+    // nprobe and the centroids (hashed) shape the ivf/mips probe, so a
+    // re-registration with a different recall knob or model must never
+    // hit a prior registration's cached plan
     candCache.computeIfAbsent(
-      (reg.indexPath, qv, fields.map(f => f._1 + ":" + f._2.sql).mkString(",")),
+      (s"${reg.indexPath}|${reg.kind}|${reg.nprobe}|${reg.centroids.hashCode}",
+        qv, fields.map(f => f._1 + ":" + f._2.sql).mkString(",")),
       _ => {
         if (candCache.size > 64) candCache.clear()
         val typed = fields.map { case (n, dt) => col(n).cast(dt).as(n) }

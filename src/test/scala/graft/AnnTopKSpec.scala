@@ -185,6 +185,24 @@ class AnnTopKSpec extends AnyFunSuite {
     } finally IndexedTables.clear()
   }
 
+  test("re-registering with a different nprobe is not served from the plan cache") {
+    AnnTopK.install(spark)
+    def cellsProbed(plan: String): Int =
+      "IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+        .map(_.group(1).split(",").length).getOrElse(0)
+    val model = graft.knn.Ann.fixedIvfModel(Indexes.IvfCells, D)
+    IndexedTables.registerIvf(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfEmb(spark, sf), model, nprobe = 2)
+    val p2 = try topKL2().queryExecution.executedPlan.toString
+      finally IndexedTables.clear()
+    IndexedTables.registerIvf(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfEmb(spark, sf), model, nprobe = 4)
+    val p4 = try topKL2().queryExecution.executedPlan.toString
+      finally IndexedTables.clear()
+    assert(cellsProbed(p2) == 2, p2)
+    assert(cellsProbed(p4) == 4, p4)
+  }
+
   test("metric/kind mismatches decline: cosine needs lsh, l2 needs ivf") {
     AnnTopK.install(spark)
     IndexedTables.registerIvf(spark, s"$sf/embeddings.parquet",

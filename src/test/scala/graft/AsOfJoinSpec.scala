@@ -39,6 +39,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(103L) == (Some(4L), Some(40.0)))
   }
 
+  test("null-time rows never match and are never carried") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, Option(ts(3))),  // before every real view → null match
+      (101L, 1L, Option(ts(10))), // matches the real ts-5 view
+      (102L, 1L, Option.empty[Timestamp]) // null-time left row → kept, null match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, 1L, Option.empty[Timestamp], 90.0), // null-time right: invisible
+      (8L, 1L, Option(ts(5)), 80.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asof(left, right, "user_id", "ts",
+        tieBreak = "event_id", payloadCols = Seq("event_id"), prefix = "m_")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getLong(3)))
+      .toMap
+    assert(got(100L) == None) // NOT the null-time right row
+    assert(got(101L) == Some(8L))
+    assert(got(102L) == None)
+    assert(got.size == 3) // null-time left rows are preserved
+  }
+
   test("forward variant matches the earliest at-or-after right row") {
     import spark.implicits._
     val left = Seq(
