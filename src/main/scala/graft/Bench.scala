@@ -73,18 +73,26 @@ object Bench {
       System.gc()
       (q.name, cold, warm)
     }
+    // Round to ms so the line stays compact, and make the JSON the very
+    // LAST stdout line of the process: stop Spark (and its shutdown
+    // logging) BEFORE printing, so a fixed-size tail of the log always
+    // contains the whole line — the driver parses the final line.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(vs: Seq[(String, Double)]): String =
-      vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      vs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val good = results.collect { case (n, c, Some(w)) => (n, c.getOrElse(w), w) }
     val failed = results.collect { case (n, _, None) => "\"" + n + "\"" }
     val warmTotal = good.map(_._3).sum
     val coldTotal = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec"""" +
+    val json = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
       s""","queries":${jmap(good.map(r => r._1 -> r._3))}""" +
       s""","queries_cold":${jmap(good.map(r => r._1 -> r._2))}""" +
-      s""","cold_total":$coldTotal,"build_sec":$buildSec""" +
+      s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
       s""","build_failed":$buildFailed""" +
-      s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

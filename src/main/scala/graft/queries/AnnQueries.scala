@@ -287,28 +287,49 @@ object AnnQueries {
         floorRounding = false)),
       bench = true
     ),
-    // trained-quantizer scale paths, rows-only (k-means has no SQL
-    // oracle; recall is gated in AnnSpec/QuantSpec — these entries pin
-    // that the trained paths EXECUTE in CI, not just in unit tests)
+    // trained-quantizer scale paths as SELF-VERIFYING recall gates:
+    // k-means output has no SQL oracle, so each entry runs the trained
+    // probe end-to-end, computes its recall in-engine against the exact
+    // top-k (the reference's own discipline — recall-vs-ground-truth,
+    // `quantization.py:691-703, 727-778`), and emits ONE boolean row the
+    // constant oracle pins. A recall regression turns the row red instead
+    // of sliding through a rows-only check.
     Q(
       "ann_ivf_trained",
       (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, typedlit}
         val e = Tables.embeddings(s, dir)
         val m = Ann.trainIvf(e, "embedding", Indexes.IvfCells)
-        Ann.ivfSearch(e, "embedding", "vec_id", m,
-          hashVectorValues(11L, D), nprobe = 4, K)
+        val qv = hashVectorValues(11L, D)
+        val approx = Ann.ivfSearch(e, "embedding", "vec_id", m, qv,
+          nprobe = 4, K).select("vec_id")
+        val exact = graft.knn.Knn.search(e, col("embedding"), typedlit(qv),
+          "cosine", K).select("vec_id")
+        // nprobe=4 of 16 trained cells; threshold leaves headroom under
+        // the recall measured at sf0.001/0.01/0.1 (see AnnSpec's gate)
+        approx.join(exact, "vec_id")
+          .agg((count(lit(1)) >= math.ceil(K * 0.3).toLong).as("recall_ok"))
       },
-      None
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")
     ),
     Q(
       "pq_trained",
       (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, typedlit}
         val e = Tables.embeddings(s, dir)
         val cb = graft.quant.ProductQuant.train(e, "embedding", D, m = 8, k = 16)
-        graft.quant.ProductQuant.searchAdc(e, "embedding", "vec_id", cb,
-          hashVectorValues(11L, D), K)
+        val qv = hashVectorValues(11L, D)
+        val approx = graft.quant.ProductQuant.searchAdc(e, "embedding",
+          "vec_id", cb, qv, K).select("vec_id")
+        // ADC ranks by quantized distance, so compare against a wider
+        // exact pool (top-5K), QuantSpec's discipline for PQ; measured
+        // overlap 0.4-1.0 across sf0.001/0.01/0.1, gate leaves margin
+        val exact = graft.knn.Knn.search(e, col("embedding"), typedlit(qv),
+          "l2", K * 5).select("vec_id")
+        approx.join(exact, "vec_id")
+          .agg((count(lit(1)) >= math.ceil(K * 0.3).toLong).as("recall_ok"))
       },
-      None
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")
     ),
     // the collection-integrated path: a VectorCollection owning its data
     // AND its index — searchAnn ensures/probes an LSH index over the
