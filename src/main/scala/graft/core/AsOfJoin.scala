@@ -3,37 +3,63 @@ package graft.core
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Backward as-of join — for every left row, the single right row of the
   * same key with the greatest (time, tieBreak) at or before the left
   * row's time. The event-attribution primitive (click → latest prior
   * view) Spark has no built-in for.
   *
-  * Scale shape: tag both sides, union, ONE shuffle on the key, and a
-  * single carry-forward window (`last(…, ignoreNulls)` over rows
-  * unbounded-preceding..current) — never the naive time-range join,
-  * whose candidate set is quadratic in events-per-key. Right rows sort
-  * BEFORE left rows at an equal timestamp, making the match inclusive
-  * (`right.time <= left.time`); ties among right rows resolve to the
-  * greatest `tieBreak`, so the result is total-order deterministic.
+  * Scale shape: tag both sides, union, and carry the last right row
+  * forward — never the naive time-range join, whose candidate set is
+  * quadratic in events-per-key. The carry runs in TWO passes so one hot
+  * key cannot serialize the job: pass 1 windows per (key, coarse
+  * time-bucket) — a skewed key's history splits across `numBuckets`
+  * parallel tasks; pass 2 windows per key over the ≤numBuckets
+  * bucket-end summaries (tiny) and fills rows with no local predecessor.
+  * Right rows sort BEFORE left rows at an equal timestamp, making the
+  * match inclusive (`right.time <= left.time`); ties among right rows
+  * resolve to the greatest `tieBreak`, so the result is total-order
+  * deterministic.
+  *
+  * Null semantics (matches a SQL equi-predicate, unlike a raw window
+  * partitionBy which groups NULLs together): null-KEY and null-TIME
+  * right rows match nothing; null-key/null-time LEFT rows are kept with
+  * a null match. `tieBreak` must be an integral right column; null
+  * tieBreak values lose all ties (sorted as Long.MinValue+1).
   */
 object AsOfJoin {
+  /** Coarse time buckets for the pass-1 window: a hot key's history is
+    * split into this many independent tasks. */
+  val DefaultBuckets = 64
+
   /** Returns every left row (all its columns) plus `payloadCols` from
     * the matched right row, renamed `prefix+name` (null when no right
     * row precedes). `tieBreak` must be an integral right column. */
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
       tieBreak: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame =
+      prefix: String = "asof_", numBuckets: Int = DefaultBuckets): DataFrame =
     joined(left, right, key, time, tieBreak, payloadCols, prefix,
-      forward = false)
+      forward = false, numBuckets)
 
   /** Forward variant: the EARLIEST right row at or after the left row's
     * time (ties to the SMALLEST tieBreak) — "the next event after". */
   def asofForward(left: DataFrame, right: DataFrame, key: String,
       time: String, tieBreak: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame =
+      prefix: String = "asof_", numBuckets: Int = DefaultBuckets): DataFrame =
     joined(left, right, key, time, tieBreak, payloadCols, prefix,
-      forward = true)
+      forward = true, numBuckets)
+
+  /** Scan coordinate for bucketing: the time column as a double (epoch
+    * seconds for timestamps). None ⇒ type has no numeric image, fall
+    * back to a single bucket (pass 1 degenerates to the per-key window). */
+  private def asDouble(t: org.apache.spark.sql.Column, dt: DataType)
+      : Option[org.apache.spark.sql.Column] = dt match {
+    case _: NumericType => Some(t.cast("double"))
+    case _: TimestampType | _: TimestampNTZType => Some(t.cast("double"))
+    case _: DateType => Some(t.cast("timestamp").cast("double"))
+    case _ => None
+  }
 
   /** One shape, two scan directions: backward scans time ascending and
     * carries the last right row seen (greatest ≤); forward scans time
@@ -42,19 +68,25 @@ object AsOfJoin {
     * at an equal timestamp in both, keeping the bound inclusive. */
   private def joined(left: DataFrame, right: DataFrame, key: String,
       time: String, tieBreak: String, payloadCols: Seq[String],
-      prefix: String, forward: Boolean): DataFrame = {
+      prefix: String, forward: Boolean, numBuckets: Int): DataFrame = {
+    require(right.schema(tieBreak).dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }, s"tieBreak '$tieBreak' must be an integral column, " +
+      s"got ${right.schema(tieBreak).dataType.simpleString}")
     val lCols = left.columns.toSeq
-    // a NULL time is not "before everything": Spark sorts NULLS FIRST,
-    // so an unfiltered null-time right row would be carried into every
-    // left row that has no real predecessor (and the SQL oracles, which
-    // default to NULLS LAST, would disagree) — null-time rows match
+    // a NULL time is not "before everything" (Spark sorts NULLS FIRST)
+    // and a NULL key must not meet other NULL keys (window partitionBy
+    // groups them, a SQL equi-join doesn't) — such right rows match
     // nothing and are matched by nothing
-    val rSel = right.filter(col(time).isNotNull).select(
-      col(key).as("__k"), col(time).as("__t"),
-      lit(0).as("__side"), col(tieBreak).cast("long").as("__tb"),
-      struct(payloadCols.map(col): _*).as("__rp"))
-    val lrowType = org.apache.spark.sql.types.StructType(
-      lCols.map(c => left.schema(c)))
+    val rSel = right.filter(col(time).isNotNull && col(key).isNotNull)
+      .select(
+        col(key).as("__k"), col(time).as("__t"),
+        lit(0).as("__side"),
+        coalesce(col(tieBreak).cast("long"), lit(Long.MinValue + 1))
+          .as("__tb"),
+        struct(payloadCols.map(col): _*).as("__rp"))
+    val lrowType = StructType(lCols.map(c => left.schema(c)))
     val rpType = rSel.schema("__rp").dataType
     val lSel = left.select(
       col(key).as("__k"), col(time).as("__t"),
@@ -62,24 +94,67 @@ object AsOfJoin {
       lit(if (forward) Long.MaxValue else 0L).as("__tb"),
       lit(null).cast(rpType).as("__rp"),
       struct(lCols.map(col): _*).as("__lrow"))
-    val nullTimeLeft = lSel.filter(col("__t").isNull)
-      .select((Seq(col("__lrow")) :+ col("__rp")): _*)
+    // null-time/null-key LEFT rows are the caller's rows: kept, unmatched
+    val unmatchedLeft = lSel
+      .filter(col("__t").isNull || col("__k").isNull)
+      .select(col("__lrow"), col("__rp"))
     val all = rSel
       .withColumn("__lrow", lit(null).cast(lrowType))
-      .unionByName(lSel.filter(col("__t").isNotNull))
+      .unionByName(lSel.filter(col("__t").isNotNull && col("__k").isNotNull))
     val order =
       if (forward) Seq(col("__t").desc, col("__side").asc, col("__tb").desc)
       else Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
-    val w = Window.partitionBy("__k")
-      .orderBy(order: _*)
+
+    // ---- bucket assignment: a monotone image of __t sliced into
+    // numBuckets equal-width ranges (equal times always share a bucket,
+    // so bucket order is consistent with scan order in both directions)
+    val bucketed = asDouble(col("__t"), all.schema("__t").dataType) match {
+      case Some(td) if numBuckets > 1 =>
+        val mm = all.agg(min(td).as("lo"), max(td).as("hi")).head()
+        if (mm.isNullAt(0)) all.withColumn("__b", lit(0))
+        else {
+          val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+          val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
+          all.withColumn("__b",
+            least(lit(numBuckets - 1),
+              greatest(lit(0), floor((td - lit(lo)) / lit(width))))
+              .cast("int"))
+        }
+      case _ => all.withColumn("__b", lit(0))
+    }
+
+    // ---- pass 1: carry within each (key, bucket) — the skew-splitting
+    // window; a hot key's events spread over numBuckets parallel tasks
+    val w1 = Window.partitionBy("__k", "__b").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    all
-      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+    val local = bucketed
+      .withColumn("__mloc", last(col("__rp"), ignoreNulls = true).over(w1))
+
+    // ---- pass 2: per key over bucket-END summaries (≤numBuckets rows
+    // per key, however hot). Bucket end = the row maximal in scan order;
+    // its __mloc is the carry leaving that bucket (null = no right row
+    // yet). The incoming carry for bucket b = last non-null summary of
+    // any earlier-scanned bucket.
+    val scanPos =
+      if (forward) struct(negate(col("__t").cast("double")), col("__side"),
+        negate(col("__tb")))
+      else struct(col("__t").cast("double"), col("__side"), col("__tb"))
+    val bucketEnd = local.groupBy("__k", "__b")
+      .agg(max_by(col("__mloc"), scanPos).as("__bl"))
+    val wb = Window.partitionBy("__k")
+      .orderBy(if (forward) col("__b").desc else col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incoming = bucketEnd
+      .withColumn("__in", last(col("__bl"), ignoreNulls = true).over(wb))
+      .select(col("__k"), col("__b"), col("__in"))
+
+    // ---- stitch: local carry if the bucket had a predecessor, else the
+    // carry entering the bucket
+    local
+      .join(incoming, Seq("__k", "__b"), "left")
       .filter(col("__side") === 1)
-      .select(col("__lrow"), col("__m").as("__rp"))
-      // null-time LEFT rows are kept (they are the caller's rows) with a
-      // null match, never a carried one
-      .unionByName(nullTimeLeft)
+      .select(col("__lrow"), coalesce(col("__mloc"), col("__in")).as("__rp"))
+      .unionByName(unmatchedLeft)
       .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
         payloadCols.map(c => col(s"__rp.$c").as(prefix + c)): _*)
   }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
-import graft.expr.{CosineDistance, DotProduct, L2Distance}
+import graft.expr.{AdcLutScore, CosineDistance, DotProduct, L2Distance, NearestCellExpr, PqEncodeExpr}
 
 /** Column-level vector functions: codegen'd distance kernels plus the
   * deterministic hash→vector generator (graft's MockEmbedder analog —
@@ -27,6 +27,21 @@ object VectorFunctions {
 
   /** ip "distance" = −dot (lower = better, matches the reference). */
   def ipDistance(a: Column, b: Column): Column = -vecDot(a, b)
+
+  /** Codegen'd IVF coarse assignment: argmin cell over a driver-built
+    * centroid table (strict <, lowest index). `augM2` = Some(M²) gives
+    * the MIPS augmented assignment. */
+  def nearestCell(vec: Column, centroids: Seq[Seq[Double]],
+      augM2: Option[Double] = None): Column =
+    bridge.column(NearestCellExpr(bridge.expression(vec), centroids, augM2))
+
+  /** Codegen'd PQ encode → array<tinyint> codes. */
+  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    bridge.column(PqEncodeExpr(bridge.expression(vec), books))
+
+  /** Codegen'd ADC score from stored codes and a LUT column/literal. */
+  def adcScore(codes: Column, lut: Column): Column =
+    bridge.column(AdcLutScore(bridge.expression(codes), bridge.expression(lut)))
 
   // LCG constants (glibc's rand): public domain arithmetic, chosen so both
   // engines evaluate the identical integer expression.

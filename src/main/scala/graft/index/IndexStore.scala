@@ -49,6 +49,25 @@ object IndexStore extends org.apache.spark.internal.Logging {
     * drift. */
   def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Fail-fast schema gate for incremental appends: the rows about to be
+    * appended must carry exactly the stored table's columns and types
+    * (names compared as a set, types via `.sql` so nullability doesn't
+    * trip it). Without this, an append with different metaCols/id type
+    * writes schema-divergent files and later filtered reads silently see
+    * nulls for the appended rows instead of failing. */
+  def requireAppendSchema(spark: SparkSession, storedPath: String,
+      rows: org.apache.spark.sql.DataFrame): Unit = {
+    def sig(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType.sql).toMap
+    val stored = sig(spark.read.parquet(storedPath).schema)
+    val appended = sig(rows.schema)
+    require(stored == appended,
+      s"append schema mismatch against $storedPath: stored " +
+        s"${stored.toSeq.sortBy(_._1).mkString("[", ", ", "]")} vs appended " +
+        s"${appended.toSeq.sortBy(_._1).mkString("[", ", ", "]")} — " +
+        "append must use the same metaCols and id type the index was built with")
+  }
+
   /** Fingerprint of the source files backing an index: a mix over every
     * file's (path, length, mtime), listed recursively so partitioned
     * sources contribute their part files. Entries are keyed by the full

@@ -47,57 +47,28 @@ object IvfPqIndex {
       mode = "overwrite", metaCols = metaCols)
   }
 
-  /** Cell assignment + PQ encode in ONE typed pass over the corpus (each
-    * vector is read once; both argmins share the strict-< / lowest-index
-    * tie rule the oracles mirror). */
+  /** Cell assignment + PQ encode in ONE codegen'd pass over the corpus
+    * (each vector is read once; both argmins share the strict-< /
+    * lowest-index tie rule the oracles mirror — NearestCellExpr /
+    * PqEncodeExpr are the same arithmetic as the typed kernel they
+    * replaced, without per-row deserialization). */
   private def writeCells(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, ivf: Ann.IvfModel, cb: ProductQuant.Codebooks,
       path: String, mode: String, metaCols: Seq[String]): Unit = {
-    import spark.implicits._
     // codes are stored as SIGNED tinyint: k beyond 128 would silently
     // wrap negative and crash every later LUT lookup
     require(cb.k <= 128,
       s"PQ codebook k=${cb.k} exceeds the tinyint code range (max 128)")
     graft.core.Ids.requireIntegral(emb, idCol)
-    val cents: Array[Array[Double]] = ivf.centroids.map(_.toArray).toArray
-    val books: Array[Array[Array[Double]]] =
-      cb.cb.map(_.map(_.toArray).toArray).toArray
-    val (m, subDim) = (cb.m, cb.subDim)
-    val assigned = emb
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) =>
-        val vec = v.toArray
-        val cell = Ann.bestCell(cents, vec)
-        val codes = new Array[Int](m)
-        var mi = 0
-        while (mi < m) {
-          val base = mi * subDim
-          val book = books(mi)
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < book.length) {
-            var d = 0.0; var i = 0
-            while (i < subDim) {
-              val x = vec(base + i) - book(c)(i); d += x * x; i += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          codes(mi) = best
-          mi += 1
-        }
-        (cell, id, codes.toSeq, v)
-      }
-      .toDF("cell", idCol, "codes", vecCol)
-      .withColumn("codes", expr("transform(codes, pqc -> cast(pqc as tinyint))"))
-    val rows =
-      if (metaCols.isEmpty) assigned
-      else assigned
-        .join(emb.select(col(idCol).cast("long") +: metaCols.map(col): _*),
-          idCol)
-        .select(Seq(col("cell"), col(idCol), col("codes"), col(vecCol)) ++
-          metaCols.map(col): _*)
+    val vecD = col(vecCol).cast("array<double>")
+    val rows = emb.select(
+      Seq(
+        VectorFunctions.nearestCell(vecD, ivf.centroids).as("cell"),
+        col(idCol).cast("long").as(idCol),
+        VectorFunctions.pqEncode(vecD, cb.cb).as("codes"),
+        vecD.as(vecCol)) ++ metaCols.map(col): _*)
+    if (mode == "append")
+      IndexStore.requireAppendSchema(spark, s"$path/cells", rows)
     rows.write.mode(mode).partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -129,29 +100,21 @@ object IvfPqIndex {
       idCol: String, queryVec: Seq[Double], nprobe: Int, k: Int,
       rerank: Int = DefaultRerank, filter: Option[Column] = None,
       metric: String = "l2"): DataFrame = {
-    import spark.implicits._
     val ivf = loadIvf(spark, path)
     val cb = QuantIndex.loadPqCodebooks(spark, path)
     require(queryVec.length == cb.m * cb.subDim,
       s"query dim ${queryVec.length} != index dim ${cb.m * cb.subDim}")
     require(nprobe >= 1 && k >= 1 && rerank >= k,
       s"need nprobe>=1, k>=1, rerank>=k (got $nprobe, $k, $rerank)")
-    val lut = ProductQuant.adcLut(cb, queryVec)
-    val m = cb.m
+    val lutLit = typedlit(
+      ProductQuant.adcLut(cb, queryVec).map(_.toSeq).toSeq)
     val probe = Ann.probeCells(ivf, queryVec, nprobe)
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probe: _*))
     val visible = filter.map(cells.filter).getOrElse(cells)
     val cand = visible
-      .select(col(idCol).cast("long"), col("codes").cast("array<int>"))
-      .as[(Long, Seq[Int])]
-      .map { case (id, cs) =>
-        var dist = 0.0
-        var mi = 0
-        while (mi < m) { dist += lut(mi)(cs(mi)); mi += 1 }
-        (id, math.round(math.sqrt(dist) * 1e6) / 1e6)
-      }
-      .toDF(idCol, "adc")
+      .select(col(idCol).cast("long").as(idCol),
+        VectorFunctions.adcScore(col("codes"), lutLit).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(rerank)
     visible.select(col(idCol).cast("long"), col(vecCol))
@@ -177,30 +140,27 @@ object IvfPqIndex {
     import spark.implicits._
     val ivf = loadIvf(spark, path)
     val cb = QuantIndex.loadPqCodebooks(spark, path)
-    val m = cb.m
-    val luts: Map[Long, Array[Array[Double]]] =
-      queries.map { case (qid, qv) => qid -> ProductQuant.adcLut(cb, qv) }.toMap
-    val probePairs = queries.flatMap { case (qid, qv) =>
-      Ann.probeCells(ivf, qv, nprobe).map(qid -> _)
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == cb.m * cb.subDim,
+        s"query $qid dim ${qv.length} != index dim ${cb.m * cb.subDim}")
     }
-    val allCells = probePairs.map(_._2).distinct
-    val pairsDf = probePairs.toDF("qid", "cell")
+    // (qid, probe cell, that query's LUT) — one broadcast table carries
+    // both the membership AND the scoring constants; the ADC pass is a
+    // codegen'd scan of the codes column, no per-row deserialization
+    val probeLut = queries.flatMap { case (qid, qv) =>
+      val lut = ProductQuant.adcLut(cb, qv).map(_.toSeq).toSeq
+      Ann.probeCells(ivf, qv, nprobe).map(cell => (qid, cell, lut))
+    }
+    val allCells = probeLut.map(_._2).distinct
+    val pairsDf = probeLut.toDF("qid", "cell", "lut")
     val qDf = queries.toDF("qid", "qvec")
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(allCells: _*))
     val cand = cells
-      .select(col("cell"), col(idCol).cast("long"), col("codes").cast("array<int>"))
+      .select(col("cell"), col(idCol).cast("long").as(idCol), col("codes"))
       .join(broadcast(pairsDf), Seq("cell"))
-      .select(col("qid"), col(idCol), col("codes"))
-      .as[(Long, Long, Seq[Int])]
-      .mapPartitions(_.map { case (qid, id, cs) =>
-        val lut = luts(qid)
-        var dist = 0.0
-        var mi = 0
-        while (mi < m) { dist += lut(mi)(cs(mi)); mi += 1 }
-        (qid, id, math.round(math.sqrt(dist) * 1e6) / 1e6)
-      })
-      .toDF("qid", idCol, "adc")
+      .select(col("qid"), col(idCol),
+        VectorFunctions.adcScore(col("codes"), col("lut")).as("adc"))
     val wPool = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adc"), col(idCol))
     val pool = cand

@@ -65,7 +65,9 @@ object LshIndex {
   def append(spark: SparkSession, newRows: DataFrame, vecCol: String,
       idCol: String, dim: Int, path: String,
       metaCols: Seq[String] = Nil): Unit = {
-    bucketRows(newRows, vecCol, idCol, dim, metaCols)
+    val rows = bucketRows(newRows, vecCol, idCol, dim, metaCols)
+    IndexStore.requireAppendSchema(spark, s"$path/buckets", rows)
+    rows
       .repartition(col("band_idx"), col("band_val"))
       .write.mode("append").partitionBy("band_idx", "band_val")
       .parquet(s"$path/buckets")

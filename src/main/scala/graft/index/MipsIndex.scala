@@ -27,8 +27,12 @@ object MipsIndex {
       idCol: String, cells: Int, path: String,
       metaCols: Seq[String] = Nil, stringIds: Boolean = false): Unit = {
     import spark.implicits._
-    val m2 = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
-      .head.getDouble(0)
+    val m2Row = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
+      .head
+    require(!m2Row.isNullAt(0),
+      s"MipsIndex.build: no rows with a non-null '$vecCol' — " +
+        "cannot derive the augmentation constant from an empty corpus")
+    val m2 = m2Row.getDouble(0)
     val dim = emb.select(size(col(vecCol))).head.getInt(0)
     Seq((m2, dim, cells)).toDF("m2", "dim", "cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -39,35 +43,21 @@ object MipsIndex {
   private def writeCells(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, m2: Double, dim: Int, cells: Int, path: String,
       mode: String, metaCols: Seq[String], stringIds: Boolean): Unit = {
-    import spark.implicits._
-    val cents = Ann.fixedIvfModel(cells, dim + 1).centroids
-      .map(_.toArray).toArray
-    // Ann.augmentedCellOf is THE assignment kernel — shared with the
-    // in-query mipsIvfSearch so build-time cells and search-time cells
-    // can never drift
-    def cellOf(v: Seq[Double]): Int =
-      Ann.augmentedCellOf(cents, v.toArray, m2)
-    val assigned =
-      if (stringIds)
-        emb.select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
-          .as[(String, Seq[Double])]
-          .map { case (id, v) => (id, v, cellOf(v)) }
-          .toDF(idCol, vecCol, "cell")
-      else {
-        graft.core.Ids.requireIntegral(emb, idCol)
-        emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-          .as[(Long, Seq[Double])]
-          .map { case (id, v) => (id, v, cellOf(v)) }
-          .toDF(idCol, vecCol, "cell")
-      }
+    if (!stringIds) graft.core.Ids.requireIntegral(emb, idCol)
     val idKey =
       if (stringIds) col(idCol).cast("string") else col(idCol).cast("long")
-    val rows =
-      if (metaCols.isEmpty) assigned
-      else assigned
-        .join(emb.select(idKey +: metaCols.map(col): _*), idCol)
-        .select(Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
-          col("cell"): _*)
+    // NearestCellExpr(augM2) is THE assignment kernel — the same
+    // norm → clamp-sqrt aug → argmin arithmetic as Ann.augmentedCellOf
+    // (the in-query mipsIvfSearch path), codegen'd, so build-time cells
+    // and search-time cells can never drift
+    val cents = Ann.fixedIvfModel(cells, dim + 1).centroids
+    val rows = emb.select(
+      Seq(idKey.as(idCol), col(vecCol).cast("array<double>").as(vecCol)) ++
+        metaCols.map(col) :+
+        VectorFunctions.nearestCell(col(vecCol).cast("array<double>"),
+          cents, augM2 = Some(m2)).as("cell"): _*)
+    if (mode == "append")
+      IndexStore.requireAppendSchema(spark, s"$path/cells", rows)
     rows.write.mode(mode).partitionBy("cell").parquet(s"$path/cells")
   }
 

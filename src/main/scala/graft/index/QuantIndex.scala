@@ -53,8 +53,9 @@ object QuantIndex {
       idCol: String, path: String): Unit = {
     val thrs = spark.read.parquet(s"$path/thresholds").orderBy("pos")
       .collect().map(_.getDouble(1)).toSeq
-    packRows(newRows, vecCol, idCol, thrs)
-      .write.mode("append").parquet(s"$path/packed")
+    val rows = packRows(newRows, vecCol, idCol, thrs)
+    IndexStore.requireAppendSchema(spark, s"$path/packed", rows)
+    rows.write.mode("append").parquet(s"$path/packed")
     spark.catalog.refreshByPath(s"$path/packed")
   }
 
@@ -107,10 +108,12 @@ object QuantIndex {
     * codebooks and append (frozen quantizer, like [[appendBq]]). */
   def appendPq(spark: SparkSession, newRows: DataFrame, vecCol: String,
       idCol: String, path: String): Unit = {
-    ProductQuant.encode(newRows, vecCol, idCol, loadPqCodebooks(spark, path))
+    val rows = ProductQuant
+      .encode(newRows, vecCol, idCol, loadPqCodebooks(spark, path))
       .selectExpr(idCol,
         "transform(codes, pqc -> cast(pqc as tinyint)) as codes")
-      .write.mode("append").parquet(s"$path/codes")
+    IndexStore.requireAppendSchema(spark, s"$path/codes", rows)
+    rows.write.mode("append").parquet(s"$path/codes")
     spark.catalog.refreshByPath(s"$path/codes")
   }
 
@@ -157,8 +160,9 @@ object QuantIndex {
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
     val mns = st.map(_._1).toSeq
     val scales = st.map { case (mn, mx) => (mx - mn) / ScalarQuant.Levels }.toSeq
-    encodeSqRows(newRows, vecCol, idCol, dim, mns, scales)
-      .write.mode("append").parquet(s"$path/codes")
+    val rows = encodeSqRows(newRows, vecCol, idCol, dim, mns, scales)
+    IndexStore.requireAppendSchema(spark, s"$path/codes", rows)
+    rows.write.mode("append").parquet(s"$path/codes")
     spark.catalog.refreshByPath(s"$path/codes")
   }
 

@@ -414,38 +414,23 @@ object Ann {
       emb: DataFrame, vecCol: String, idCol: String,
       m: IvfModel, path: String, mode: String = "overwrite",
       metaCols: Seq[String] = Nil, stringIds: Boolean = false): Unit = {
-    val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
     val spark = emb.sparkSession
-    import spark.implicits._
     // two id regimes: the testdata tables carry integral ids (stored as
     // long, matching their oracles' BIGINT); collections carry opaque
-    // STRING ids — same assignment kernel, different key encoder
-    val assigned =
-      if (stringIds)
-        emb.select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
-          .as[(String, Seq[Double])]
-          .map { case (id, v) => (id, v, bestCell(cents, v.toArray)) }
-          .toDF(idCol, vecCol, "cell")
-      else {
-        graft.core.Ids.requireIntegral(emb, idCol)
-        emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-          .as[(Long, Seq[Double])]
-          .map { case (id, v) => (id, v, bestCell(cents, v.toArray)) }
-          .toDF(idCol, vecCol, "cell")
-      }
-    // metadata travels into the cell rows (one build-time join back on
-    // the id) so a filtered probe pushes its predicate into the cell
-    // scan — the same space-for-latency trade as the LSH bucket table.
-    // The vector column comes from `assigned` in BOTH branches so the
-    // stored type (array<double>) is identical with and without metadata.
+    // STRING ids — same assignment kernel, different key type.
+    if (!stringIds) graft.core.Ids.requireIntegral(emb, idCol)
     val idKey =
       if (stringIds) col(idCol).cast("string") else col(idCol).cast("long")
-    val rows =
-      if (metaCols.isEmpty) assigned
-      else assigned
-        .join(emb.select(idKey +: metaCols.map(col): _*), idCol)
-        .select(Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
-          col("cell"): _*)
+    // NearestCellExpr is bestCell's arithmetic (strict <, lowest index)
+    // as a codegen'd column — one scan, no per-row deserialization, and
+    // metadata travels into the cell rows directly so a filtered probe
+    // pushes its predicate into the cell scan.
+    val vecD = col(vecCol).cast("array<double>")
+    val rows = emb.select(
+      Seq(idKey.as(idCol), vecD.as(vecCol)) ++ metaCols.map(col) :+
+        VectorFunctions.nearestCell(vecD, m.centroids).as("cell"): _*)
+    if (mode == "append")
+      graft.index.IndexStore.requireAppendSchema(spark, path, rows)
     rows.write.mode(mode).partitionBy("cell").parquet(path)
   }
 

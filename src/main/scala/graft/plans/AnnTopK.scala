@@ -242,7 +242,7 @@ object AnnTopK {
         spark.experimental.extraOptimizations :+ AnnTopKRewrite(spark)
 
   private val candCache =
-    new ConcurrentHashMap[(String, Seq[Double], String), LogicalPlan]()
+    new ConcurrentHashMap[(String, Seq[Seq[Double]], Seq[Double], String), LogicalPlan]()
 
   /** Analyzed bucket-probe candidate plan for (index, query, columns) —
     * built once, then served from cache on every re-optimization of the
@@ -260,11 +260,12 @@ object AnnTopK {
       fields: Seq[(String, org.apache.spark.sql.types.DataType)])
       : LogicalPlan =
     // the key carries EVERY registration field the plan depends on:
-    // nprobe and the centroids (hashed) shape the ivf/mips probe, so a
+    // nprobe and the centroid VALUES shape the ivf/mips probe, so a
     // re-registration with a different recall knob or model must never
-    // hit a prior registration's cached plan
+    // hit a prior registration's cached plan (values, not hashCode — a
+    // hash collision would silently serve the wrong probe plan)
     candCache.computeIfAbsent(
-      (s"${reg.indexPath}|${reg.kind}|${reg.nprobe}|${reg.centroids.hashCode}",
+      (s"${reg.indexPath}|${reg.kind}|${reg.nprobe}", reg.centroids,
         qv, fields.map(f => f._1 + ":" + f._2.sql).mkString(",")),
       _ => {
         if (candCache.size > 64) candCache.clear()

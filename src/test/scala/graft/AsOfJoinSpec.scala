@@ -84,4 +84,58 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(102L) == None)
     assert(got(103L) == Some(4L))
   }
+
+  test("null-key rows follow equi-join semantics, not window grouping") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, Option(1L), ts(10)),          // normal match
+      (101L, Option.empty[Long], ts(10))   // null key: kept, unmatched
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (8L, Option(1L), ts(5), 80.0),
+      (9L, Option.empty[Long], ts(5), 90.0) // null-key right: invisible
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asof(left, right, "user_id", "ts",
+        tieBreak = "event_id", payloadCols = Seq("event_id"), prefix = "m_")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getLong(3)))
+      .toMap
+    assert(got(100L) == Some(8L))
+    assert(got(101L) == None) // NOT matched to the null-key right row
+    assert(got.size == 2)
+  }
+
+  test("bucketed carry equals the single-window result on a skewed key") {
+    import spark.implicits._
+    // one key holds 90% of events (the hot-key shape the bucketing
+    // exists for), times interleave both sides, several bucket widths —
+    // including 1 (the degenerate single-window plan) as the reference
+    val rng = new scala.util.Random(7)
+    val leftRows = (0 until 400).map { i =>
+      val k = if (rng.nextInt(10) < 9) 1L else 1L + rng.nextInt(3)
+      (1000L + i, k, ts(rng.nextInt(120).toLong))
+    }
+    val rightRows = (0 until 400).map { i =>
+      val k = if (rng.nextInt(10) < 9) 1L else 1L + rng.nextInt(3)
+      (i.toLong, k, ts(rng.nextInt(120).toLong), rng.nextDouble())
+    }
+    val left = leftRows.toDF("event_id", "user_id", "ts")
+    val right = rightRows.toDF("event_id", "user_id", "ts", "value")
+    def runAt(buckets: Int, forward: Boolean) = {
+      val f = if (forward) AsOfJoin.asofForward _ else AsOfJoin.asof _
+      f(left, right, "user_id", "ts", "event_id", Seq("event_id", "value"),
+        "m_", buckets)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(3)).map(_ => r.getLong(3)),
+            Option(r.get(4)).map(_ => r.getDouble(4))))
+        .toMap
+    }
+    for (forward <- Seq(false, true)) {
+      val single = runAt(1, forward)
+      for (buckets <- Seq(7, 64, 1000))
+        assert(runAt(buckets, forward) == single,
+          s"bucketed ($buckets, forward=$forward) diverged from single-window")
+    }
+  }
 }

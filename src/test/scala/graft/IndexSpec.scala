@@ -104,6 +104,33 @@ class IndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("append with mismatched metaCols fails fast, not silently") {
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val first = emb.filter(col("vec_id") < 30)
+    val rest = emb.filter(col("vec_id") >= 30)
+    val m = Ann.fixedIvfModel(Indexes.IvfCells, D)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    // IVF built WITH metadata; append WITHOUT → schema-divergent rows
+    // (later filtered probes would see nulls) must be rejected up front
+    val ivfP = s"$tmp/ivf"
+    IndexStore.ensure(spark, ivfP)(p => graft.index.IvfIndex.build(
+      spark, first, "embedding", "vec_id", m, p, metaCols = Seq("label")))
+    val e1 = intercept[IllegalArgumentException] {
+      IndexStore.mutate(spark, ivfP)(p =>
+        graft.index.IvfIndex.append(spark, rest, "embedding", "vec_id", p))
+    }
+    assert(e1.getMessage.contains("append schema mismatch"))
+    // LSH: built bare, appended with metadata → also rejected
+    val lshP = s"$tmp/lsh"
+    IndexStore.ensure(spark, lshP)(p =>
+      LshIndex.build(spark, first, "embedding", "vec_id", D, p))
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.mutate(spark, lshP)(p => LshIndex.append(
+        spark, rest, "embedding", "vec_id", D, p, metaCols = Seq("label")))
+    }
+    assert(e2.getMessage.contains("append schema mismatch"))
+  }
+
   test("advance moves a ready index to a new path without a rebuild") {
     val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val first = emb.filter(col("vec_id") < 30)
