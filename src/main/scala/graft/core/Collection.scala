@@ -92,6 +92,23 @@ final class VectorCollection(
 
   def changelog: DataFrame = spark.read.parquet(changelogPath)
 
+  /** Opt-in search-event CDC — the reference's ObservableCollection also
+    * emits `search` events alongside the mutation events
+    * (realtime.py:58-88, 325-442). Off by default: search is read-only
+    * and often high-QPS, so emission is a monitoring concern, not a
+    * correctness one. When enabled, every search call appends one
+    * (collection, 'search', <kind:k=N>, ts) changelog row, consumable
+    * through the same changelog/changeFeed/subscription machinery as
+    * the mutation events. */
+  @volatile private var searchEventsOn = false
+  def enableSearchEvents(on: Boolean = true): Unit = searchEventsOn = on
+
+  private def logSearch(kind: String, k: Int): Unit =
+    if (searchEventsOn) {
+      import spark.implicits._
+      logEvents("search", Seq(s"$kind:k=$k").toDF("id"))
+    }
+
   def changeFeed: DataFrame =
     spark.readStream.schema(
       "collection string, event_type string, id string, ts timestamp")
@@ -237,7 +254,8 @@ final class VectorCollection(
     * config, the optional filter applies BEFORE scoring (exact filtered
     * top-k), ties break on id. Expects a `vector` column. */
   def search(queryVec: Seq[Double], k: Int = 10,
-      filter: Option[Pred] = None): DataFrame =
+      filter: Option[Pred] = None): DataFrame = {
+    logSearch("exact", k)
     // raw three-valued predicate: in a positive filter a NULL (missing
     // field) drops the row exactly like false, and staying raw lets the
     // leaves push down to the Parquet scan (coalesce(p, false) would
@@ -245,11 +263,14 @@ final class VectorCollection(
     graft.knn.Knn.search(df, col("vector"),
       org.apache.spark.sql.functions.typedlit(queryVec),
       config.metric, k, filter.map(_.column), idCol = "id")
+  }
 
   /** Batch search over a (query_id, qvec) relation — top-k per query. */
-  def searchBatch(queries: DataFrame, k: Int = 10): DataFrame =
+  def searchBatch(queries: DataFrame, k: Int = 10): DataFrame = {
+    logSearch("exact_batch", k)
     graft.knn.Knn.searchBatch(df, col("vector"), queries,
       config.metric, k, idCol = "id")
+  }
 
   /** Every column except id/vector — carried into the index bucket rows
     * so [[searchAnn]] filters push down to the index scan. */
@@ -325,7 +346,8 @@ final class VectorCollection(
     * 1-bit-flip buckets for LSH, doubled nprobe for IVF/MIPS.
     */
   def searchAnn(queryVec: Seq[Double], k: Int = 10,
-      filter: Option[Pred] = None, multiProbe: Boolean = false): DataFrame =
+      filter: Option[Pred] = None, multiProbe: Boolean = false): DataFrame = {
+    logSearch("ann", k)
     config.metric match {
       case "cosine" =>
         graft.index.LshIndex.search(spark, ensureAnnIndex(), "vector",
@@ -344,6 +366,7 @@ final class VectorCollection(
         // every collection column
         search(queryVec, k, filter).select("id", "score")
     }
+  }
 
   private def textIndexPath: String =
     graft.index.IndexStore.path(spark, s"$root/${config.name}", "collbm25",
@@ -373,6 +396,7 @@ final class VectorCollection(
     * (id, score). */
   def searchText(terms: Seq[String], k: Int = 10,
       filter: Option[Pred] = None): DataFrame = {
+    logSearch("text", k)
     val p = ensureTextIndex()
     val res = filter match {
       case Some(f) =>
@@ -404,6 +428,7 @@ final class VectorCollection(
   def searchHybrid(terms: Seq[String], queryVec: Seq[Double], k: Int = 10,
       alpha: Double = 0.6, vectorWeight: Option[Double] = None,
       keywordWeight: Option[Double] = None): DataFrame = {
+    logSearch("hybrid", k)
     // the blend's vector branch is cosine by definition; silently
     // ranking an l2/ip collection's vectors by cosine would contradict
     // search/searchAnn on the same collection
@@ -421,7 +446,8 @@ final class VectorCollection(
     * dynamic partition pruning over the cell layout (the query relation
     * is never collected to the driver); ip = distributed MIPS
     * augmented-cell probe with true-dot rerank. */
-  def searchAnnBatch(queries: DataFrame, k: Int = 10): DataFrame =
+  def searchAnnBatch(queries: DataFrame, k: Int = 10): DataFrame = {
+    logSearch("ann_batch", k)
     config.metric match {
       case "cosine" =>
         graft.index.LshIndex.searchBatch(spark, ensureAnnIndex(),
@@ -440,6 +466,7 @@ final class VectorCollection(
           .select(col("query_id").as("qid"), col("id"), col("score"))
           .orderBy("qid", "score", "id")
     }
+  }
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
 

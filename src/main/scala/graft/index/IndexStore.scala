@@ -130,6 +130,7 @@ object IndexStore extends org.apache.spark.internal.Logging {
                   st.getPath.getName != new Path(path).getName
               }.foreach(st => f.delete(st.getPath, true))
             f.delete(new Path(path), true)
+            clearState(path)
             build(path)
             f.create(new Path(path, "_GRAFT_READY"), true).close()
             spark.catalog.refreshByPath(path)
@@ -188,6 +189,7 @@ object IndexStore extends org.apache.spark.internal.Logging {
           // mutation.
           try {
             built.remove(from)
+            clearState(from); clearState(to)
             f.delete(new Path(from, "_GRAFT_READY"), false)
             val toP = new Path(to)
             f.delete(toP, true)
@@ -214,9 +216,29 @@ object IndexStore extends org.apache.spark.internal.Logging {
   /** Force a rebuild on next ensure (test/benchmark hook). */
   def invalidate(spark: SparkSession, path: String): Unit = {
     built.remove(path)
+    clearState(path)
     fs(spark, path).delete(new Path(path), true)
   }
 
   /** Clear the in-JVM memo only (filesystem untouched). */
-  def resetMemo(): Unit = built.clear()
+  def resetMemo(): Unit = { built.clear(); stateCache.clear() }
+
+  // ---- tiny driver-side index state (centroids, codebooks, thresholds,
+  // augmentation constants): loaded from parquet with a listing + footer
+  // read + a small collect job PER PROBE without this memo — a real
+  // per-query driver round-trip at scale. Safe to memoize because the
+  // state is frozen by design (appends encode against it, never retrain)
+  // and every path that is rebuilt, advanced onto, or invalidated has
+  // its entries dropped below.
+  private val stateCache = new ConcurrentHashMap[String, AnyRef]()
+
+  /** Memoized driver-side index state for `key` (conventionally
+    * "<subpath>#<tag>"); `load` runs once per (JVM, key) until the
+    * owning index path changes. */
+  def cachedState[T <: AnyRef](key: String)(load: => T): T =
+    stateCache.computeIfAbsent(key, _ => load).asInstanceOf[T]
+
+  private def clearState(pathPrefix: String): Unit = {
+    stateCache.keySet.removeIf(_.startsWith(pathPrefix)); ()
+  }
 }

@@ -45,9 +45,11 @@ object IvfIndex {
   }
 
   def loadModel(spark: SparkSession, path: String): Ann.IvfModel =
-    Ann.IvfModel(
-      spark.read.parquet(s"$path/centroids").orderBy("cell")
-        .collect().map(_.getSeq[Double](1)).toSeq)
+    IndexStore.cachedState(s"$path/centroids#ivf") {
+      Ann.IvfModel(
+        spark.read.parquet(s"$path/centroids").orderBy("cell")
+          .collect().map(_.getSeq[Double](1)).toSeq)
+    }
 
   def search(spark: SparkSession, path: String, vecCol: String,
       idCol: String, queryVec: Seq[Double], nprobe: Int, k: Int,

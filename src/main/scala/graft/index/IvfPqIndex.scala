@@ -85,9 +85,11 @@ object IvfPqIndex {
   }
 
   def loadIvf(spark: SparkSession, path: String): Ann.IvfModel =
-    Ann.IvfModel(
-      spark.read.parquet(s"$path/centroids").orderBy("cell")
-        .collect().map(_.getSeq[Double](1)).toSeq)
+    IndexStore.cachedState(s"$path/centroids#ivf") {
+      Ann.IvfModel(
+        spark.read.parquet(s"$path/centroids").orderBy("cell")
+          .collect().map(_.getSeq[Double](1)).toSeq)
+    }
 
   /** Probe → ADC → rerank. The ADC scan projects (id, codes) only —
     * parquet column pruning keeps the probed-cell read at m bytes/vector;

@@ -61,10 +61,11 @@ object MipsIndex {
     rows.write.mode(mode).partitionBy("cell").parquet(s"$path/cells")
   }
 
-  private def loadMeta(spark: SparkSession, path: String): (Double, Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta").head
-    (r.getDouble(0), r.getInt(1), r.getInt(2))
-  }
+  private def loadMeta(spark: SparkSession, path: String): (Double, Int, Int) =
+    IndexStore.cachedState(s"$path/meta#mips") {
+      val r = spark.read.parquet(s"$path/meta").head
+      (r.getDouble(0), r.getInt(1), r.getInt(2))
+    }
 
   /** Incremental maintenance against the FROZEN augmentation constant
     * and geometry; wrap in IndexStore.mutate/advance. */

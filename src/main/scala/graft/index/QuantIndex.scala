@@ -51,8 +51,10 @@ object QuantIndex {
     * ids; wrap in IndexStore.mutate/advance. */
   def appendBq(spark: SparkSession, newRows: DataFrame, vecCol: String,
       idCol: String, path: String): Unit = {
-    val thrs = spark.read.parquet(s"$path/thresholds").orderBy("pos")
-      .collect().map(_.getDouble(1)).toSeq
+    val thrs = IndexStore.cachedState(s"$path/thresholds#bq") {
+      spark.read.parquet(s"$path/thresholds").orderBy("pos")
+        .collect().map(_.getDouble(1)).toSeq
+    }
     val rows = packRows(newRows, vecCol, idCol, thrs)
     IndexStore.requireAppendSchema(spark, s"$path/packed", rows)
     rows.write.mode("append").parquet(s"$path/packed")
@@ -63,8 +65,10 @@ object QuantIndex {
     * 16 bytes — no raw vectors touched. */
   def searchBq(spark: SparkSession, path: String, idCol: String,
       queryVec: Seq[Double], k: Int): DataFrame = {
-    val thrs = spark.read.parquet(s"$path/thresholds").orderBy("pos")
-      .collect().map(_.getDouble(1)).toSeq
+    val thrs = IndexStore.cachedState(s"$path/thresholds#bq") {
+      spark.read.parquet(s"$path/thresholds").orderBy("pos")
+        .collect().map(_.getDouble(1)).toSeq
+    }
     val qw0 = BinaryQuant.packQueryWord(queryVec, thrs, 0)
     val qw1 = BinaryQuant.packQueryWord(queryVec, thrs, BinaryQuant.WordBits)
     spark.read.parquet(s"$path/packed")
@@ -94,15 +98,16 @@ object QuantIndex {
   }
 
   def loadPqCodebooks(spark: SparkSession, path: String)
-      : ProductQuant.Codebooks = {
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("mi", "c")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](2)))
-    val m = rows.map(_._1).max + 1
-    val grouped = rows.groupBy(_._1)
-    val cb = (0 until m).map(mi => grouped(mi).map(_._2).toSeq)
-    ProductQuant.Codebooks(m, cb.head.length, cb.head.head.length, cb)
-  }
+      : ProductQuant.Codebooks =
+    IndexStore.cachedState(s"$path/codebooks#pq") {
+      val rows = spark.read.parquet(s"$path/codebooks")
+        .orderBy("mi", "c")
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](2)))
+      val m = rows.map(_._1).max + 1
+      val grouped = rows.groupBy(_._1)
+      val cb = (0 until m).map(mi => grouped(mi).map(_._2).toSeq)
+      ProductQuant.Codebooks(m, cb.head.length, cb.head.head.length, cb)
+    }
 
   /** Incremental maintenance: encode the NEW rows against the STORED
     * codebooks and append (frozen quantizer, like [[appendBq]]). */
@@ -156,8 +161,10 @@ object QuantIndex {
     * per-dim stats and append (frozen quantizer, like [[appendBq]]). */
   def appendSq(spark: SparkSession, newRows: DataFrame, vecCol: String,
       idCol: String, dim: Int, path: String): Unit = {
-    val st = spark.read.parquet(s"$path/stats").orderBy("pos")
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val st = IndexStore.cachedState(s"$path/stats#sq") {
+      spark.read.parquet(s"$path/stats").orderBy("pos")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    }
     val mns = st.map(_._1).toSeq
     val scales = st.map { case (mn, mx) => (mx - mn) / ScalarQuant.Levels }.toSeq
     val rows = encodeSqRows(newRows, vecCol, idCol, dim, mns, scales)
@@ -172,8 +179,10 @@ object QuantIndex {
     * oracle applies. */
   def searchSqL2(spark: SparkSession, path: String, idCol: String,
       queryVec: Seq[Double], dim: Int, k: Int): DataFrame = {
-    val st = spark.read.parquet(s"$path/stats").orderBy("pos")
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val st = IndexStore.cachedState(s"$path/stats#sq") {
+      spark.read.parquet(s"$path/stats").orderBy("pos")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    }
     val mns = st.map(_._1).toSeq
     val scales = st.map { case (mn, mx) => (mx - mn) / ScalarQuant.Levels }.toSeq
     val qvLit = queryVec.mkString("array(", "D, ", "D)")

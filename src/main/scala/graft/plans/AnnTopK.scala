@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, first}
+import org.apache.spark.sql.functions.{broadcast, col, first, typedlit}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.expr.CosineDistance
 import graft.knn.Ann
@@ -37,7 +37,9 @@ object IndexedTables {
     * must never run a Spark job. */
   final case class Reg(vecCol: String, idCol: String, dim: Int,
       indexPath: String, sources: Seq[String], kind: String = "lsh",
-      centroids: Seq[Seq[Double]] = Nil, nprobe: Int = 4)
+      centroids: Seq[Seq[Double]] = Nil, nprobe: Int = 4,
+      pq: Option[graft.quant.ProductQuant.Codebooks] = None,
+      rerank: Int = 50)
 
   // Keyed by (session UUID, qualified data path): registration is a
   // SESSION-scoped opt-in — another session in the same JVM (with or
@@ -66,6 +68,22 @@ object IndexedTables {
     regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
       Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "ivf",
         centroids = model.centroids, nprobe = nprobe))
+
+  /** Declare "l2 top-k over this table may be served from its IVF-PQ
+    * index" (graft.index.IvfPqIndex — the billion-scale IVFADC layout):
+    * the probe prunes cell partitions, a codegen'd ADC pass over the
+    * stored codes bounds the candidate pool to `rerank` rows, and the
+    * query's own sort/limit rerank that pool exactly. Models ride the
+    * registration so optimization stays job-free. */
+  def registerIvfPq(spark: SparkSession, dataPath: String, vecCol: String,
+      idCol: String, dim: Int, indexPath: String,
+      model: graft.knn.Ann.IvfModel,
+      cb: graft.quant.ProductQuant.Codebooks, nprobe: Int = 4,
+      rerank: Int = 50): Unit =
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+      Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "ivfpq",
+        centroids = model.centroids, nprobe = nprobe, pq = Some(cb),
+        rerank = rerank))
 
   /** Declare "ip top-k over this table may be served from its MIPS
     * augmented-cell index" (graft.index.MipsIndex layout). Probe-cell
@@ -193,8 +211,11 @@ final case class AnnTopKRewrite(spark: SparkSession)
           (l, IndexedTables.lookup(spark, fs.location.rootPaths))
       }
       scans match {
+        // an l2 sort is served by either the plain IVF cell layout or
+        // the IVF-PQ composed layout, whichever the table registered
         case Seq((scan, Some(reg)))
-            if reg.vecCol == vecAttr.name && reg.kind == kind =>
+            if reg.vecCol == vecAttr.name && (reg.kind == kind ||
+              (kind == "ivf" && reg.kind == "ivfpq")) =>
           splice(gl, scan, reg, queryVec(qExpr))
         case _ => None
       }
@@ -242,7 +263,8 @@ object AnnTopK {
         spark.experimental.extraOptimizations :+ AnnTopKRewrite(spark)
 
   private val candCache =
-    new ConcurrentHashMap[(String, Seq[Seq[Double]], Seq[Double], String), LogicalPlan]()
+    new ConcurrentHashMap[(String, Seq[Seq[Double]],
+      Option[Seq[Seq[Seq[Double]]]], Seq[Double], String), LogicalPlan]()
 
   /** Analyzed bucket-probe candidate plan for (index, query, columns) —
     * built once, then served from cache on every re-optimization of the
@@ -265,12 +287,38 @@ object AnnTopK {
     // hit a prior registration's cached plan (values, not hashCode — a
     // hash collision would silently serve the wrong probe plan)
     candCache.computeIfAbsent(
-      (s"${reg.indexPath}|${reg.kind}|${reg.nprobe}", reg.centroids,
+      (s"${reg.indexPath}|${reg.kind}|${reg.nprobe}|${reg.rerank}",
+        reg.centroids, reg.pq.map(_.cb),
         qv, fields.map(f => f._1 + ":" + f._2.sql).mkString(",")),
       _ => {
         if (candCache.size > 64) candCache.clear()
         val typed = fields.map { case (n, dt) => col(n).cast(dt).as(n) }
-        if (reg.kind == "ivf" || reg.kind == "mips") {
+        if (reg.kind == "ivfpq") {
+          // IVFADC serving: partition-pruned probe, codegen'd ADC over
+          // the stored codes bounds the pool to `rerank` rows, the
+          // query's untouched sort/limit reranks that pool exactly —
+          // the SQL face of IvfPqIndex.search
+          val probe = Ann.probeCells(Ann.IvfModel(reg.centroids), qv,
+            reg.nprobe)
+          val lutLit = typedlit(graft.quant.ProductQuant
+            .adcLut(reg.pq.get, qv).map(_.toSeq).toSeq)
+          val cells = spark.read.parquet(s"${reg.indexPath}/cells")
+            .filter(col("cell").isin(probe: _*))
+          val pool = cells
+            .select(col(reg.idCol),
+              graft.functions.VectorFunctions
+                .adcScore(col("codes"), lutLit).as("__adc"))
+            .orderBy(col("__adc"), col(reg.idCol))
+            .limit(reg.rerank)
+          // no broadcast() hint: the rule splices into a plan the
+          // optimizer has ALREADY run EliminateResolvedHint on, so a
+          // ResolvedHint here is an internal error downstream; AQE
+          // broadcasts the `rerank`-row pool side at runtime regardless
+          cells
+            .join(pool.select(reg.idCol), Seq(reg.idCol))
+            .select(typed: _*)
+            .queryExecution.analyzed
+        } else if (reg.kind == "ivf" || reg.kind == "mips") {
           // each id lives in exactly ONE cell — a partition probe needs
           // no dedup; the untouched sort/limit above reranks exactly.
           // MIPS probes with the augmented query [q, 0] against the

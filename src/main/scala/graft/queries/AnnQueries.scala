@@ -262,6 +262,33 @@ object AnnQueries {
         floorRounding = false, metric = "l2")),
       bench = true
     ),
+    // the billion-scale face: the same l2 ORDER BY ... LIMIT k over an
+    // IVF-PQ-registered table ⇒ partition-pruned probe + codegen'd ADC
+    // pool bound over the stored codes + exact rerank by the query's own
+    // sort/limit (the SQL surface reaching the IVFADC layout)
+    Q(
+      "sql_ann_topk_pq",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round, typedlit}
+        graft.plans.AnnTopK.install(s)
+        graft.plans.IndexedTables.registerIvfPq(s,
+          s"$dir/embeddings.parquet", "embedding", "vec_id", D,
+          Indexes.ivfPqEmb(s, dir), Ann.fixedIvfModel(Indexes.IvfCells, D),
+          graft.quant.ProductQuant.fixedCodebooks(D, 8, 16))
+        val qc = typedlit(hashVectorValues(11L, D))
+        Tables.embeddings(s, dir)
+          .orderBy(round(l2Distance(col("embedding"), qc), 6),
+            col("vec_id"))
+          .limit(K)
+          .select(col("vec_id"),
+            round(l2Distance(col("embedding"), qc), 6).as("score"))
+          .orderBy("score", "vec_id")
+      },
+      Some(graft.index.IvfPqIndex.searchSql("embeddings", "embedding",
+        "vec_id", hashVectorSql("11", D), D, Indexes.IvfCells, m = 8,
+        kCb = 16, nprobe = 4, K, metric = "l2")),
+      bench = true
+    ),
     // the ip face of the declarative surface: ORDER BY ip-distance
     // (−dot) LIMIT k over a MIPS-registered table ⇒ augmented-cell
     // partition probe; sort/limit stay and rerank by the true dot

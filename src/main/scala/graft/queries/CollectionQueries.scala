@@ -65,6 +65,34 @@ object CollectionQueries {
         VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.6),
       Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.6,
         corpusSql = OracleCorpus, idAlias = "id"))
+    ),
+    // opt-in search-event CDC (reference realtime.py:325-442: Observable
+    // collections emit `search` events too): enable, run one search of
+    // each kind, and read the events back through the same subscription
+    // filter the mutation events use. DISTINCT descriptors make the
+    // entry idempotent across reruns of the same scratch collection.
+    Q(
+      "collection_search_events",
+      (s, dir) => {
+        val coll = collectionDoc(s, dir)
+        coll.enableSearchEvents()
+        coll.searchAnn(VectorFunctions.hashVectorValues(5L, D), K)
+        coll.searchText(QueryTerms, K)
+        coll.searchHybrid(QueryTerms,
+          VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.6)
+        graft.stream.ChangeFeed.matched(coll.changelog,
+            graft.stream.ChangeFeed.Subscription(Seq("search")))
+          .select("collection", "event_type", "id")
+          .distinct()
+          .orderBy("id")
+      },
+      Some(
+        """SELECT * FROM (VALUES
+          |  ('doc', 'search', 'ann:k=10'),
+          |  ('doc', 'search', 'hybrid:k=10'),
+          |  ('doc', 'search', 'text:k=10'))
+          |  t(collection, event_type, id)
+          |ORDER BY id""".stripMargin)
     )
   )
 }

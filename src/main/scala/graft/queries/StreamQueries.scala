@@ -228,6 +228,64 @@ object StreamQueries {
           | AND e.event_type = 'error' AND v.event_type = 'view'
           | AND v.ts >= e.ts - INTERVAL 600 SECOND AND v.ts < e.ts
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    // a REAL micro-batch Structured Streaming run (not the batch form of
+    // the same plan): file source over a multi-file copy of the events
+    // table, 2 files per trigger, watermarked tumbling window, memory
+    // sink in complete mode — the final table equals the batch aggregate
+    // whatever the batch splits, which is what the oracle pins. Bench'd,
+    // so the streaming path has a perf signal beyond StreamSpec.
+    Q(
+      "stream_tumbling_live",
+      (s, dir) => {
+        val src = eventsStreamDir(s, dir)
+        val sink = "stream_tumbling_live_sink"
+        val q = s.readStream
+          .schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(src)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("wstart"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        // materialize the sink's final state: the memory table is a
+        // session temp view the NEXT run's query will replace
+        s.table(sink).orderBy("wstart", "event_type").localCheckpoint()
+      },
+      Some(
+        """SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS wstart,
+          |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true
     )
   )
+
+  /** Multi-file copy of the events table under the (versioned) store
+    * root, keyed by the source fingerprint — the file source then yields
+    * a genuine multi-batch stream (the testdata table is one file, which
+    * would collapse any maxFilesPerTrigger run into a single batch).
+    * Stale-fingerprint siblings are pruned like the scratch collections'. */
+  private def eventsStreamDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import graft.index.IndexStore
+    val fp = IndexStore.fingerprint(s, Seq(s"$dir/events.parquet"))
+    val root = new org.apache.hadoop.fs.Path(s"${IndexStore.root}/_streams")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prefix = s"${IndexStore.slug(dir)}_"
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val suffix = n.stripPrefix(prefix)
+        if (n.startsWith(prefix) && suffix != fp && suffix.matches("[0-9a-f]+"))
+          fs.delete(st.getPath, true)
+      }
+    val path = s"$root/$prefix$fp"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
+      Tables.events(s, dir).repartition(8).write.mode("overwrite").parquet(path)
+    path
+  }
 }

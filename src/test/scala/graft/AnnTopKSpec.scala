@@ -185,6 +185,28 @@ class AnnTopKSpec extends AnyFunSuite {
     } finally IndexedTables.clear()
   }
 
+  test("l2 top-k over an IVF-PQ-registered table probes cells and bounds the pool by ADC") {
+    AnnTopK.install(spark)
+    IndexedTables.registerIvfPq(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfPqEmb(spark, sf),
+      graft.knn.Ann.fixedIvfModel(Indexes.IvfCells, D),
+      graft.quant.ProductQuant.fixedCodebooks(D, 8, 16))
+    try {
+      val q = topKL2()
+      val plan = q.queryExecution.executedPlan.toString
+      // cell partition probe AND the ADC pool bound in the served plan
+      assert(plan.contains("PartitionFilters: [cell"), plan)
+      assert(plan.contains("pq_adc_score"), plan)
+      // equals the programmatic IVFADC probe with the same knobs
+      val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = graft.index.IvfPqIndex.search(spark,
+          Indexes.ivfPqEmb(spark, sf), "embedding", "vec_id",
+          hashVectorValues(11L, D), nprobe = 4, k = K, metric = "l2")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b && a.nonEmpty)
+    } finally IndexedTables.clear()
+  }
+
   test("re-registering with a different nprobe is not served from the plan cache") {
     AnnTopK.install(spark)
     def cellsProbed(plan: String): Int =
