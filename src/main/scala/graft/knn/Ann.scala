@@ -241,28 +241,19 @@ object Ann {
       cells: Int, queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame = {
     graft.core.Ids.requireIntegral(emb, idCol)
     val model = fixedIvfModel(cells, queryVec.length + 1)
-    val spark = emb.sparkSession
-    import spark.implicits._
     val m2 = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
       .head.getDouble(0)
-    val cents = model.centroids.map(_.toArray).toArray
-    val probed = probeCells(model, queryVec :+ 0.0, nprobe).toSet
-    val q = queryVec.toArray
-    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { rows =>
-        rows.flatMap { case (id, v) =>
-          val vec = v.toArray
-          if (!probed.contains(augmentedCellOf(cents, vec, m2))) None
-          else {
-            var d = 0.0
-            var i = 0
-            while (i < vec.length) { d += vec(i) * q(i); i += 1 }
-            Some((id, math.round(-d * 1e6) / 1e6))
-          }
-        }
-      }
-      .toDF(idCol, "score")
+    val probed = probeCells(model, queryVec :+ 0.0, nprobe)
+    val vecD = col(vecCol).cast("array<double>")
+    // one codegen'd scan: NearestCellExpr in augmented mode is
+    // augmentedCellOf's arithmetic; survivors rerank by the true dot
+    // with the kernel's Math.round rounding (floor(x·1e6 + 0.5))
+    emb
+      .filter(VectorFunctions.nearestCell(vecD, model.centroids,
+        augM2 = Some(m2)).isin(probed: _*))
+      .select(col(idCol).cast("long").as(idCol),
+        (floor(-VectorFunctions.vecDot(vecD, typedlit(queryVec)) *
+          lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("score"))
       .orderBy(col("score"), col(idCol))
       .limit(k)
   }
@@ -556,39 +547,19 @@ object Ann {
       nprobe: Int,
       k: Int): DataFrame = {
     graft.core.Ids.requireIntegral(emb, idCol)
-    val probed = probeCells(m, queryVec, nprobe).toSet
-    val cents: Array[Array[Double]] = m.centroids.map(_.toArray).toArray
-    val q = queryVec.toArray
-    val spark = emb.sparkSession
-    import spark.implicits._
-    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { rows =>
-        rows.flatMap { case (id, v) =>
-          val vec = v.toArray
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            var d = 0.0; var i = 0
-            while (i < vec.length) {
-              val x = vec(i) - cents(c)(i); d += x * x; i += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          if (!probed.contains(best)) None
-          else {
-            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < vec.length) {
-              dot += vec(i) * q(i); na += vec(i) * vec(i); nb += q(i) * q(i)
-              i += 1
-            }
-            val cos = 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
-            Some((id, math.round(cos * 1e6) / 1e6))
-          }
-        }
-      }
-      .toDF(idCol, "score")
+    val probed = probeCells(m, queryVec, nprobe)
+    val vecD = col(vecCol).cast("array<double>")
+    // one codegen'd scan: argmin cell (NearestCellExpr = bestCell's
+    // arithmetic) filters to the probed cells, survivors score by the
+    // cosine expression with the kernel's exact Math.round rounding
+    // (floor(x·1e6 + 0.5) — Math.round(d) IS (long) floor(d + 0.5))
+    emb
+      .filter(VectorFunctions.nearestCell(vecD, m.centroids)
+        .isin(probed: _*))
+      .select(col(idCol).cast("long").as(idCol),
+        (floor(VectorFunctions.cosineDistance(vecD,
+          typedlit(queryVec)) * lit(1e6) + lit(0.5)).cast("double") /
+          lit(1e6)).as("score"))
       .orderBy(col("score"), col(idCol))
       .limit(k)
   }

@@ -124,63 +124,31 @@ object ProductQuant {
 
   /** Nearest-centroid encode per subspace: (id, codes[m]) — the stored
     * form (one small int per subspace; 8 codes replace 64 doubles).
-    * Typed kernel, same argmin arithmetic as [[searchAdc]]'s fused pass.
-    */
+    * Codegen'd PqEncodeExpr, same argmin arithmetic as [[searchAdc]]'s
+    * fused pass; cast back to array<int> for the public contract. */
   def encode(
       emb: DataFrame, vecCol: String, idCol: String, cb: Codebooks)
       : DataFrame = {
     graft.core.Ids.requireIntegral(emb, idCol)
-    val books: Array[Array[Array[Double]]] =
-      cb.cb.map(_.map(_.toArray).toArray).toArray
-    val (m, subDim) = (cb.m, cb.subDim)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) =>
-        val vec = v.toArray
-        val codes = new Array[Int](m)
-        var mi = 0
-        while (mi < m) {
-          val base = mi * subDim
-          val book = books(mi)
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < book.length) {
-            var d = 0.0; var i = 0
-            while (i < subDim) {
-              val x = vec(base + i) - book(c)(i); d += x * x; i += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          codes(mi) = best
-          mi += 1
-        }
-        (id, codes.toSeq)
-      }
-      .toDF(idCol, "codes")
+    emb.select(col(idCol).cast("long").as(idCol),
+      graft.functions.VectorFunctions
+        .pqEncode(col(vecCol).cast("array<double>"), cb.cb)
+        .cast("array<int>").as("codes"))
   }
 
   /** ADC search over PREVIOUSLY-ENCODED codes: per row only m LUT
-    * lookups — no vectors touched. Scores identical to [[searchAdc]]
-    * (same codes, same LUT), so the same oracle applies. */
+    * lookups (codegen'd AdcLutScore) — no vectors touched. Scores
+    * identical to [[searchAdc]] (same codes, same LUT), so the same
+    * oracle applies. */
   def searchAdcCodes(
       codes: DataFrame, idCol: String, cb: Codebooks,
       queryVec: Seq[Double], k: Int): DataFrame = {
-    val lut = adcLut(cb, queryVec)
     graft.core.Ids.requireIntegral(codes, idCol)
-    val spark = codes.sparkSession
-    import spark.implicits._
-    codes.select(col(idCol).cast("long"), col("codes").cast("array<int>"))
-      .as[(Long, Seq[Int])]
-      .map { case (id, cs) =>
-        var dist = 0.0
-        var mi = 0
-        while (mi < cb.m) { dist += lut(mi)(cs(mi)); mi += 1 }
-        (id, math.round(math.sqrt(dist) * 1e6) / 1e6)
-      }
-      .toDF(idCol, "score")
+    val lutLit = org.apache.spark.sql.functions.typedlit(
+      adcLut(cb, queryVec).map(_.toSeq).toSeq)
+    codes.select(col(idCol).cast("long").as(idCol),
+      graft.functions.VectorFunctions
+        .adcScore(col("codes").cast("array<int>"), lutLit).as("score"))
       .orderBy(col("score"), col(idCol))
       .limit(k)
   }
@@ -198,10 +166,12 @@ object ProductQuant {
     }.toArray
 
   /** ADC search: LUT computed driver-side from the query; encode + LUT
-    * lookup run as a typed mapPartitions kernel (a literal-codebook
-    * Catalyst expression was measured 10× slower: the ~1000-term tree
-    * falls out of codegen). Returns (id, score) ascending top-k; no SQL
-    * oracle (k-means), recall-gated in QuantSpec.
+    * lookup run as ONE codegen'd projection (PqEncodeExpr → AdcLutScore,
+    * both reference-object kernels — NOT the ~1000-term literal
+    * expression tree that was measured 10× slower; a reference object
+    * costs one field access and stays inside whole-stage codegen).
+    * Returns (id, score) ascending top-k; no SQL oracle (k-means),
+    * recall-gated in QuantSpec.
     */
   def searchAdc(
       emb: DataFrame,
@@ -210,40 +180,14 @@ object ProductQuant {
       cb: Codebooks,
       queryVec: Seq[Double],
       k: Int): DataFrame = {
-    val lut = adcLut(cb, queryVec)
     graft.core.Ids.requireIntegral(emb, idCol)
-    val books: Array[Array[Array[Double]]] =
-      cb.cb.map(_.map(_.toArray).toArray).toArray
-    val (m, subDim) = (cb.m, cb.subDim)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { rows =>
-        rows.map { case (id, v) =>
-          val vec = v.toArray
-          var dist = 0.0
-          var mi = 0
-          while (mi < m) {
-            val base = mi * subDim
-            val book = books(mi)
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < book.length) {
-              var d = 0.0; var i = 0
-              while (i < subDim) {
-                val x = vec(base + i) - book(c)(i); d += x * x; i += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            dist += lut(mi)(best)
-            mi += 1
-          }
-          (id, math.round(math.sqrt(dist) * 1e6) / 1e6)
-        }
-      }
-      .toDF(idCol, "score")
+    val lutLit = org.apache.spark.sql.functions.typedlit(
+      adcLut(cb, queryVec).map(_.toSeq).toSeq)
+    emb.select(col(idCol).cast("long").as(idCol),
+      graft.functions.VectorFunctions.adcScore(
+        graft.functions.VectorFunctions
+          .pqEncode(col(vecCol).cast("array<double>"), cb.cb),
+        lutLit).as("score"))
       .orderBy(col("score"), col(idCol))
       .limit(k)
   }

@@ -10,7 +10,13 @@ class AnnSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val D = Tables.EmbeddingDim
   private val qv = hashVectorValues(11L, D)
-  private lazy val emb = Tables.embeddings(spark, SparkTestSession.sf).cache()
+  // localCheckpoint, NOT cache(): a cache() on the shared session
+  // registers in the CacheManager and swaps every later embeddings scan
+  // (in ANY suite) to InMemoryRelation — AnnTopKSpec's rewrite then
+  // correctly declines and its plan assertions fail depending on suite
+  // order
+  private lazy val emb =
+    Tables.embeddings(spark, SparkTestSession.sf).localCheckpoint()
 
   private def exactTop(k: Int): Set[Long] =
     Knn.search(emb, col("embedding"), typedlit(qv), "cosine", k, idCol = "vec_id")

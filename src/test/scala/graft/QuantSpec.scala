@@ -16,7 +16,10 @@ class QuantSpec extends AnyFunSuite {
   private val D = Tables.EmbeddingDim
   private val qv = hashVectorValues(7L, D)
 
-  private lazy val emb = Tables.embeddings(spark, SparkTestSession.sf).cache()
+  // localCheckpoint, not cache(): see AnnSpec — a cache() of the bare
+  // embeddings scan hijacks every other suite's plans via CacheManager
+  private lazy val emb =
+    Tables.embeddings(spark, SparkTestSession.sf).localCheckpoint()
 
   private def exactTopIds(k: Int): Set[Long] =
     Knn.search(emb, col("embedding"), typedlit(qv), "l2", k, idCol = "vec_id")
