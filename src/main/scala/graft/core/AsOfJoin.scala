@@ -131,16 +131,19 @@ object AsOfJoin {
       .withColumn("__mloc", last(col("__rp"), ignoreNulls = true).over(w1))
 
     // ---- pass 2: per key over bucket-END summaries (≤numBuckets rows
-    // per key, however hot). Bucket end = the row maximal in scan order;
-    // its __mloc is the carry leaving that bucket (null = no right row
-    // yet). The incoming carry for bucket b = last non-null summary of
-    // any earlier-scanned bucket.
+    // per key, however hot). The carry leaving a bucket is its LAST
+    // right row's payload in scan order — max_by over right rows only
+    // (left rows get a null ordering, which max_by skips), ONE
+    // partial-aggregatable hash aggregate instead of recomputing the
+    // pass-1 window in a second branch. The incoming carry for bucket b
+    // = last non-null summary of any earlier-scanned bucket.
     val scanPos =
       if (forward) struct(negate(col("__t").cast("double")), col("__side"),
         negate(col("__tb")))
       else struct(col("__t").cast("double"), col("__side"), col("__tb"))
-    val bucketEnd = local.groupBy("__k", "__b")
-      .agg(max_by(col("__mloc"), scanPos).as("__bl"))
+    val bucketEnd = bucketed.groupBy("__k", "__b")
+      .agg(max_by(col("__rp"),
+        when(col("__side") === 0, scanPos)).as("__bl"))
     val wb = Window.partitionBy("__k")
       .orderBy(if (forward) col("__b").desc else col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

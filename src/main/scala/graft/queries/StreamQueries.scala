@@ -163,7 +163,8 @@ object StreamQueries {
           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           |SELECT l_eid AS event_id, k AS user_id, view_event_id,
           |       round(view_value, 6) AS view_value
-          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin),
+      bench = true
     ),
     // forward as-of: for each error, the user's NEXT view at-or-after it
     // (recovery tracking) — same union+window shape, scanned descending
@@ -201,7 +202,8 @@ object StreamQueries {
           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           |SELECT l_eid AS event_id, k AS user_id, next_view_event_id,
           |       round(next_view_value, 6) AS next_view_value
-          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin),
+      bench = true
     ),
     // time-band range join, binned (graft.core.RangeJoin): views in the
     // 10 minutes BEFORE each error, per user — two covering bins per
