@@ -105,21 +105,25 @@ object AsOfJoin {
       if (forward) Seq(col("__t").desc, col("__side").asc, col("__tb").desc)
       else Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
 
-    // ---- bucket assignment: a monotone image of __t sliced into
-    // numBuckets equal-width ranges (equal times always share a bucket,
-    // so bucket order is consistent with scan order in both directions)
+    // ---- bucket assignment: a monotone image of __t sliced at its
+    // QUANTILES (one approxQuantile pass), so bucket populations stay
+    // balanced even when the time distribution is itself skewed —
+    // equal-width ranges would collapse a bursty history into one
+    // bucket and resurrect the hot-key serialization this exists to
+    // kill. Bucket id = #boundaries ≤ t: monotone in t and equal times
+    // share a bucket, so bucket order is consistent with scan order in
+    // both directions — ANY monotone bucketing yields the same join
+    // output (pinned by AsOfJoinSpec across bucketings).
     val bucketed = asDouble(col("__t"), all.schema("__t").dataType) match {
       case Some(td) if numBuckets > 1 =>
-        val mm = all.agg(min(td).as("lo"), max(td).as("hi")).head()
-        if (mm.isNullAt(0)) all.withColumn("__b", lit(0))
-        else {
-          val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-          val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
-          all.withColumn("__b",
-            least(lit(numBuckets - 1),
-              greatest(lit(0), floor((td - lit(lo)) / lit(width))))
-              .cast("int"))
-        }
+        val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+        val bounds = all.select(td.as("__td"))
+          .stat.approxQuantile("__td", probs, 0.001)
+          .distinct.sorted.toSeq
+        if (bounds.isEmpty) all.withColumn("__b", lit(0))
+        else all.withColumn("__b",
+          bounds.map(b => when(td >= lit(b), 1).otherwise(0))
+            .reduce(_ + _))
       case _ => all.withColumn("__b", lit(0))
     }
 

@@ -362,9 +362,12 @@ final class VectorCollection(
           "id", queryVec, if (multiProbe) IvfNprobe * 2 else IvfNprobe, k,
           filter.map(_.column))
       case _ =>
-        // same (id, score) shape as the indexed paths — search() returns
-        // every collection column
-        search(queryVec, k, filter).select("id", "score")
+        // same (id, score) shape as the indexed paths (Knn directly, not
+        // search(), so the ann event above isn't double-logged as exact)
+        graft.knn.Knn.search(df, col("vector"),
+          org.apache.spark.sql.functions.typedlit(queryVec),
+          config.metric, k, filter.map(_.column), idCol = "id")
+          .select("id", "score")
     }
   }
 

@@ -339,6 +339,40 @@ object AnnQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")
     ),
+    // the composed billion-scale path with BOTH models trained: trained
+    // coarse cells gate the scan, trained PQ codebooks drive the ADC
+    // pool bound, exact l2 reranks — recall gated like the components
+    Q(
+      "ann_ivfpq_trained",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, round, typedlit}
+        val e = Tables.embeddings(s, dir)
+        val ivf = Ann.trainIvf(e, "embedding", Indexes.IvfCells)
+        val cb = graft.quant.ProductQuant.train(e, "embedding", D, m = 8, k = 16)
+        val qv = hashVectorValues(11L, D)
+        val probed = Ann.probeCells(ivf, qv, nprobe = 4)
+        val vecD = col("embedding").cast("array<double>")
+        val lutLit = typedlit(
+          graft.quant.ProductQuant.adcLut(cb, qv).map(_.toSeq).toSeq)
+        val pool = e
+          .filter(nearestCell(vecD, ivf.centroids).isin(probed: _*))
+          .select(col("vec_id"),
+            adcScore(pqEncode(vecD, cb.cb), lutLit).as("adc"))
+          .orderBy(col("adc"), col("vec_id"))
+          .limit(50)
+        val approx = e.join(pool.select("vec_id"), "vec_id")
+          .select(col("vec_id"),
+            round(l2Distance(col("embedding"), typedlit(qv)), 6).as("score"))
+          .orderBy("score", "vec_id")
+          .limit(K)
+          .select("vec_id")
+        val exact = graft.knn.Knn.search(e, col("embedding"), typedlit(qv),
+          "l2", K * 5).select("vec_id")
+        approx.join(exact, "vec_id")
+          .agg((count(lit(1)) >= math.ceil(K * 0.3).toLong).as("recall_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")
+    ),
     Q(
       "pq_trained",
       (s, dir) => {

@@ -108,16 +108,21 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("bucketed carry equals the single-window result on a skewed key") {
     import spark.implicits._
     // one key holds 90% of events (the hot-key shape the bucketing
-    // exists for), times interleave both sides, several bucket widths —
-    // including 1 (the degenerate single-window plan) as the reference
+    // exists for) AND times are bursty (80% of events inside one
+    // 3-second spike — quantile boundaries must still spread them);
+    // several bucket counts including 1 (the degenerate single-window
+    // plan) as the reference
     val rng = new scala.util.Random(7)
+    def burstyTs(): java.sql.Timestamp =
+      if (rng.nextInt(10) < 8) ts(60L + rng.nextInt(3))
+      else ts(rng.nextInt(120).toLong)
     val leftRows = (0 until 400).map { i =>
       val k = if (rng.nextInt(10) < 9) 1L else 1L + rng.nextInt(3)
-      (1000L + i, k, ts(rng.nextInt(120).toLong))
+      (1000L + i, k, burstyTs())
     }
     val rightRows = (0 until 400).map { i =>
       val k = if (rng.nextInt(10) < 9) 1L else 1L + rng.nextInt(3)
-      (i.toLong, k, ts(rng.nextInt(120).toLong), rng.nextDouble())
+      (i.toLong, k, burstyTs(), rng.nextDouble())
     }
     val left = leftRows.toDF("event_id", "user_id", "ts")
     val right = rightRows.toDF("event_id", "user_id", "ts", "value")
