@@ -306,6 +306,47 @@ object TextQueries {
            |  FROM bgc)
            |SELECT source, CAST(rnk AS INTEGER) AS rnk, bg, CAST(c AS BIGINT) AS c
            |FROM ranked WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin)
+    ),
+    // model-based quality filtering, step 1: the trained bigram LM's
+    // head — the 20 most frequent bigrams with their smoothed
+    // conditional log-probs (two map-side-combined aggregates; the
+    // model is O(distinct bigrams), never per-document state)
+    Q(
+      "text_lm_train",
+      (s, dir) => {
+        import graft.text.NgramLm
+        val docs = Tables.documents(s, dir)
+        val big = NgramLm.bigrams(docs)
+        NgramLm.model(big, docs)
+          .select(col("w1"), col("w2"), col("c12"),
+            round(expr(NgramLm.logPSql("c12", "c1", "v")), 6).as("logp"))
+          .orderBy(desc("c12"), col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some {
+        import graft.text.NgramLm
+        s"""WITH big AS (${NgramLm.bigramsSql()}),
+           |c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+           |v AS (
+           |  SELECT count(DISTINCT w) AS v
+           |  FROM (SELECT unnest(${graft.text.TextAnalysis
+                .wordTokensSql("text")}) AS w FROM documents))
+           |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           |       round(${NgramLm.logPSql("c2.c12", "c1.c1", "v.v")}, 6) AS logp
+           |FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+           |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin
+      }
+    ),
+    // step 2: per-document NLL/perplexity under that LM — the
+    // high-perplexity tail is what a CCNet-style pipeline drops. Scoring
+    // is two hash joins on the count tables + one micro-nat-exact agg.
+    Q(
+      "text_lm_perplexity",
+      (s, dir) =>
+        graft.text.NgramLm.score(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"${graft.text.NgramLm.scoreSql()}\nORDER BY doc_id"),
+      bench = true
     )
   )
 }
