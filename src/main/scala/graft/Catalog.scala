@@ -30,6 +30,7 @@ object Catalog {
       queries.EmbedQueries.qs ++
       queries.MediaQueries.qs ++
       queries.PipelineQueries.qs ++
+      queries.SketchQueries.qs ++
       queries.CollectionQueries.qs
 
   lazy val byName: Map[String, Q] =

@@ -347,6 +347,57 @@ object PipelineQueries {
            |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
       },
       bench = true
+    ),
+    // the per-source "data card" a corpus release ships with: volume,
+    // token mass, mean quality, language purity, exact-dup rate, mean
+    // length — every signal an already-oracled kernel, composed into ONE
+    // groupBy(source) so the whole card is a single shuffle at 100 TB.
+    // Ratio averages go through exact integer sums (micro-units for the
+    // rounded quality kernel, plain counts elsewhere) so the card is
+    // independent of partition order.
+    Q(
+      "pipeline_data_card",
+      (s, dir) => {
+        import graft.text.TextAnalysis._
+        Tables.documents(s, dir)
+          .select(col("source"),
+            expr(s"size(${wordTokens("text")})").as("nt"),
+            round(qualityScore("text") * 1000000).cast("bigint").as("q6"),
+            when(langId("text") === "en", 1L).otherwise(0L).as("is_en"),
+            md5(col("text").cast("binary")).as("h"),
+            length(col("text")).as("nc"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").as("total_tokens"),
+            round(sum("q6") / 1000000.0 / count(lit(1)), 6).as("avg_quality"),
+            round(sum("is_en") / count(lit(1)).cast("double"), 6).as("en_ratio"),
+            round((count(lit(1)) - countDistinct("h")) /
+              count(lit(1)).cast("double"), 6).as("dup_ratio"),
+            round(sum("nc") / count(lit(1)).cast("double"), 4).as("avg_chars"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.text.TextAnalysis._
+        s"""WITH d AS (
+           |  SELECT source,
+           |         len(${wordTokensSql("text")}) AS nt,
+           |         CAST(round(${qualityScoreSql("text")} * 1000000) AS BIGINT) AS q6,
+           |         CASE WHEN ${langIdSql("text")} = 'en' THEN 1 ELSE 0 END AS is_en,
+           |         md5(text) AS h,
+           |         length(text) AS nc
+           |  FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+           |       round(CAST(sum(q6) AS BIGINT) / 1000000.0 / count(*), 6)
+           |         AS avg_quality,
+           |       round(CAST(sum(is_en) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+           |         AS en_ratio,
+           |       round((count(*) - count(DISTINCT h)) / CAST(count(*) AS DOUBLE), 6)
+           |         AS dup_ratio,
+           |       round(CAST(sum(nc) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+           |         AS avg_chars
+           |FROM d GROUP BY source ORDER BY source""".stripMargin
+      }
     )
   )
 }
