@@ -348,6 +348,44 @@ object PipelineQueries {
       },
       bench = true
     ),
+    // decontamination, near-match form: the exact-shingle sweep above
+    // misses paraphrased/lightly-edited leakage, so this one routes
+    // train×eval candidate pairs through the MinHash (band, sig) bucket
+    // join — identical machinery to dedup_incremental, with the eval
+    // slice (doc_id % 10 = 7, ~10% of the corpus) as the right side —
+    // and scores exact Jaccard on collisions only. Never train×eval
+    // all-pairs, so eval-set size doesn't gate corpus scale.
+    Q(
+      "pipeline_decontaminate_fuzzy",
+      (s, dir) => {
+        val ds = Dedup.docSignatures(Tables.documents(s, dir)).localCheckpoint()
+        val bands = Dedup.bandRows(ds)
+        val ev = bands.filter(col("doc_id") % 10 === 7).as("e")
+        val tr = bands.filter(col("doc_id") % 10 =!= 7).as("t")
+        val cand = tr.join(ev,
+            col("t.band") === col("e.band") && col("t.sig") === col("e.sig"))
+          .select(col("t.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
+          .distinct()
+        Dedup.scorePairs(cand, ds, "doc_id", "eval_id")
+          .select("doc_id", "eval_id", "jac")
+          .orderBy(desc("jac"), col("doc_id"), col("eval_id"))
+          .limit(TopN)
+      },
+      Some(
+        s"""WITH sh AS (${Dedup.shingledSql}),
+           |${Dedup.bandsCtesSql},
+           |cand AS (
+           |  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+           |  FROM bands t JOIN bands e
+           |    ON t.band = e.band AND t.sig = e.sig
+           |  WHERE t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7)
+           |SELECT c.doc_id, c.eval_id,
+           |       round(${Dedup.jaccardSql("sa.shingles", "sb.shingles")}, 6) AS jac
+           |FROM cand c
+           |JOIN sh sa ON sa.doc_id = c.doc_id
+           |JOIN sh sb ON sb.doc_id = c.eval_id
+           |ORDER BY jac DESC, c.doc_id, c.eval_id LIMIT $TopN""".stripMargin)
+    ),
     // the per-source "data card" a corpus release ships with: volume,
     // token mass, mean quality, language purity, exact-dup rate, mean
     // length — every signal an already-oracled kernel, composed into ONE
