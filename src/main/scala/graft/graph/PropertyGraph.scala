@@ -221,4 +221,58 @@ object GraphOps {
       case None => all
     }
   }
+
+  /** Static PageRank in fixed-point arithmetic: GraphX-style semantics
+    * (init 1, r' = 0.15 + 0.85·Σ r(src)/outdeg(src), no dangling
+    * redistribution), but with ranks held as BIGINT micro-units and
+    * every division an integer division — so the result is EXACTLY
+    * reproducible across engines and partition orders (float PageRank
+    * sums contributions in nondeterministic order; at 6-decimal
+    * rounding that's a latent cross-engine mismatch). Each iteration is
+    * the canonical distributed shape: one hash join on src + one
+    * map-side-combined groupBy on dst — k iterations = k shuffles of
+    * the edge list, independent of graph diameter. Returns
+    * (id, r6 BIGINT micro-units). */
+  def pagerank(g: Graph, iters: Int): DataFrame = {
+    val nodes = g.nodes.select(col("id")).localCheckpoint()
+    val edges = g.edges.select(col("src"), col("dst"))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val withDeg = edges.join(outdeg, "src").localCheckpoint()
+    var r = nodes.withColumn("r6", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r6 div od").as("c"))
+        .groupBy("id").agg(sum("c").as("sc"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(sc, 0L) * 17 div 20")).as("r6"))
+        // pin each iteration: r feeds the next join AND the final sort;
+        // without this, iteration k re-executes 1..k−1 (lineage growth)
+        .localCheckpoint()
+    }
+    r
+  }
+
+  /** DuckDB twin of [[pagerank]] as chained CTEs (same integer
+    * semantics: `//` floor division over nonnegative values ==
+    * Spark `div`). Emits `outdeg, r0, …, r$iters`. */
+  def pagerankCtesSql(iters: Int): String = {
+    val head =
+      """outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r6 FROM nodes)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |         150000 + COALESCE(s.sc, 0) * 17 // 20 AS r6
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.r6 // o.od) AS sc
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.id = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 }

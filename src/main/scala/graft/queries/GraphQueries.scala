@@ -181,6 +181,23 @@ object GraphQueries {
            |SELECT n.id AS x_id, n.label AS x_label
            |FROM r JOIN nodes n ON n.id = r.dst
            |ORDER BY x_id""".stripMargin)
+    ),
+    // whole-graph analytics: 5-iteration fixed-point PageRank (integer
+    // micro-unit ranks — see GraphOps.pagerank for why that makes the
+    // result engine- and partition-order-exact), top-20 hubs
+    Q(
+      "graph_pagerank",
+      (s, dir) =>
+        GraphOps.pagerank(TpchGraph.build(s, dir), 5)
+          .select(col("id"), round(col("r6") / 1000000.0, 6).as("rank"))
+          .orderBy(desc("rank"), col("id"))
+          .limit(20),
+      Some(
+        s"""WITH $C,
+           |${GraphOps.pagerankCtesSql(5)}
+           |SELECT id, round(r6 / 1000000.0, 6) AS rank
+           |FROM r5 ORDER BY rank DESC, id LIMIT 20""".stripMargin),
+      bench = true
     )
   )
 }
