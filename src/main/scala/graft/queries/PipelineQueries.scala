@@ -263,6 +263,50 @@ object PipelineQueries {
            |FROM d GROUP BY source ORDER BY source""".stripMargin
       }
     ),
+    // quality-proportional importance sampling: accept doc d iff
+    // u(d) < quality(d), u = affine-hash uniform in [0,1) at 1e-6
+    // resolution — the DSIR-style reweighting shape (resample the corpus
+    // toward the target score distribution) with NO rng state: the
+    // accept decision is a pure integer comparison, identical across
+    // engines, partitionings and reruns. Per-row only; the one shuffle
+    // is the per-source report.
+    Q(
+      "pipeline_importance_sample",
+      (s, dir) => {
+        import graft.text.TextAnalysis.qualityScore
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            round(qualityScore("text") * 1000000).cast("bigint").as("q6"))
+          .withColumn("keep",
+            (col("doc_id") * Dedup.Knuth) % Dedup.P % 1000000 < col("q6"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            round(sum(when(col("keep"), col("q6")).otherwise(0L)) / 1000000.0 /
+              nullif(sum(when(col("keep"), 1L).otherwise(0L)), lit(0)), 6)
+              .as("kept_avg_quality"),
+            round(sum("q6") / 1000000.0 / count(lit(1)), 6).as("avg_quality"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.text.TextAnalysis.qualityScoreSql
+        s"""WITH d AS (
+           |  SELECT doc_id, source,
+           |         CAST(round(${qualityScoreSql("text")} * 1000000) AS BIGINT) AS q6,
+           |         (doc_id * ${Dedup.Knuth}) % ${Dedup.P} % 1000000 AS u6
+           |  FROM documents)
+           |SELECT source, count(*) AS n_total,
+           |       CAST(sum(CASE WHEN u6 < q6 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_kept,
+           |       round(CAST(sum(CASE WHEN u6 < q6 THEN q6 ELSE 0 END) AS BIGINT)
+           |             / 1000000.0
+           |             / nullif(sum(CASE WHEN u6 < q6 THEN 1 ELSE 0 END), 0), 6)
+           |         AS kept_avg_quality,
+           |       round(CAST(sum(q6) AS BIGINT) / 1000000.0 / count(*), 6)
+           |         AS avg_quality
+           |FROM d GROUP BY source ORDER BY source""".stripMargin
+      }
+    ),
     // deterministic stratified split: bucket = affine hash of doc_id →
     // train/val/test, summarized per (source, split). Pure integer
     // arithmetic, so assignment is stable across engines, partitionings
