@@ -234,24 +234,47 @@ object GraphOps {
     * the edge list, independent of graph diameter. Returns
     * (id, r6 BIGINT micro-units). */
   def pagerank(g: Graph, iters: Int): DataFrame = {
+    // The edge list is the big side: it is never checkpointed, never
+    // exchanged (callers pass an already-materialized graph — TpchGraph
+    // persists nodes/edges). Rank/contribution tables are O(nodes)
+    // scalars: when the MEASURED node count is bounded they're hinted
+    // broadcast, so each iteration is one map-side-combined groupBy
+    // shuffle of per-dst partial sums; past the ceiling the joins fall
+    // back to shuffles on src/dst — the right plan at that size.
     val nodes = g.nodes.select(col("id")).localCheckpoint()
     val edges = g.edges.select(col("src"), col("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val withDeg = edges.join(outdeg, "src").localCheckpoint()
-    var r = nodes.withColumn("r6", lit(1000000L))
-    for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(r.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), expr("r6 div od").as("c"))
-        .groupBy("id").agg(sum("c").as("sc"))
-      r = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000L) + expr("coalesce(sc, 0L) * 17 div 20")).as("r6"))
-        // pin each iteration: r feeds the next join AND the final sort;
-        // without this, iteration k re-executes 1..k−1 (lineage growth)
-        .localCheckpoint()
+      .localCheckpoint()
+    val hint = nodes.count() <= FrontierHintRows
+    def maybeBc(df: DataFrame) = if (hint) broadcast(df) else df
+    // Sparse rank representation: `r` holds only nodes that RECEIVE
+    // rank (contrib keys); every absent node implicitly sits at the
+    // base value — 1e6 micro-units before the first iteration, the
+    // 0.15 floor afterwards (a node with no in-edges lands on the floor
+    // after one step and never moves). This keeps the per-iteration
+    // loop to ONE bounded broadcast + one map-side-combined groupBy —
+    // no full-node-set join or second broadcast per hop; the dense
+    // (id, r6) view is reconstituted once at the end.
+    var r: Option[DataFrame] = None
+    for (k <- 1 to iters) {
+      val base = if (k == 1) 1000000L else 150000L
+      val perSrc = r match {
+        case Some(rr) => outdeg.join(rr, col("src") === col("id"), "left")
+          .select(col("src"),
+            expr(s"coalesce(r6, ${base}L) div od").as("c"))
+        case None => outdeg.select(col("src"), expr(s"${base}L div od").as("c"))
+      }
+      r = Some(edges.join(maybeBc(perSrc), "src")
+        .select(col("dst"), col("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("sc * 17 div 20")).as("r6"))
+        // checkpoint the small rank table each hop: bounds lineage and
+        // keeps each broadcast's upstream shallow
+        .localCheckpoint())
     }
-    r
+    nodes.join(r.get, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r6"), lit(150000L)).as("r6"))
   }
 
   /** DuckDB twin of [[pagerank]] as chained CTEs (same integer
