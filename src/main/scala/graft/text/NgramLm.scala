@@ -77,7 +77,9 @@ object NgramLm {
     * absent — "too short to score" is the upstream length gate's job. */
   def score(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val big = bigrams(docs, textCol, idCol)
+    // one tokenize+explode pass shared by c2, c1 and the scoring join
+    // (GC-scoped barrier, same pattern as the dedup signatures)
+    val big = bigrams(docs, textCol, idCol).localCheckpoint()
     val m = model(big, docs, textCol)
     val nll = round(-col("slp6") / 1e6 / col("n_bigrams"), 6)
     big

@@ -69,9 +69,10 @@ object TextAnalysis {
       s"gci -> ascii(substr($t, gci, 1))::BIGINT)), (gca, gcc) -> (gca * $CharB + gcc) % $HashM)"
 
   /** Order-sensitive rolling fingerprint over the word tokens. */
-  def fingerprint(text: String): Column = expr(
+  def fingerprint(text: String): Column = expr(fingerprintStr(text))
+  def fingerprintStr(text: String): String =
     s"aggregate(${wordTokens(text)}, 0L, " +
-      s"(acc, t) -> (acc * $TokB + ${charHash("t")}) % $HashM)")
+      s"(acc, t) -> (acc * $TokB + ${charHash("t")}) % $HashM)"
   def fingerprintSql(text: String): String =
     s"list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(${wordTokensSql(text)}, t -> ${charHashSql("t")})), " +
@@ -80,8 +81,10 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
   private def stopList = Stopwords.map(s => s"'$s'").mkString(", ")
 
-  /** Fraction of word tokens that are stopwords (NULL on empty text). */
-  private def stopwordRatioStr(text: String): String =
+  /** Fraction of word tokens that are stopwords (NULL on empty text).
+    * The `Str` forms are public for the SQL-function registration in
+    * GraftExtensions (it parses them into Catalyst trees). */
+  def stopwordRatioStr(text: String): String =
     s"cast(size(filter(${wordTokens(text)}, t -> t in ($stopList))) as double)" +
       s" / nullif(size(${wordTokens(text)}), 0)"
   def stopwordRatio(text: String): Column = expr(stopwordRatioStr(text))
@@ -100,9 +103,10 @@ object TextAnalysis {
 
   /** Composite quality score ∈ [0,1]: length saturation (50 tokens = full
     * credit) damped by stopword density. */
-  def qualityScore(text: String): Column = expr(
+  def qualityScore(text: String): Column = expr(qualityScoreStr(text))
+  def qualityScoreStr(text: String): String =
     s"least(1.0, size(${wordTokens(text)}) / 50.0) * " +
-      s"(1.0 - 0.5 * (${stopwordRatioStr(text)}))")
+      s"(1.0 - 0.5 * (${stopwordRatioStr(text)}))"
   def qualityScoreSql(text: String): String =
     s"least(1.0, len(${wordTokensSql(text)}) / 50.0) * " +
       s"(1.0 - 0.5 * (${stopwordRatioSql(text)}))"
@@ -128,10 +132,11 @@ object TextAnalysis {
 
   /** Predicted language: argmax marker count, first-profile-wins ties,
     * 'und' (undetermined) when no marker hits at all. */
-  def langId(text: String): Column = {
-    val counts = LangMarkers.map { case (l, ms) => l -> markerCount(text, ms) }
-    caseChain(counts)
-  }
+  def langId(text: String): Column = expr(langIdStr(text))
+  /** Spark-dialect SQL string of [[langId]] (public: the SQL-function
+    * registration in GraftExtensions parses it into a Catalyst tree). */
+  def langIdStr(text: String): String =
+    caseChainStr(LangMarkers.map { case (l, ms) => l -> markerCount(text, ms) })
   def langIdSql(text: String): String = {
     val counts = LangMarkers.map { case (l, ms) => l -> markerCountSql(text, ms) }
     caseChainStr(counts)

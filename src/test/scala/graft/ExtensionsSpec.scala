@@ -100,4 +100,55 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("text kernels are callable from plain SQL and match the Column API") {
+    val prev = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-text-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import graft.text.TextAnalysis._
+      import org.apache.spark.sql.functions.{col, round => rnd}
+      val docs = s.read.parquet(s"${SparkTestSession.sf}/documents.parquet")
+        .limit(50)
+      docs.createOrReplaceTempView("docs_ext")
+      val viaSql = s.sql(
+        """SELECT doc_id,
+          |       graft_token_count(text) AS ntok,
+          |       size(graft_word_tokens(text)) AS ntok2,
+          |       round(graft_stopword_ratio(text), 6) AS sr,
+          |       round(graft_quality(text), 6) AS q,
+          |       graft_langid(text) AS lang,
+          |       graft_fingerprint(text) AS fp
+          |FROM docs_ext""".stripMargin).orderBy("doc_id").collect()
+      val viaCol = docs.select(col("doc_id"),
+          org.apache.spark.sql.functions.expr(
+            s"size(${wordTokens("text")})").as("ntok"),
+          rnd(stopwordRatio("text"), 6).as("sr"),
+          rnd(qualityScore("text"), 6).as("q"),
+          langId("text").as("lang"),
+          fingerprint("text").as("fp"))
+        .orderBy("doc_id").collect()
+      assert(viaSql.length == viaCol.length && viaSql.nonEmpty)
+      viaSql.zip(viaCol).foreach { case (a, b) =>
+        assert(a.getInt(1) == b.getInt(1))     // token_count
+        assert(a.getInt(2) == b.getInt(1))     // word_tokens size agrees
+        assert(a.getDouble(3) == b.getDouble(2))
+        assert(a.getDouble(4) == b.getDouble(3))
+        assert(a.getString(5) == b.getString(4))
+        assert(a.getLong(6) == b.getLong(5))
+      }
+      // arity is enforced with a clear error
+      val e = intercept[Exception](s.sql("SELECT graft_quality('a', 'b')"))
+      assert(e.getMessage.contains("exactly 1 argument"))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
