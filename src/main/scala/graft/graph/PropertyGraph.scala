@@ -234,6 +234,7 @@ object GraphOps {
     * the edge list, independent of graph diameter. Returns
     * (id, r6 BIGINT micro-units). */
   def pagerank(g: Graph, iters: Int): DataFrame = {
+    require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
     // The edge list is the big side: it is never checkpointed, never
     // exchanged (callers pass an already-materialized graph — TpchGraph
     // persists nodes/edges). Rank/contribution tables are O(nodes)

@@ -87,4 +87,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.forall(r => !r.getDouble(1).isNaN),
       "constant dims (mn=mx) must encode to 0, not NaN")
   }
+
+  test("bigram LM on a corpus with no scorable docs returns empty") {
+    val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.text.NgramLm.score(docs).count() == 0)
+    assert(graft.text.NgramLm.bigrams(docs).count() == 0)
+  }
+
+  test("pagerank on an edgeless graph gives every node the floor rank") {
+    val g = graft.graph.Graph(
+      Seq(("a", "N", "a", 0.0, ""), ("b", "N", "b", 0.0, ""))
+        .toDF("id", "label", "name", "num", "seg"),
+      Seq.empty[(String, String, String)].toDF("src", "dst", "type"))
+    val r = graft.graph.GraphOps.pagerank(g, 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 150000L, "b" -> 150000L))
+    intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.pagerank(g, 0)
+    }
+  }
 }
