@@ -21,6 +21,33 @@ object StatefulDedup {
   final case class Seen(minEventId: Long)
   final case class FirstSeen(key: Long, event_id: Long, event_type: String)
 
+  final case class FirstDoc(fp: Long, doc_id: Long)
+
+  /** Document-stream form: emit the first document seen for each content
+    * fingerprint (min doc_id within a batch, first batch wins across
+    * batches) — the streaming half of corpus dedup: exact-dup drop at
+    * ingest time, state sharded by fingerprint across executors. */
+  def firstDocByFingerprint(docs: DataFrame, fpCol: String,
+      idCol: String): Dataset[FirstDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(fpCol).cast("long").as("fp"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Seen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_._2)
+            state.update(Seen(first._2))
+            Iterator(FirstDoc(fp, first._2))
+          }
+      }
+  }
+
   def firstSeenByKey(events: DataFrame, keyCol: String): Dataset[FirstSeen] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -156,4 +156,44 @@ class StreamIngestSpec extends AnyFunSuite {
       assert(a == b && a.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming corpus prep (quality gate + fingerprint dedup) " +
+      "matches the batch pipeline") {
+    import graft.text.TextAnalysis._
+    import graft.stream.StatefulDedup
+    val docs = core.Tables.documents(spark, SparkTestSession.sf)
+      .orderBy("doc_id").limit(30)
+      .select("doc_id", "text").cache()
+    // batch 1 = originals; batch 2 = byte-identical duplicates under new
+    // ids (the re-crawl shape) — the stream must keep only batch 1's
+    val dupes = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val src = Files.createTempDirectory("graft_corpus_stream").toString
+    docs.write.mode("overwrite").parquet(s"$src/b1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/b*")
+    val gate = (df: DataFrame) => df
+      .filter(qualityScore("text") > 0.3)
+      .withColumn("fp", fingerprint("text"))
+    val q = StatefulDedup.firstDocByFingerprint(gate(stream), "fp", "doc_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("corpus_prep_sink")
+      .start()
+    try {
+      q.processAllAvailable()
+      dupes.write.mode("overwrite").parquet(s"$src/b2")
+      q.processAllAvailable()
+      val got = spark.table("corpus_prep_sink")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // batch equivalent over the union: min doc_id per fingerprint
+      val expect = gate(docs.union(dupes))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expect && got.nonEmpty)
+      // every duplicate id was dropped by the stateful dedup
+      assert(got.forall(_ < 10000))
+    } finally q.stop()
+  }
 }
