@@ -249,6 +249,25 @@ final class VectorCollection(
     n
   }
 
+  /** Maintenance compaction: rewrite the live generation id-range-
+    * clustered into `targetFiles` parquet files (default: sized from the
+    * on-disk bytes at ~128 MB/file). A mutation-heavy collection
+    * accumulates one small file set per commit; compaction restores scan
+    * efficiency and the id clustering gives parquet min/max row-group
+    * pruning for point gets. Content-neutral (same rows), and it goes
+    * through the same crash-safe generation swap as every mutation — a
+    * crash mid-compact recovers to the pre-compact generation. No CDC
+    * event (nothing changed logically); derived indexes key on the data
+    * fingerprint and rebuild lazily on the next search. */
+  def compact(targetFiles: Int = 0): Unit = {
+    if (isEmpty) return
+    val n =
+      if (targetFiles > 0) targetFiles
+      else math.max(1, (fs.getContentSummary(dataPath).getLength /
+        (128L << 20)).toInt)
+    commit(df.repartitionByRange(n, col("id")).sortWithinPartitions("id"))
+  }
+
   /** Collection-level exact search (the reference's `collection.search`,
     * `vectordb_optimized.py:518-560`): metric comes from the collection
     * config, the optional filter applies BEFORE scoring (exact filtered
@@ -531,4 +550,11 @@ final class VectorDb(spark: SparkSession, root: String) {
 
   def dropCollection(name: String): Boolean =
     fs.delete(new Path(s"$root/$name"), true)
+
+  /** Drop every collection under this root (reference `client.reset`). */
+  def reset(): Unit = listCollections().foreach(dropCollection)
+
+  /** Liveness probe (reference `client.heartbeat`): nanosecond
+    * timestamp, no I/O. */
+  def heartbeat(): Long = System.nanoTime()
 }

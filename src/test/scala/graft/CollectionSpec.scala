@@ -137,4 +137,27 @@ class CollectionSpec extends AnyFunSuite {
       db.createCollection("bad/name", dimensions = 8)
     }
   }
+
+  test("compact merges mutation-era files and preserves content") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_vdb_compact").toString
+    val db = new VectorDb(spark, root)
+    val coll = db.createCollection("c", dimensions = 0, metric = "none")
+    // three commits → three file sets in the live generation
+    for (b <- 0 until 3)
+      coll.insertBatch((0 until 10)
+        .map(i => (s"id_${b}_$i", b * 10 + i)).toDF("id", "v"))
+    val before = coll.df.orderBy("id").collect().toSeq
+    val filesBefore = coll.df.inputFiles.length
+    coll.compact(targetFiles = 1)
+    assert(coll.df.inputFiles.length == 1)
+    assert(coll.df.inputFiles.length < filesBefore)
+    assert(coll.df.orderBy("id").collect().toSeq == before)
+    assert(coll.count() == 30)
+    // point get still works on the compacted layout
+    assert(coll.get(Seq("id_1_5")).count() == 1)
+    // reset() drops everything under the root
+    db.reset()
+    assert(db.listCollections().isEmpty)
+  }
 }
