@@ -26,7 +26,8 @@ import org.apache.spark.sql.types._
   * partitionBy which groups NULLs together): null-KEY and null-TIME
   * right rows match nothing; null-key/null-time LEFT rows are kept with
   * a null match. `tieBreak` must be an integral right column; null
-  * tieBreak values lose all ties (sorted as Long.MinValue+1).
+  * tieBreak values lose all ties in both directions (they sort at the
+  * losing extreme of each variant's tie order).
   */
 object AsOfJoin {
   /** Coarse time buckets for the pass-1 window: a hot key's history is
@@ -83,7 +84,12 @@ object AsOfJoin {
       .select(
         col(key).as("__k"), col(time).as("__t"),
         lit(0).as("__side"),
-        coalesce(col(tieBreak).cast("long"), lit(Long.MinValue + 1))
+        // direction-dependent sentinel so a NULL tieBreak loses ties in
+        // BOTH variants: backward resolves ties to the greatest tb
+        // (null → MinValue+1 loses), forward to the smallest (null →
+        // MaxValue loses)
+        coalesce(col(tieBreak).cast("long"),
+          lit(if (forward) Long.MaxValue else Long.MinValue + 1))
           .as("__tb"),
         struct(payloadCols.map(col): _*).as("__rp"))
     val lrowType = StructType(lCols.map(c => left.schema(c)))
@@ -141,13 +147,14 @@ object AsOfJoin {
     // partial-aggregatable hash aggregate instead of recomputing the
     // pass-1 window in a second branch. The incoming carry for bucket b
     // = last non-null summary of any earlier-scanned bucket.
-    val scanPos =
-      if (forward) struct(negate(col("__t").cast("double")), col("__side"),
-        negate(col("__tb")))
-      else struct(col("__t").cast("double"), col("__side"), col("__tb"))
+    // ordering key = the EXACT (__t, __tb) pair (struct ordering works
+    // for any orderable time type — no lossy double cast: dates/strings
+    // survive, and >2^53 integral timestamps keep full precision);
+    // forward's "last in desc scan order" is simply the minimum
+    val rightPos = when(col("__side") === 0, struct(col("__t"), col("__tb")))
     val bucketEnd = bucketed.groupBy("__k", "__b")
-      .agg(max_by(col("__rp"),
-        when(col("__side") === 0, scanPos)).as("__bl"))
+      .agg((if (forward) min_by(col("__rp"), rightPos)
+            else max_by(col("__rp"), rightPos)).as("__bl"))
     val wb = Window.partitionBy("__k")
       .orderBy(if (forward) col("__b").desc else col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -238,7 +238,13 @@ object IndexStore extends org.apache.spark.internal.Logging {
   def cachedState[T <: AnyRef](key: String)(load: => T): T =
     stateCache.computeIfAbsent(key, _ => load).asInstanceOf[T]
 
-  private def clearState(pathPrefix: String): Unit = {
+  /** Drop memoized driver-side state under `pathPrefix`. Public: every
+    * index `build` (mode=overwrite of model state) calls this first, so
+    * a DIRECT rebuild at a reused path — without going through
+    * ensure()/mutate() — cannot leave a search serving the previous
+    * build's centroids/codebooks/thresholds off the memo. */
+  def invalidateState(pathPrefix: String): Unit = {
     stateCache.keySet.removeIf(_.startsWith(pathPrefix)); ()
   }
+  private def clearState(pathPrefix: String): Unit = invalidateState(pathPrefix)
 }

@@ -23,6 +23,7 @@ object IvfIndex {
       idCol: String, m: Ann.IvfModel, path: String,
       metaCols: Seq[String] = Nil, stringIds: Boolean = false): Unit = {
     import spark.implicits._
+    IndexStore.invalidateState(path)
     m.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

@@ -37,6 +37,7 @@ object IvfPqIndex {
       idCol: String, ivf: Ann.IvfModel, cb: ProductQuant.Codebooks,
       path: String, metaCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
+    IndexStore.invalidateState(path)
     ivf.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

@@ -27,6 +27,7 @@ object MipsIndex {
       idCol: String, cells: Int, path: String,
       metaCols: Seq[String] = Nil, stringIds: Boolean = false): Unit = {
     import spark.implicits._
+    IndexStore.invalidateState(path)
     val m2Row = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
       .head
     require(!m2Row.isNullAt(0),

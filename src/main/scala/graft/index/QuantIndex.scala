@@ -25,6 +25,7 @@ object QuantIndex {
   def buildBq(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, path: String): Unit = {
     import spark.implicits._
+    IndexStore.invalidateState(path)
     // run the exact-percentile training aggregation ONCE: collect the
     // tiny per-dim result, then both write the thresholds table from the
     // collected rows and pack against the literal array
@@ -83,6 +84,7 @@ object QuantIndex {
   def buildPq(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, cb: ProductQuant.Codebooks, path: String): Unit = {
     import spark.implicits._
+    IndexStore.invalidateState(path)
     // codes are stored as SIGNED tinyint: k beyond 128 would silently
     // wrap negative and crash every later LUT lookup
     require(cb.k <= 128,
@@ -135,6 +137,7 @@ object QuantIndex {
   def buildSq(spark: SparkSession, emb: DataFrame, vecCol: String,
       idCol: String, dim: Int, path: String): Unit = {
     import spark.implicits._
+    IndexStore.invalidateState(path)
     // one training aggregation: collect the per-dim stats, write the
     // stats table from the collected rows, encode against literal arrays
     val st = ScalarQuant.trainStats(emb, vecCol)

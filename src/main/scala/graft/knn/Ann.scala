@@ -241,8 +241,12 @@ object Ann {
       cells: Int, queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame = {
     graft.core.Ids.requireIntegral(emb, idCol)
     val model = fixedIvfModel(cells, queryVec.length + 1)
-    val m2 = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
-      .head.getDouble(0)
+    val m2Row = emb.agg(max(VectorFunctions.vecDot(col(vecCol), col(vecCol))))
+      .head
+    require(!m2Row.isNullAt(0),
+      s"mipsIvfSearch: no rows with a non-null '$vecCol' — " +
+        "cannot derive the augmentation constant from an empty corpus")
+    val m2 = m2Row.getDouble(0)
     val probed = probeCells(model, queryVec :+ 0.0, nprobe)
     val vecD = col(vecCol).cast("array<double>")
     // one codegen'd scan: NearestCellExpr in augmented mode is

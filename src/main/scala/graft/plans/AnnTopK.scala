@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{broadcast, col, first, typedlit}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
 import graft.expr.CosineDistance
 import graft.knn.Ann
 
@@ -177,9 +177,13 @@ final case class AnnTopKRewrite(spark: SparkSession)
         case _                   => None
       }
       sort.filter(s => s.global && s.order.nonEmpty).flatMap { s =>
+        val k = gl.limitExpr match {
+          case Literal(v: Int, IntegerType) => v
+          case _                            => Int.MaxValue
+        }
         s.order.head match {
           case SortOrder(DistanceKey(l, r, kind), Ascending, _, _) =>
-            try rewrite(gl, l, r, kind, s.child)
+            try rewrite(gl, l, r, kind, s.child, k)
             catch {
               case NonFatal(e) =>
                 logWarning(s"ANN top-k rewrite declined: $e"); None
@@ -197,7 +201,7 @@ final case class AnnTopKRewrite(spark: SparkSession)
   }
 
   private def rewrite(gl: LogicalPlan, distL: Expression, distR: Expression,
-      kind: String, child: LogicalPlan): Option[LogicalPlan] = {
+      kind: String, child: LogicalPlan, k: Int): Option[LogicalPlan] = {
     val sides = (distL, distR) match {
       case (a: AttributeReference, q) if q.foldable => Some((a, q))
       case (q, a: AttributeReference) if q.foldable => Some((a, q))
@@ -216,14 +220,18 @@ final case class AnnTopKRewrite(spark: SparkSession)
         case Seq((scan, Some(reg)))
             if reg.vecCol == vecAttr.name && (reg.kind == kind ||
               (kind == "ivf" && reg.kind == "ivfpq")) =>
-          splice(gl, scan, reg, queryVec(qExpr))
+          splice(gl, scan, reg, queryVec(qExpr), k)
         case _ => None
       }
     }
   }
 
   private def splice(gl: LogicalPlan, scan: LogicalRelation,
-      reg: IndexedTables.Reg, qv: Seq[Double]): Option[LogicalPlan] = {
+      reg: IndexedTables.Reg, qv: Seq[Double], k: Int): Option[LogicalPlan] = {
+    // the IVF-PQ pool is capped at the registration's rerank size: a
+    // LIMIT beyond it would be silently truncated by the splice, so
+    // decline and let the exact scan serve that query
+    if (reg.kind == "ivfpq" && reg.rerank < k) return None
     val names = scan.output.map(_.name)
     // Everything below is driver-side plan construction — an optimizer
     // rule must not run Spark jobs: band values come from Ann.bandValues

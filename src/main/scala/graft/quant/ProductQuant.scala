@@ -146,7 +146,11 @@ object ProductQuant {
     graft.core.Ids.requireIntegral(codes, idCol)
     val lutLit = org.apache.spark.sql.functions.typedlit(
       adcLut(cb, queryVec).map(_.toSeq).toSeq)
-    codes.select(col(idCol).cast("long").as(idCol),
+    // null codes rows score NULL, and ascending sorts nulls FIRST —
+    // filter them out so they cannot displace real candidates from the
+    // top-k (the typed kernel this replaced crashed on them instead)
+    codes.filter(col("codes").isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
       graft.functions.VectorFunctions
         .adcScore(col("codes").cast("array<int>"), lutLit).as("score"))
       .orderBy(col("score"), col(idCol))
@@ -183,7 +187,10 @@ object ProductQuant {
     graft.core.Ids.requireIntegral(emb, idCol)
     val lutLit = org.apache.spark.sql.functions.typedlit(
       adcLut(cb, queryVec).map(_.toSeq).toSeq)
-    emb.select(col(idCol).cast("long").as(idCol),
+    // same null discipline as searchAdcCodes: a null vector row must
+    // not occupy the top-k via nulls-first ordering
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
       graft.functions.VectorFunctions.adcScore(
         graft.functions.VectorFunctions
           .pqEncode(col(vecCol).cast("array<double>"), cb.cb),

@@ -207,6 +207,21 @@ class AnnTopKSpec extends AnyFunSuite {
     } finally IndexedTables.clear()
   }
 
+  test("an IVF-PQ registration with rerank below the query LIMIT declines") {
+    AnnTopK.install(spark)
+    IndexedTables.registerIvfPq(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfPqEmb(spark, sf),
+      graft.knn.Ann.fixedIvfModel(Indexes.IvfCells, D),
+      graft.quant.ProductQuant.fixedCodebooks(D, 8, 16),
+      rerank = K - 1) // pool smaller than the LIMIT → must not serve
+    try {
+      val q = topKL2()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("pq_adc_score"), plan)
+      assert(q.collect().length == K) // full-scan answer, untruncated
+    } finally IndexedTables.clear()
+  }
+
   test("re-registering with a different nprobe is not served from the plan cache") {
     AnnTopK.install(spark)
     def cellsProbed(plan: String): Int =

@@ -105,6 +105,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.size == 2)
   }
 
+  test("DATE time columns join without a lossy numeric cast") {
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val left = Seq((100L, 1L, d("2024-03-10")), (101L, 1L, d("2024-01-05")))
+      .toDF("event_id", "user_id", "day")
+    val right = Seq(
+      (1L, 1L, d("2024-02-01"), 10.0),
+      (2L, 1L, d("2024-03-01"), 20.0)).toDF("event_id", "user_id", "day", "value")
+    val got = AsOfJoin.asof(left, right, "user_id", "day",
+        tieBreak = "event_id", payloadCols = Seq("value"), numBuckets = 4)
+      .orderBy("event_id").collect()
+    assert(got(0).getAs[Double]("asof_value") == 20.0) // Mar 10 → Mar 1
+    assert(got(1).isNullAt(got(1).fieldIndex("asof_value"))) // Jan 5 → none
+  }
+
+  test("null tieBreak loses equal-timestamp ties in BOTH directions") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(5L), 1L, ts(10), 1.0),
+      (None, 1L, ts(10), 2.0)) // null tieBreak, same timestamp
+      .toDF("event_id", "user_id", "ts", "value")
+    val back = AsOfJoin.asof(left, right, "user_id", "ts",
+      tieBreak = "event_id", payloadCols = Seq("value")).head()
+    assert(back.getAs[Double]("asof_value") == 1.0) // greatest tb wins; null loses
+    val fwd = AsOfJoin.asofForward(left, right, "user_id", "ts",
+      tieBreak = "event_id", payloadCols = Seq("value")).head()
+    assert(fwd.getAs[Double]("asof_value") == 1.0) // smallest tb wins; null loses
+  }
+
   test("bucketed carry equals the single-window result on a skewed key") {
     import spark.implicits._
     // one key holds 90% of events (the hot-key shape the bucketing

@@ -88,6 +88,28 @@ class EdgeCaseSpec extends AnyFunSuite {
       "constant dims (mn=mx) must encode to 0, not NaN")
   }
 
+  test("ADC search excludes null-vector rows from the top-k") {
+    val cb = graft.quant.ProductQuant.fixedCodebooks(4, 2, 4)
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f, 3.0f, 4.0f))),
+      (2L, None), // null vector: must not occupy a top-k slot
+      (3L, Some(Seq(0.0f, 1.0f, 0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.quant.ProductQuant.searchAdc(df, "embedding", "vec_id",
+      cb, Seq(0.0, 1.0, 0.0, 1.0), 3).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(out.forall(!_.isNullAt(1)))
+  }
+
+  test("MIPS search over an empty corpus fails with a clear message") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.knn.Ann.mipsIvfSearch(empty, "embedding", "vec_id",
+        cells = 4, qv.map(_.toDouble), nprobe = 2, k = 5)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("bigram LM on a corpus with no scorable docs returns empty") {
     val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(graft.text.NgramLm.score(docs).count() == 0)

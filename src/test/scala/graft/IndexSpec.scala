@@ -424,4 +424,34 @@ class IndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("a direct rebuild at a reused path drops the memoized quantizer") {
+    import spark.implicits._
+    val dim = 64 // BQ packs two 32-bit words
+    def corpus(shift: Double) = (1 to 40)
+      .map(i => (i.toLong, Seq.tabulate(dim)(d => shift + i * 0.1 + d)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_memo").toString + "/bq"
+    val qv = Seq.tabulate(dim)(_ * 1.0)
+    graft.index.QuantIndex.buildBq(spark, corpus(0.0), "embedding",
+      "vec_id", path)
+    graft.index.QuantIndex.searchBq(spark, path, "vec_id", qv, 5).collect()
+    // direct second build at the SAME path, very different distribution:
+    // search must pack the query against the NEW thresholds, not the
+    // memoized ones
+    graft.index.QuantIndex.buildBq(spark, corpus(100.0), "embedding",
+      "vec_id", path)
+    val got = graft.index.QuantIndex.searchBq(spark, path, "vec_id",
+        Seq.tabulate(dim)(d => 102.0 + d), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_memo2").toString + "/bq"
+    graft.index.QuantIndex.buildBq(spark, corpus(100.0), "embedding",
+      "vec_id", fresh)
+    val want = graft.index.QuantIndex.searchBq(spark, fresh, "vec_id",
+        Seq.tabulate(dim)(d => 102.0 + d), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
