@@ -338,6 +338,29 @@ object TextQueries {
            |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin
       }
     ),
+    // distributed BPE merge learning (tokenizer training at corpus
+    // scale): pair stats over the vocabulary-sized word-frequency table,
+    // 1-row argmax per round, codegen'd fold applies each merge. Gated
+    // in-engine against a driver-side reference implementation on a
+    // bounded 100-doc sample (the reference twin collects that sample's
+    // vocabulary — bounded by construction).
+    Q(
+      "text_bpe_train",
+      (s, dir) => {
+        import graft.text.BpeTrain
+        val sample = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        val learned = BpeTrain.learn(sample, "text", iters = 5)
+        val words = sample
+          .selectExpr(s"explode(${wordTokens("text")}) as w")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val ref = BpeTrain.referenceLearn(words, iters = 5)
+        val spark = s
+        import spark.implicits._
+        Seq(learned == ref && learned.nonEmpty).toDF("merges_match")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS merges_match")
+    ),
     // step 2: per-document NLL/perplexity under that LM — the
     // high-perplexity tail is what a CCNet-style pipeline drops. Scoring
     // is two hash joins on the count tables + one micro-nat-exact agg.
