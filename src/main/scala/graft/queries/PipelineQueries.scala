@@ -263,6 +263,68 @@ object PipelineQueries {
            |FROM d GROUP BY source ORDER BY source""".stripMargin
       }
     ),
+    // decontamination, broadcast-Bloom form — the shape the exact-join
+    // sweep takes at 100 TB: the eval side collapses to a Bloom filter
+    // built from BUILT-INS (K xxhash64 bit positions per shingle,
+    // bit_or word aggregate — order-independent, mergeable, map-side
+    // combined), broadcast onto the train scan as a literal word array;
+    // flagging is then a per-row membership probe with NO shuffle of
+    // train shingles at all. Bloom membership has no false negatives,
+    // so the flagged set is a SUPERSET of the exact ≥1-shared-shingle
+    // set; the row gates exactly that in-engine (superset_ok) plus a
+    // false-positive budget (precision_ok: ≤5% spurious docs at
+    // 20 bits/item, K=4), oracle = TRUE.
+    Q(
+      "pipeline_decontaminate_bloom",
+      (s, dir) => {
+        val sh = Dedup.shingled(Tables.documents(s, dir)).localCheckpoint()
+        val evalSh = sh.filter(col("doc_id").isin(EvalIds: _*))
+          .select(explode(col("shingles")).as("h")).distinct()
+        val nItems = math.max(1L, evalSh.count())
+        val mBits = nItems * 20
+        val nWords = ((mBits + 63) / 64).toInt
+        val K = 4
+        // build: K xxhash64 positions per item → (word, bitmask) →
+        // bit_or per word (order-independent, map-side combined); the
+        // finished filter is nWords longs — collected once (eval-sized,
+        // bounded) and broadcast as a literal array
+        val wordRows = evalSh
+          .select(explode(array((0 until K).map(i =>
+            pmod(xxhash64(col("h"), lit(i)), lit(mBits))): _*)).as("p"))
+          .select((col("p") / lit(64)).cast("int").as("w"),
+            expr("shiftleft(1L, cast(p % 64 as int))").as("mask"))
+          .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val bf = typedlit(Seq.tabulate(nWords)(i => wordRows.getOrElse(i, 0L)))
+        val train = sh.filter(!col("doc_id").isin(EvalIds: _*))
+        // probe: all K bits set, as one SQL lambda over the literal words
+        val memberSql = (0 until K).map { i =>
+          s"(element_at(bf, cast(pmod(xxhash64(gbh, $i), ${mBits}L) / 64 " +
+            s"as int) + 1) & shiftleft(1L, " +
+            s"cast(pmod(xxhash64(gbh, $i), ${mBits}L) % 64 as int))) != 0"
+        }.mkString(" and ")
+        val flagged = train
+          .withColumn("bf", bf)
+          .select(col("doc_id"),
+            expr(s"exists(shingles, gbh -> $memberSql)").as("hit"))
+          .filter(col("hit")).select("doc_id").localCheckpoint()
+        val exact = train.select(col("doc_id"), explode(col("shingles")).as("h"))
+          .join(sh.filter(col("doc_id").isin(EvalIds: _*))
+            .select(explode(col("shingles")).as("h")).distinct(), "h")
+          .select("doc_id").distinct().localCheckpoint()
+        val nFlagged = flagged.count()
+        val nExact = exact.count()
+        val missed = exact.join(flagged, Seq("doc_id"), "left_anti").count()
+        val nTrain = train.count()
+        val spark = s
+        import spark.implicits._
+        Seq((missed == 0L,
+          (nFlagged - nExact).toDouble <= 0.05 * nTrain))
+          .toDF("superset_ok", "precision_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS superset_ok, " +
+        "CAST(1 AS BOOLEAN) AS precision_ok")
+    ),
     // quality-proportional importance sampling: accept doc d iff
     // u(d) < quality(d), u = affine-hash uniform in [0,1) at 1e-6
     // resolution — the DSIR-style reweighting shape (resample the corpus
