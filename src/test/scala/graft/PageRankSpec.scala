@@ -30,6 +30,32 @@ class PageRankSpec extends AnyFunSuite {
     assert(r2("b") == 150000L + 300000L * 17 / 20)
   }
 
+  test("random graphs match a driver-side reference") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 3) {
+      val nodes = (0 until 20).map(i => s"n$i")
+      val edges = (0 until 60).map { _ =>
+        (nodes(rnd.nextInt(20)), nodes(rnd.nextInt(20)))
+      }.distinct
+      val iters = 3
+      // reference: same integer fixed-point recurrence, computed naively
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map.empty[String, Long]
+        for ((s, d) <- edges)
+          contrib(d) = contrib.getOrElse(d, 0L) + r(s) / outdeg(s)
+        r = nodes.map(n =>
+          n -> (150000L + contrib.getOrElse(n, 0L) * 17 / 20)).toMap
+      }
+      val got = GraphOps.pagerank(graph(edges: _*), iters).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      // the DF graph only carries nodes that appear in an edge
+      val present = edges.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+      assert(got == r.filter(kv => present(kv._1)), s"trial=$trial")
+    }
+  }
+
   test("cycle conserves symmetric ranks; result is repartition-invariant") {
     val g = graph("a" -> "b", "b" -> "c", "c" -> "a")
     val r = GraphOps.pagerank(g, 5).collect()
