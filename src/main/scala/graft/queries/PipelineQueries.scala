@@ -325,6 +325,41 @@ object PipelineQueries {
       Some("SELECT CAST(1 AS BOOLEAN) AS superset_ok, " +
         "CAST(1 AS BOOLEAN) AS precision_ok")
     ),
+    // cross-source contamination matrix: shared distinct shingles per
+    // source pair — the corpus-level view of leakage between data
+    // sources (e.g. a crawl that re-ingested a books dump). The join key
+    // is the shingle hash over DISTINCT (source, shingle) rows, so a
+    // shingle shared by S sources contributes S·(S−1)/2 pair rows, never
+    // a per-document blowup; linear in distinct shingle volume at 100 TB.
+    Q(
+      "text_source_overlap",
+      (s, dir) => {
+        val sh = Dedup.shingled(Tables.documents(s, dir))
+          .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+          .select(col("source"), explode(col("shingles")).as("h"))
+          .distinct()
+        val a = sh.as("a"); val b = sh.as("b")
+        a.join(b, col("a.h") === col("b.h") &&
+            col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(desc("n_shared"), col("src_a"), col("src_b"))
+          .limit(TopN)
+      },
+      Some(
+        s"""WITH sh AS (${Dedup.shingledSql}),
+           |sq AS (
+           |  SELECT DISTINCT source, h FROM (
+           |    SELECT d.source, unnest(s.shingles) AS h
+           |    FROM sh s JOIN documents d USING (doc_id))),
+           |pairs AS (
+           |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+           |  FROM sq a JOIN sq b ON a.h = b.h AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared
+           |FROM pairs
+           |ORDER BY n_shared DESC, src_a, src_b LIMIT $TopN""".stripMargin)
+    ),
     // quality-proportional importance sampling: accept doc d iff
     // u(d) < quality(d), u = affine-hash uniform in [0,1) at 1e-6
     // resolution — the DSIR-style reweighting shape (resample the corpus
