@@ -278,6 +278,62 @@ object GraphOps {
       .select(col("id"), coalesce(col("r6"), lit(150000L)).as("r6"))
   }
 
+  /** Personalized PageRank: the random walk restarts at `seed` instead
+    * of teleporting uniformly — the relevance-to-a-node ranking a
+    * graph+vector pipeline reranks with. Same integer fixed-point
+    * recurrence as [[pagerank]] with the teleport mass concentrated on
+    * the seed: r₀ = 1e6·e_seed, r' = 0.15e6·e_seed + 0.85·Σ r/outdeg.
+    * The rank table stays SPARSE (only nodes actually reached carry a
+    * row — absent = zero mass, exactly the PPR semantics), so the
+    * per-iteration cost is bounded by the reached set, not the graph. */
+  def personalizedPagerank(g: Graph, seed: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"personalizedPagerank needs >= 1 iteration")
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val nodes = g.nodes.select(col("id")).localCheckpoint()
+    val edges = g.edges.select(col("src"), col("dst"))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint()
+    val hint = nodes.count() <= FrontierHintRows
+    def maybeBc(df: DataFrame) = if (hint) broadcast(df) else df
+    val teleport = Seq((seed, 150000L)).toDF("id", "r6")
+    var r = Seq((seed, 1000000L)).toDF("id", "r6").localCheckpoint()
+    for (_ <- 1 to iters) {
+      val perSrc = outdeg.join(r, col("src") === col("id"))
+        .select(col("src"), expr("r6 div od").as("c"))
+      r = edges.join(maybeBc(perSrc), "src")
+        .select(col("dst").as("id"), expr("c * 17 div 20").as("r6"))
+        .unionByName(teleport)
+        .groupBy("id").agg(sum("r6").as("r6"))
+        .localCheckpoint()
+    }
+    nodes.join(r, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r6"), lit(0L)).as("r6"))
+  }
+
+  /** DuckDB twin of [[personalizedPagerank]] as chained CTEs (dense
+    * over nodes — equivalent: unreached nodes carry zero mass). */
+  def pprCtesSql(seed: String, iters: Int): String = {
+    val head =
+      s"""outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+         |r0 AS (SELECT id, CASE WHEN id = '$seed'
+         |         THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r6
+         |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |         (CASE WHEN n.id = '$seed' THEN 150000 ELSE 0 END)
+         |           + COALESCE(s.sc, 0) AS r6
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum((r.r6 // o.od) * 17 // 20) AS sc
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.id = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** DuckDB twin of [[pagerank]] as chained CTEs (same integer
     * semantics: `//` floor division over nonnegative values ==
     * Spark `div`). Emits `outdeg, r0, …, r$iters`. */

@@ -198,6 +198,23 @@ object GraphQueries {
            |SELECT id, round(r6 / 1000000.0, 6) AS rank
            |FROM r5 ORDER BY rank DESC, id LIMIT 20""".stripMargin),
       bench = true
+    ),
+    // personalized PageRank: relevance-to-o:1 over 4 hops (restart mass
+    // pinned to the seed; sparse reached-set iteration — see
+    // GraphOps.personalizedPagerank)
+    Q(
+      "graph_ppr",
+      (s, dir) =>
+        GraphOps.personalizedPagerank(TpchGraph.build(s, dir), "o:1", 4)
+          .filter(col("r6") > 0)
+          .select(col("id"), round(col("r6") / 1000000.0, 6).as("rank"))
+          .orderBy(desc("rank"), col("id"))
+          .limit(20),
+      Some(
+        s"""WITH $C,
+           |${GraphOps.pprCtesSql("o:1", 4)}
+           |SELECT id, round(r6 / 1000000.0, 6) AS rank
+           |FROM r4 WHERE r6 > 0 ORDER BY rank DESC, id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -30,6 +30,20 @@ class PageRankSpec extends AnyFunSuite {
     assert(r2("b") == 150000L + 300000L * 17 / 20)
   }
 
+  test("personalized PageRank pins mass to the seed's reachable set") {
+    // a→b, a→c, c→d; seed a. r1: a=teleport 150000; b,c each get
+    // (1e6 div 2)·17 div 20 = 425000; d = 0. r2: d gets
+    // (425000 div 1)·17 div 20 = 361250; b,c get (150000 div 2)·17 div 20
+    // = 63750; unreachable-from-a nodes stay 0 forever.
+    val g = graph("a" -> "b", "a" -> "c", "c" -> "d", "x" -> "y")
+    val r = GraphOps.personalizedPagerank(g, "a", 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") == 150000L)
+    assert(r("b") == 63750L && r("c") == 63750L)
+    assert(r("d") == 361250L)
+    assert(r("x") == 0L && r("y") == 0L)
+  }
+
   test("random graphs match a driver-side reference") {
     val rnd = new scala.util.Random(5)
     for (trial <- 1 to 3) {
