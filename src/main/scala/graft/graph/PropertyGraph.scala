@@ -294,18 +294,28 @@ object GraphOps {
     val edges = g.edges.select(col("src"), col("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint()
-    val hint = nodes.count() <= FrontierHintRows
-    def maybeBc(df: DataFrame) = if (hint) broadcast(df) else df
     val teleport = Seq((seed, 150000L)).toDF("id", "r6")
     var r = Seq((seed, 1000000L)).toDF("id", "r6").localCheckpoint()
+    var rRows = 1L
     for (_ <- 1 to iters) {
+      // the broadcast gate MEASURES the sparse rank table (checkpointed,
+      // so its count is a cheap driver fact) — a small reached set stays
+      // broadcast even on a huge graph; a reached set past the ceiling
+      // falls back to a shuffle join, the right plan at that size
+      def maybeBc(df: DataFrame) =
+        if (rRows <= FrontierHintRows) broadcast(df) else df
       val perSrc = outdeg.join(r, col("src") === col("id"))
         .select(col("src"), expr("r6 div od").as("c"))
+      // damping applies to the per-node SUM (0.85·Σ r/outdeg), same
+      // recurrence as pagerank — per-edge flooring would zero out
+      // low-mass frontier contributions
       r = edges.join(maybeBc(perSrc), "src")
-        .select(col("dst").as("id"), expr("c * 17 div 20").as("r6"))
+        .select(col("dst").as("id"), col("c"))
+        .groupBy("id").agg(expr("sum(c) * 17 div 20").as("r6"))
         .unionByName(teleport)
         .groupBy("id").agg(sum("r6").as("r6"))
         .localCheckpoint()
+      rRows = r.count()
     }
     nodes.join(r, Seq("id"), "left")
       .select(col("id"), coalesce(col("r6"), lit(0L)).as("r6"))
@@ -314,18 +324,19 @@ object GraphOps {
   /** DuckDB twin of [[personalizedPagerank]] as chained CTEs (dense
     * over nodes — equivalent: unreached nodes carry zero mass). */
   def pprCtesSql(seed: String, iters: Int): String = {
+    val sq = seed.replace("'", "''")
     val head =
       s"""outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-         |r0 AS (SELECT id, CASE WHEN id = '$seed'
+         |r0 AS (SELECT id, CASE WHEN id = '$sq'
          |         THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r6
          |       FROM nodes)""".stripMargin
     val steps = (1 to iters).map { k =>
       s"""r$k AS (
          |  SELECT n.id,
-         |         (CASE WHEN n.id = '$seed' THEN 150000 ELSE 0 END)
-         |           + COALESCE(s.sc, 0) AS r6
+         |         (CASE WHEN n.id = '$sq' THEN 150000 ELSE 0 END)
+         |           + COALESCE(s.sc, 0) * 17 // 20 AS r6
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst AS id, sum((r.r6 // o.od) * 17 // 20) AS sc
+         |    SELECT e.dst AS id, sum(r.r6 // o.od) AS sc
          |    FROM edges e
          |    JOIN r${k - 1} r ON r.id = e.src
          |    JOIN outdeg o ON o.src = e.src

@@ -278,8 +278,11 @@ object PipelineQueries {
       "pipeline_decontaminate_bloom",
       (s, dir) => {
         val sh = Dedup.shingled(Tables.documents(s, dir)).localCheckpoint()
+        // one materialization of the eval distinct-shingle set, reused by
+        // the size probe, the filter build AND the exact-join gate below
         val evalSh = sh.filter(col("doc_id").isin(EvalIds: _*))
           .select(explode(col("shingles")).as("h")).distinct()
+          .localCheckpoint()
         val nItems = math.max(1L, evalSh.count())
         val mBits = nItems * 20
         val nWords = ((mBits + 63) / 64).toInt
@@ -309,8 +312,7 @@ object PipelineQueries {
             expr(s"exists(shingles, gbh -> $memberSql)").as("hit"))
           .filter(col("hit")).select("doc_id").localCheckpoint()
         val exact = train.select(col("doc_id"), explode(col("shingles")).as("h"))
-          .join(sh.filter(col("doc_id").isin(EvalIds: _*))
-            .select(explode(col("shingles")).as("h")).distinct(), "h")
+          .join(evalSh, "h")
           .select("doc_id").distinct().localCheckpoint()
         val nFlagged = flagged.count()
         val nExact = exact.count()

@@ -349,11 +349,12 @@ object TextQueries {
       (s, dir) => {
         import graft.text.BpeTrain
         val sample = Tables.documents(s, dir).filter(col("doc_id") < 100)
-        val learned = BpeTrain.learn(sample, "text", iters = 5)
-        val words = sample
-          .selectExpr(s"explode(${wordTokens("text")}) as w")
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // ONE corpus pass: the word-frequency table feeds both the
+        // distributed learner and the driver-side reference twin
+        val wordsDf = BpeTrain.wordCounts(sample, "text").localCheckpoint()
+        val learned = BpeTrain.learnFromWords(wordsDf, iters = 5)
+        val words = wordsDf.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
         val ref = BpeTrain.referenceLearn(words, iters = 5)
         val spark = s
         import spark.implicits._

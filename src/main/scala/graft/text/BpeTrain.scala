@@ -27,15 +27,20 @@ import org.apache.spark.sql.functions._
 object BpeTrain {
   final case class Merge(left: String, right: String, count: Long)
 
-  /** Word-frequency table → (w, cnt, s: array of symbols). Tokens come
-    * from TextAnalysis.wordTokens, so symbols are \w characters — safe
-    * to inline as SQL literals (no quotes/escapes possible). */
-  private def symbolTable(docs: DataFrame, textCol: String): DataFrame =
+  /** The one corpus-scale pass: word → frequency. Public so the
+    * verification gate and specs reuse the same aggregation instead of
+    * re-running it. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
       .selectExpr(s"explode(${TextAnalysis.wordTokens(textCol)}) as w")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .selectExpr("w", "cnt",
-        "transform(sequence(1, length(w)), gbi -> substring(w, gbi, 1)) as s")
+
+  /** Word-frequency table → (w, cnt, s: array of symbols). Tokens come
+    * from TextAnalysis.wordTokens, so symbols are \w characters — safe
+    * to inline as SQL literals (no quotes/escapes possible). */
+  private def symbolTable(words: DataFrame): DataFrame =
+    words.selectExpr("w", "cnt",
+      "transform(sequence(1, length(w)), gbi -> substring(w, gbi, 1)) as s")
 
   /** One merge application as a fold over the symbol array: scan left to
     * right, greedily replacing each (left, right) adjacency with the
@@ -56,8 +61,13 @@ object BpeTrain {
   /** Learn `iters` merges over the corpus. Each round: weighted pair
     * count over the vocabulary-sized symbol table, 1-row argmax to the
     * driver, fold-apply the winner. */
-  def learn(docs: DataFrame, textCol: String, iters: Int): Seq[Merge] = {
-    var syms = symbolTable(docs, textCol).localCheckpoint()
+  def learn(docs: DataFrame, textCol: String, iters: Int): Seq[Merge] =
+    learnFromWords(wordCounts(docs, textCol), iters)
+
+  /** Learn from an already-computed word-frequency table (callers that
+    * also need the table avoid a second corpus pass). */
+  def learnFromWords(words: DataFrame, iters: Int): Seq[Merge] = {
+    var syms = symbolTable(words).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rounds = 0
     var exhausted = false

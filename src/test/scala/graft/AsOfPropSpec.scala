@@ -52,9 +52,17 @@ class AsOfPropSpec extends AnyFunSuite {
         else Some(if (rnd.nextDouble() < 0.5) (50 + rnd.nextInt(4)).toLong
           else rnd.nextInt(200).toLong)
       val ls = (0 until 150).map(i => L(i.toLong, key(), time()))
-      val rs = (0 until 150).map(i => Rr(
+      val rsRaw = (0 until 150).map(i => Rr(
         if (rnd.nextDouble() < 0.1) None else Some(i.toLong),
         key(), time(), rnd.nextInt(1000).toDouble))
+      // two NULL-tieBreak rows on the same (key, time) are genuinely
+      // order-unpinned in BOTH the operator and any reference (no total
+      // order exists) — keep at most one per (key, time) so every
+      // generated case has a well-defined answer
+      val rs = rsRaw.zipWithIndex.filter { case (r, i) =>
+        r.eid.isDefined || !rsRaw.take(i).exists(p =>
+          p.eid.isEmpty && p.k == r.k && p.t == r.t)
+      }.map(_._1)
       val left = ls.map(l => (l.eid, l.k, l.t)).toDF("eid", "k", "t")
       val right = rs.map(r => (r.eid, r.k, r.t, r.v))
         .toDF("eid", "k", "t", "v")

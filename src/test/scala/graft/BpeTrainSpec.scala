@@ -23,12 +23,10 @@ class BpeTrainSpec extends AnyFunSuite {
   test("distributed learning equals the reference implementation") {
     val docs = graft.core.Tables.documents(spark, SparkTestSession.sf)
       .limit(60).cache()
-    import org.apache.spark.sql.functions._
-    val learned = BpeTrain.learn(docs, "text", 6)
-    val words = docs
-      .selectExpr(s"explode(${graft.text.TextAnalysis.wordTokens("text")}) as w")
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wordsDf = BpeTrain.wordCounts(docs, "text").localCheckpoint()
+    val learned = BpeTrain.learnFromWords(wordsDf, 6)
+    val words = wordsDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(learned == BpeTrain.referenceLearn(words, 6) && learned.size == 6)
   }
 
