@@ -92,6 +92,39 @@ final class VectorCollection(
 
   def changelog: DataFrame = spark.read.parquet(changelogPath)
 
+  /** Trim the CDC changelog to its most recent `keepLast` events (the
+    * reference's bounded history buffer, realtime.py:187-190, at
+    * collection-storage granularity). The retained tail is written to a
+    * staging dir first and swapped in, so a crash leaves either the old
+    * or the new log, never a truncated one. Returns events dropped.
+    * NOTE this rewrites history a changeFeed stream has already
+    * consumed — run it between streaming restarts, as the reference
+    * does with its replay buffer. */
+  def trimChangelog(keepLast: Int): Long = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    if (!fs.exists(new Path(changelogPath))) return 0L
+    val total = changelog.count()
+    val drop = total - keepLast
+    if (drop <= 0) return 0L
+    val staging = new Path(s"$changelogPath.staging")
+    val retired = new Path(s"$changelogPath.old")
+    fs.delete(staging, true)
+    changelog
+      .orderBy(col("ts").desc, col("id").desc)
+      .limit(keepLast)
+      .write.parquet(staging.toString)
+    fs.delete(retired, true)
+    require(fs.rename(new Path(changelogPath), retired),
+      s"retire failed for $changelogPath")
+    if (!fs.rename(staging, new Path(changelogPath))) {
+      fs.rename(retired, new Path(changelogPath)) // roll back
+      throw new IllegalStateException(s"swap failed for $changelogPath")
+    }
+    fs.delete(retired, true)
+    spark.catalog.refreshByPath(changelogPath)
+    drop
+  }
+
   /** Opt-in search-event CDC — the reference's ObservableCollection also
     * emits `search` events alongside the mutation events
     * (realtime.py:58-88, 325-442). Off by default: search is read-only

@@ -156,6 +156,13 @@ class CollectionSpec extends AnyFunSuite {
     assert(coll.count() == 30)
     // point get still works on the compacted layout
     assert(coll.get(Seq("id_1_5")).count() == 1)
+    // changelog trim: 3 inserts logged 30 insert events; keep last 10
+    val before30 = coll.changelog.count()
+    assert(before30 == 30L)
+    assert(coll.trimChangelog(10) == 20L)
+    assert(coll.changelog.count() == 10L)
+    // idempotent when already within budget
+    assert(coll.trimChangelog(10) == 0L)
     // reset() drops everything under the root
     db.reset()
     assert(db.listCollections().isEmpty)
