@@ -371,6 +371,57 @@ object TextQueries {
         graft.text.NgramLm.score(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"${graft.text.NgramLm.scoreSql()}\nORDER BY doc_id"),
       bench = true
+    ),
+    // the LM-gated corpus prep a CCNet-style pipeline runs end-to-end:
+    // perplexity-score every doc, keep the at-or-below-median-NLL half
+    // that also clears the quality gate, report per source. Pins the
+    // round's operators COMPOSED (LM scoring → relative threshold →
+    // quality gate → data-card rollup); the median is a corpus-level
+    // scalar broadcast onto the scan, micro-unit sums keep the report
+    // partition-order exact.
+    Q(
+      "pipeline_corpus_prep_lm",
+      (s, dir) => {
+        import graft.text.NgramLm
+        val docs = Tables.documents(s, dir)
+        val scored = NgramLm.score(docs).localCheckpoint()
+        val med = scored.agg(
+          round(expr("percentile(nll, 0.5)"), 6).as("m"))
+        val kept = scored
+          .crossJoin(broadcast(med))
+          .filter(col("nll") <= col("m"))
+          .join(docs.select(col("doc_id"), col("source"),
+            round(qualityScore("text"), 6).as("q")), "doc_id")
+          .filter(col("q") > 0.5)
+        kept
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("cast(round(nll * 1000000) as bigint)")).as("nll6"),
+            sum("n_bigrams").as("total_bigrams"))
+          .select(col("source"), col("n_docs"),
+            round(col("nll6") / 1000000.0 / col("n_docs"), 6).as("avg_nll"),
+            col("total_bigrams"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.text.NgramLm
+        s"""WITH scored AS (${NgramLm.scoreSql()}),
+           |med AS (SELECT round(quantile_cont(nll, 0.5), 6) AS m FROM scored),
+           |kept AS (
+           |  SELECT s.source, sc.nll, sc.n_bigrams
+           |  FROM scored sc
+           |  CROSS JOIN med
+           |  JOIN (SELECT doc_id, source,
+           |               round(${graft.text.TextAnalysis
+                  .qualityScoreSql("text")}, 6) AS q
+           |        FROM documents) s USING (doc_id)
+           |  WHERE sc.nll <= med.m AND s.q > 0.5)
+           |SELECT source, count(*) AS n_docs,
+           |       round(CAST(sum(CAST(round(nll * 1000000) AS BIGINT)) AS BIGINT)
+           |             / 1000000.0 / count(*), 6) AS avg_nll,
+           |       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin
+      }
     )
   )
 }
