@@ -85,11 +85,25 @@ object Bench {
     val failed = results.collect { case (n, _, None) => "\"" + n + "\"" }
     val warmTotal = good.map(_._3).sum
     val coldTotal = good.map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
+    // The driver captures only a fixed-size tail of stdout, so the final
+    // line must stay compact: totals + the 10 slowest warm queries. The
+    // complete per-query cold/warm maps go to bench_full.json alongside
+    // the repo for human inspection.
+    val fullJson = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
       s""","queries":${jmap(good.map(r => r._1 -> r._3))}""" +
       s""","queries_cold":${jmap(good.map(r => r._1 -> r._2))}""" +
       s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
       s""","build_failed":$buildFailed""" +
+      s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"[bench] bench_full.json write failed: $t") }
+    val slowest = good.sortBy(-_._3).take(10)
+    val json = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
+      s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +
+      s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
+      s""","build_failed":$buildFailed,"n_queries":${good.size}""" +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     spark.stop()
     println(json)

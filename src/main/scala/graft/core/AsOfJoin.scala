@@ -112,19 +112,27 @@ object AsOfJoin {
       else Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
 
     // ---- bucket assignment: a monotone image of __t sliced at its
-    // QUANTILES (one approxQuantile pass), so bucket populations stay
-    // balanced even when the time distribution is itself skewed —
-    // equal-width ranges would collapse a bursty history into one
-    // bucket and resurrect the hot-key serialization this exists to
-    // kill. Bucket id = #boundaries ≤ t: monotone in t and equal times
-    // share a bucket, so bucket order is consistent with scan order in
-    // both directions — ANY monotone bucketing yields the same join
-    // output (pinned by AsOfJoinSpec across bucketings).
+    // QUANTILES, so bucket populations stay balanced even when the time
+    // distribution is itself skewed — equal-width ranges would collapse
+    // a bursty history into one bucket and resurrect the hot-key
+    // serialization this exists to kill. Bucket id = #boundaries ≤ t:
+    // monotone in t and equal times share a bucket, so bucket order is
+    // consistent with scan order in both directions — ANY monotone
+    // bucketing yields the same join output (pinned by AsOfJoinSpec
+    // across bucketings), which is what makes estimating the quantiles
+    // from a fixed-seed SAMPLE safe: a boundary that drifts with the
+    // sample changes task balance, never the answer.
+    // NOTE: this boundary pass is an EAGER Spark action at asof() call
+    // time (the rest of the operator stays lazy), and the sampled scan
+    // re-reads the inputs once before the join itself does — callers
+    // whose upstream is expensive to recompute should cache/checkpoint
+    // `left`/`right` before calling.
     val bucketed = asDouble(col("__t"), all.schema("__t").dataType) match {
       case Some(td) if numBuckets > 1 =>
         val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
         val bounds = all.select(td.as("__td"))
-          .stat.approxQuantile("__td", probs, 0.001)
+          .sample(withReplacement = false, fraction = 0.05, seed = 42L)
+          .stat.approxQuantile("__td", probs, 0.01)
           .distinct.sorted.toSeq
         if (bounds.isEmpty) all.withColumn("__b", lit(0))
         else all.withColumn("__b",

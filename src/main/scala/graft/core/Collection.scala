@@ -82,26 +82,54 @@ final class VectorCollection(
     * [[changeFeed]] (the file source picks up each appended file as a
     * microbatch).
     */
-  private def logEvents(eventType: String, ids: DataFrame): Unit =
+  private def logEvents(eventType: String, ids: DataFrame): Unit = {
+    recoverChangelog()
     ids.select(
         lit(config.name).as("collection"),
         lit(eventType).as("event_type"),
         col("id"),
         current_timestamp().as("ts"))
       .write.mode("append").parquet(changelogPath)
+  }
 
-  def changelog: DataFrame = spark.read.parquet(changelogPath)
+  /** Changelog analog of [[recover]]: a [[trimChangelog]] crash between
+    * retiring the live log and promoting the staged one leaves NO log at
+    * the live path — the surviving generation is the staged trim when
+    * its _SUCCESS marker exists (the write completed before the swap
+    * began; promoting finishes the trim), else the retired original
+    * (roll back). Without this, every changelog read fails until someone
+    * renames the sibling dir back by hand. */
+  private def recoverChangelog(): Unit = {
+    val live = new Path(changelogPath)
+    if (!fs.exists(live)) {
+      val staging = new Path(s"$changelogPath.staging")
+      val retired = new Path(s"$changelogPath.old")
+      if (fs.exists(new Path(staging, "_SUCCESS"))) {
+        fs.rename(staging, live)
+        fs.delete(retired, true)
+      } else if (fs.exists(retired)) fs.rename(retired, live)
+    }
+  }
+
+  def changelog: DataFrame = {
+    recoverChangelog()
+    spark.read.parquet(changelogPath)
+  }
 
   /** Trim the CDC changelog to its most recent `keepLast` events (the
     * reference's bounded history buffer, realtime.py:187-190, at
     * collection-storage granularity). The retained tail is written to a
-    * staging dir first and swapped in, so a crash leaves either the old
-    * or the new log, never a truncated one. Returns events dropped.
+    * staging dir first and swapped in; a crash mid-swap can leave the
+    * live path briefly empty, and [[recoverChangelog]] (run by every
+    * changelog reader and by the next trim) restores the surviving
+    * generation — so readers always see either the old or the new log,
+    * never a truncated one. Returns events dropped.
     * NOTE this rewrites history a changeFeed stream has already
     * consumed — run it between streaming restarts, as the reference
     * does with its replay buffer. */
   def trimChangelog(keepLast: Int): Long = {
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    recoverChangelog()
     if (!fs.exists(new Path(changelogPath))) return 0L
     val total = changelog.count()
     val drop = total - keepLast
@@ -142,10 +170,12 @@ final class VectorCollection(
       logEvents("search", Seq(s"$kind:k=$k").toDF("id"))
     }
 
-  def changeFeed: DataFrame =
+  def changeFeed: DataFrame = {
+    recoverChangelog()
     spark.readStream.schema(
       "collection string, event_type string, id string, ts timestamp")
       .parquet(changelogPath)
+  }
 
   def isEmpty: Boolean = { recover(); !fs.exists(dataPath) }
 

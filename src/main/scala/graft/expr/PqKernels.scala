@@ -148,12 +148,19 @@ case class NearestCellExpr(child: Expression, centroids: Seq[Seq[Double]],
 
 /** PQ encode: per subspace mi, the argmin sub-centroid index (strict
   * `<`, lowest index) — returns the M codes as array<tinyint>, the
-  * stored form. Same arithmetic as the encode loop it replaces in
+  * stored form, widening to array<smallint> when any codebook has more
+  * than 128 centroids (a byte holds argmin indexes 0..127 only; the
+  * standard K=256 config would silently wrap negative and poison the
+  * ADC LUT lookup). Same arithmetic as the encode loop it replaces in
   * IvfPqIndex.writeCells / ProductQuant.encode. */
 case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with VecArrayKernel {
   override def prettyName: String = "pq_encode"
-  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  /** true when a code can exceed Byte.MaxValue (k up to 128 yields
+    * indexes 0..127, the last value a byte can hold). */
+  private def wide: Boolean = books.exists(_.length > 128)
+  override def dataType: DataType =
+    ArrayType(if (wide) ShortType else ByteType, containsNull = false)
 
   @transient private lazy val bks: Array[Array[Array[Double]]] =
     books.map(_.map(_.toArray).toArray).toArray
@@ -174,7 +181,7 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
     if (a.numElements() != m * subDim)
       throw new IllegalArgumentException(
         s"$prettyName: vector dim ${a.numElements()} != ${m * subDim}")
-    val codes = new Array[Byte](m)
+    val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
       val base = mi * subDim
@@ -189,10 +196,11 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      codes(mi) = best.toByte
+      codes(mi) = best
       mi += 1
     }
-    new GenericArrayData(codes)
+    if (wide) new GenericArrayData(codes.map(_.toShort))
+    else new GenericArrayData(codes.map(_.toByte))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -203,12 +211,13 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
       val mi = ctx.freshName("mi"); val base = ctx.freshName("base")
       val book = ctx.freshName("book"); val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD"); val codes = ctx.freshName("codes")
+      val codeJava = if (wide) "short" else "byte"
       s"""
          |if ($a.numElements() != ${m * subDim}) {
          |  throw new IllegalArgumentException(
          |    "$prettyName: vector dim " + $a.numElements() + " != ${m * subDim}");
          |}
-         |byte[] $codes = new byte[$m];
+         |$codeJava[] $codes = new $codeJava[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  int $base = $mi * $subDim;
          |  double[][] $book = $bksRef[$mi];
@@ -221,7 +230,7 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
          |    }
          |    if ($d < $bestD) { $bestD = $d; $best = $c; }
          |  }
-         |  $codes[$mi] = (byte) $best;
+         |  $codes[$mi] = ($codeJava) $best;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
        """.stripMargin

@@ -234,9 +234,21 @@ object IndexStore extends org.apache.spark.internal.Logging {
 
   /** Memoized driver-side index state for `key` (conventionally
     * "<subpath>#<tag>"); `load` runs once per (JVM, key) until the
-    * owning index path changes. */
-  def cachedState[T <: AnyRef](key: String)(load: => T): T =
-    stateCache.computeIfAbsent(key, _ => load).asInstanceOf[T]
+    * owning index path changes. The loader (a Spark read + collect job,
+    * multi-second) deliberately runs OUTSIDE the map's lock: under
+    * computeIfAbsent it would hold the hash-bin lock for the whole job —
+    * serializing unrelated first-time loads that share a bin, and
+    * deadlocking (CHM's recursive-update IllegalStateException) if a
+    * loader re-enters cachedState. The cost is a benign duplicate load
+    * when two threads race the same cold key; putIfAbsent keeps the
+    * winner so both see one canonical value. */
+  def cachedState[T <: AnyRef](key: String)(load: => T): T = {
+    val hit = stateCache.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val loaded = load
+    val prev = stateCache.putIfAbsent(key, loaded)
+    (if (prev != null) prev else loaded).asInstanceOf[T]
+  }
 
   /** Drop memoized driver-side state under `pathPrefix`. Public: every
     * index `build` (mode=overwrite of model state) calls this first, so

@@ -10,22 +10,25 @@ import graft.text.TextAnalysis
   * feature-extract / resize / frame-sample as per-partition batch
   * operators over a typed Dataset.
   *
-  * The actual image/audio codecs are NOT in this container — the decode
-  * kernels below are **clearly-marked deterministic stubs** (byte-hash →
-  * LCG feature vector; byte sampling for frames). Everything around them
-  * is the real engineering: the binary schema, the `mapPartitions` batch
-  * shape (one JVM call per partition, rows streamed through an iterator —
-  * swap `fakeDecode` for a JNI/codec call and nothing else changes), and
-  * partition-preserving metadata transforms. Because the stubs are pure
-  * integer arithmetic they remain DuckDB-oracle-checkable, which pins the
-  * plumbing (schema, ordering, null handling) even though the "decode" is
-  * fake.
+  * Image decode is REAL: [[extractFeatures]] runs `javax.imageio`
+  * (public JDK API, works offline) inside the `mapPartitions` batch
+  * shape — one reader per partition, rows streamed through an iterator.
+  * What keeps it DuckDB-oracle-checkable without a decoder on the oracle
+  * side is the corpus, not the kernel: [[syntheticImages]] encodes PNGs
+  * whose pixel values follow the pure-integer formula [[pixelValue]], so
+  * the oracle recomputes the expected post-decode features from the
+  * formula while Spark actually round-trips the bytes through the PNG
+  * codec — any decode defect (wrong pixels, wrong dims, channel order)
+  * breaks the hash match. Audio/video decode stays a clearly-marked
+  * deterministic stub (byte sampling for frames): no such codec ships in
+  * the JDK.
   */
 object Multimodal {
 
   final case class MediaRow(id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int)
-  final case class MediaFeatures(id: Long, dim: Int, features: Seq[Double])
+  final case class MediaFeatures(id: Long, dim: Int, dec_w: Int, dec_h: Int,
+      features: Seq[Double])
   final case class FrameSample(id: Long, frame_idx: Int, offset: Int,
       byte_val: Int)
 
@@ -39,22 +42,100 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("width"),
       (col("n_chars") % 480).cast("int").as("height"))
 
-  /** STUB decode: byte-stream hash standing in for a real decoder. */
+  // ---- deterministic synthetic-image corpus: the decode test bed.
+  // Gray value of pixel (x, y) of image `id` — pure integer arithmetic,
+  // shared verbatim by the PNG generator, the MediaSpec round-trip
+  // check, and the DuckDB oracle ([[pixelValueSql]]).
+  def pixelValue(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+  def pixelValueSql(id: String, x: String, y: String): String =
+    s"(($id) * 31 + ($x) * 7 + ($y) * 13) % 256"
+  /** Synthetic dims: small enough that the oracle's pixel-grid expansion
+    * stays cheap, varied enough to catch transposed width/height. */
+  def synthW(id: Long): Int = (8 + id % 16).toInt // 8..23
+  def synthH(id: Long): Int = (8 + id % 12).toInt // 8..19
+
+  /** A real PNG encode of the [[pixelValue]] grid (gray written to all
+    * three RGB channels; PNG is lossless so decode returns the exact
+    * values). */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixelValue(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of REAL encoded PNG blobs, one per document id. The
+    * encode runs per partition (ImageIO is executor-local JDK code), so
+    * generation parallelizes like any other scan-shaped stage. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = synthW(id); val h = synthH(id)
+        MediaRow(id, "image", syntheticPng(id, w, h), w, h)
+      })
+      .toDF()
+  }
+
+  /** STUB decode for non-image payloads: byte-stream hash standing in
+    * for an audio/video decoder (none ships in the JDK). */
   private def fakeDecodeKey(payload: Array[Byte]): Long =
     payload.foldLeft(0L)((a, b) =>
       (a * TextAnalysis.CharB + (b & 0xff)) % TextAnalysis.HashM)
 
   /** Batch feature extraction: one call per partition, rows streamed —
-    * the Spark-native shape for wrapping a native/codec library. */
+    * the Spark-native shape for wrapping a codec library.
+    *
+    * Image payloads are REALLY decoded (`javax.imageio`, executor-side);
+    * feature d = Σ gray(x, y) over pixels with (y·width + x) ≡ d (mod
+    * dim) — integer-exact bucket sums a formula-driven oracle can
+    * recompute, with the decoded dims surfaced so a dimension mismatch
+    * is a visible defect, not a silent one. Undecodable or non-image
+    * payloads fall back to the byte-hash stub with dec_w/dec_h = -1. */
   def extractFeatures(media: DataFrame, dim: Int): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("id", "kind", "payload", "width", "height").as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition setup would open the codec once here
+        // per-partition setup (codec/reader instances) would live here
         rows.map { r =>
-          val key = fakeDecodeKey(r.payload)
-          MediaFeatures(r.id, dim, VectorFunctions.hashVectorValues(key, dim))
+          val img =
+            if (r.kind == "image")
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case scala.util.control.NonFatal(_) => null }
+            else null
+          if (img != null) {
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Double](dim)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sums((y * w + x) % dim) += (img.getRGB(x, y) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeatures(r.id, dim, w, h, sums.toSeq)
+          } else {
+            val key = fakeDecodeKey(r.payload)
+            MediaFeatures(r.id, dim, -1, -1,
+              VectorFunctions.hashVectorValues(key, dim))
+          }
         }
       }
   }

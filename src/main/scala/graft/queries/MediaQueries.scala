@@ -3,37 +3,50 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.Tables
-import graft.functions.VectorFunctions
 import graft.media.Multimodal
-import graft.text.TextAnalysis
 
-/** Multimodal plumbing queries. The decode stubs are integer arithmetic,
-  * so even the mapPartitions path has a DuckDB oracle — pinning schema,
-  * ordering, and batch plumbing despite the fake codec.
+/** Multimodal queries. Image decode is real (javax.imageio over
+  * deterministic synthetic PNGs — see Multimodal's scaladoc for why the
+  * oracle can still check it); the remaining frame-sample stub is integer
+  * arithmetic, so even that mapPartitions path has a DuckDB oracle
+  * pinning schema, ordering, and batch plumbing.
   */
 object MediaQueries {
   private val Dim = 16
 
   val qs: Seq[Q] = Seq(
+    // REAL image decode: the corpus is deterministic PNG bytes
+    // (Multimodal.syntheticImages), Spark decodes them with javax.imageio
+    // and buckets the decoded gray values; the oracle recomputes the same
+    // bucket sums straight from the pixel FORMULA — wrong pixels, wrong
+    // dims, or a channel-order bug on the decode side all break the hash.
     Q(
       "media_features",
       (s, dir) =>
         Multimodal.extractFeatures(
-            Multimodal.mediaFromDocuments(Tables.documents(s, dir)), Dim)
+            Multimodal.syntheticImages(Tables.documents(s, dir)), Dim)
           .toDF()
-          .select(col("id"),
-            round(element_at(col("features"), 1), 6).as("f0"),
-            round(expr("aggregate(features, 0D, (a, b) -> a + b)"), 6)
-              .as("fsum")),
+          .select(col("id"), col("dec_w"), col("dec_h"),
+            element_at(col("features"), 1).as("f0"),
+            expr("aggregate(features, 0D, (a, b) -> a + b)").as("fsum"))
+          .orderBy("id"),
       Some {
-        // payload bytes == UTF-8 text bytes (ASCII corpus) → byte hash ==
-        // char hash of the text; features = hash-vector of that key.
-        val key = TextAnalysis.charHashSql("text")
-        val vec = VectorFunctions.hashVectorSql(s"($key)", Dim)
-        s"""SELECT doc_id AS id,
-           |  round(($vec)[1], 6) AS f0,
-           |  round(list_reduce(list_prepend(0.0, $vec), (a, b) -> a + b), 6) AS fsum
-           |FROM documents""".stripMargin
+        val v = Multimodal.pixelValueSql("d.id", "tx.x", "ty.y")
+        // fixed ranges cover the max synthetic dims (w ≤ 23, h ≤ 19);
+        // the WHERE clause trims each image to its own grid (DuckDB 1.0
+        // range() takes no lateral column args)
+        s"""WITH d AS (SELECT doc_id AS id, (8 + doc_id % 16)::INT AS w,
+           |                  (8 + doc_id % 12)::INT AS h
+           |           FROM documents),
+           |px AS (
+           |  SELECT d.id, d.w, d.h, ($v)::INT AS v,
+           |         (ty.y * d.w + tx.x) % $Dim AS b
+           |  FROM d, range(0, 24) tx(x), range(0, 20) ty(y)
+           |  WHERE tx.x < d.w AND ty.y < d.h)
+           |SELECT id, w AS dec_w, h AS dec_h,
+           |       sum(CASE WHEN b = 0 THEN v ELSE 0 END)::DOUBLE AS f0,
+           |       sum(v)::DOUBLE AS fsum
+           |FROM px GROUP BY id, w, h ORDER BY id""".stripMargin
       }
     ),
     // exact-byte blob dedup — the first pass every image/video corpus

@@ -21,6 +21,49 @@ class MediaSpec extends AnyFunSuite {
     assert(a.values.toSeq.distinct.size > 1, "different payloads → different features")
   }
 
+  test("synthetic PNG round-trips through javax.imageio byte-for-byte") {
+    val id = 37L
+    val w = Multimodal.synthW(id); val h = Multimodal.synthH(id)
+    val png = Multimodal.syntheticPng(id, w, h)
+    // really a PNG container, not a stand-in blob
+    assert(Multimodal.sniffMime(org.apache.spark.sql.functions.lit(png)) != null)
+    assert((png.take(8).map(_ & 0xff) sameElements
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = Multimodal.pixelValue(id, x, y)
+      assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+        s"pixel ($x,$y) of image $id decoded wrong")
+    }
+  }
+
+  test("extractFeatures really decodes: features equal formula-computed sums") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 40L).toDF("doc_id")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val got = Multimodal
+      .extractFeatures(Multimodal.syntheticImages(docs), 16)
+      .collect().map(f => f.id -> f).toMap
+    Seq(1L, 2L, 40L).foreach { id =>
+      val f = got(id)
+      val w = Multimodal.synthW(id); val h = Multimodal.synthH(id)
+      assert(f.dec_w == w && f.dec_h == h, "decoded dims must match encoded")
+      val expect = new Array[Double](16)
+      for (y <- 0 until h; x <- 0 until w)
+        expect((y * w + x) % 16) += Multimodal.pixelValue(id, x, y)
+      assert(f.features == expect.toSeq, s"feature sums for image $id")
+    }
+  }
+
+  test("undecodable payloads fall back to the stub with dec dims = -1") {
+    import spark.implicits._
+    val junk = Seq((1L, "image", "not a png".getBytes, 4, 4))
+      .toDF("id", "kind", "payload", "width", "height")
+    val f = Multimodal.extractFeatures(junk, 8).collect().head
+    assert(f.dec_w == -1 && f.dec_h == -1 && f.features.length == 8)
+  }
+
   test("frame sampling covers payload start and end, images excluded") {
     val frames = Multimodal.frameSample(media, 4).collect()
     assert(frames.nonEmpty)
