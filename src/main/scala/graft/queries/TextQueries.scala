@@ -338,27 +338,27 @@ object TextQueries {
            |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin
       }
     ),
-    // distributed BPE merge learning (tokenizer training at corpus
-    // scale): pair stats over the vocabulary-sized word-frequency table,
-    // 1-row argmax per round, codegen'd fold applies each merge. Gated
-    // in-engine against a driver-side reference implementation on a
-    // bounded 100-doc sample (the reference twin collects that sample's
-    // vocabulary — bounded by construction).
+    // BPE merge learning (tokenizer training at corpus scale): ONE
+    // distributed word-count job, then the incremental pair-index merge
+    // loop driver-side over the vocabulary-sized table — 60 merges in
+    // two jobs total (the old one-argmax-job-per-merge design capped at
+    // toy merge counts). Gated in-engine against the naive
+    // recount-everything reference implementation on the same table.
     Q(
       "text_bpe_train",
       (s, dir) => {
         import graft.text.BpeTrain
         val sample = Tables.documents(s, dir).filter(col("doc_id") < 100)
         // ONE corpus pass: the word-frequency table feeds both the
-        // distributed learner and the driver-side reference twin
+        // incremental learner and the driver-side reference twin
         val wordsDf = BpeTrain.wordCounts(sample, "text").localCheckpoint()
-        val learned = BpeTrain.learnFromWords(wordsDf, iters = 5)
+        val learned = BpeTrain.learnFromWords(wordsDf, iters = 60)
         val words = wordsDf.collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val ref = BpeTrain.referenceLearn(words, iters = 5)
+        val ref = BpeTrain.referenceLearn(words, iters = 60)
         val spark = s
         import spark.implicits._
-        Seq(learned == ref && learned.nonEmpty).toDF("merges_match")
+        Seq(learned == ref && learned.size == 60).toDF("merges_match")
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS merges_match")
     ),

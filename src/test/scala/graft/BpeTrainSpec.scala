@@ -30,6 +30,38 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(learned == BpeTrain.referenceLearn(words, 6) && learned.size == 6)
   }
 
+  test("tokenizer-scale merge counts: 150 incremental merges equal the reference") {
+    // the incremental pair-index learner must track the naive
+    // recount-everything twin merge-for-merge deep into the sequence,
+    // where stale-index bugs (a pair re-forming after its count was
+    // zeroed, double-subtracted overlaps like 'aaa') would surface.
+    // The testdata corpus's ~40-word vocabulary exhausts after ~90
+    // merges, so use a hash-derived corpus with enough distinct words
+    // that 150 merges don't run dry.
+    val docs = spark.range(300).selectExpr("id as doc_id",
+      "substring(md5(cast(id as string)), 1, 8) as text")
+    val wordsDf = BpeTrain.wordCounts(docs, "text").localCheckpoint()
+    val learned = BpeTrain.learnFromWords(wordsDf, 150)
+    val words = wordsDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = BpeTrain.referenceLearn(words, 150)
+    assert(learned.size == 150, s"expected 150 merges, got ${learned.size}")
+    learned.zip(ref).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"divergence at merge $i: $a vs $b")
+    }
+  }
+
+  test("vocab cap keeps the highest-count words deterministically") {
+    import spark.implicits._
+    // cap=2 keeps {bb (3), aa (2)} — dropping 'zz' changes learnable
+    // pair mass, and the kept merges must match the reference run on
+    // exactly the capped table
+    val docs = Seq((1L, "aa aa bb bb bb zz")).toDF("doc_id", "text")
+    val wordsDf = BpeTrain.wordCounts(docs, "text")
+    val learned = BpeTrain.learnFromWords(wordsDf, 2, maxVocab = 2)
+    assert(learned == BpeTrain.referenceLearn(Map("bb" -> 3L, "aa" -> 2L), 2))
+  }
+
   test("greedy apply does not re-merge across a fresh merge boundary") {
     import spark.implicits._
     // "aaa": pairs (a,a)×2 → merge 'aa'; greedy scan of a,a,a yields
