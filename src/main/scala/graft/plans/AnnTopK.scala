@@ -41,10 +41,15 @@ object IndexedTables {
       pq: Option[graft.quant.ProductQuant.Codebooks] = None,
       rerank: Int = 50)
 
-  // Keyed by (session UUID, qualified data path): registration is a
-  // SESSION-scoped opt-in — another session in the same JVM (with or
-  // without GraftExtensions) never inherits ANN semantics it didn't ask
-  // for.
+  // Keyed by (session UUID, qualified data path, index KIND): session-
+  // scoped opt-in — another session in the same JVM (with or without
+  // GraftExtensions) never inherits ANN semantics it didn't ask for —
+  // and kind-scoped so one table can carry lsh+ivf+ivfpq+mips
+  // registrations SIMULTANEOUSLY with the rewrite picking the one that
+  // serves the query's distance metric. (Previously last-registration-
+  // won per path: an l2 query planned after an ivfpq registration could
+  // be served from the rerank-bounded ADC pool instead of the exact IVF
+  // probe its oracle pinned, depending on run order.)
   private val regs = new ConcurrentHashMap[String, Reg]()
 
   private def qualify(spark: SparkSession, p: String): String =
@@ -56,7 +61,7 @@ object IndexedTables {
 
   def register(spark: SparkSession, dataPath: String, vecCol: String,
       idCol: String, dim: Int, indexPath: String): Unit =
-    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}|lsh",
       Reg(vecCol, idCol, dim, indexPath, Seq(dataPath)))
 
   /** Declare "l2 top-k over this table may be served from its IVF cell
@@ -65,7 +70,7 @@ object IndexedTables {
   def registerIvf(spark: SparkSession, dataPath: String, vecCol: String,
       idCol: String, dim: Int, indexPath: String,
       model: graft.knn.Ann.IvfModel, nprobe: Int = 4): Unit =
-    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}|ivf",
       Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "ivf",
         centroids = model.centroids, nprobe = nprobe))
 
@@ -80,7 +85,7 @@ object IndexedTables {
       model: graft.knn.Ann.IvfModel,
       cb: graft.quant.ProductQuant.Codebooks, nprobe: Int = 4,
       rerank: Int = 50): Unit =
-    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}|ivfpq",
       Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "ivfpq",
         centroids = model.centroids, nprobe = nprobe, pq = Some(cb),
         rerank = rerank))
@@ -93,7 +98,7 @@ object IndexedTables {
   def registerMips(spark: SparkSession, dataPath: String, vecCol: String,
       idCol: String, dim: Int, indexPath: String, cells: Int,
       nprobe: Int = 4): Unit =
-    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}",
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}|mips",
       Reg(vecCol, idCol, dim, indexPath, Seq(dataPath), kind = "mips",
         centroids = graft.knn.Ann.fixedIvfModel(cells, dim + 1).centroids,
         nprobe = nprobe))
@@ -106,14 +111,26 @@ object IndexedTables {
     * rebuild at a new path, but the registry can't know the rebuild
     * happened). Freshness checks are driver-side filesystem metadata —
     * no Spark job. */
-  def lookup(spark: SparkSession, rootPaths: Seq[Path]): Option[Reg] =
+  /** Withdraw one kind's registration for a table (the others stay).
+    * Needed when a caller wants the FALLBACK serving for a metric — e.g.
+    * l2 from the IVF-PQ pool — while an exact-kind registration from an
+    * earlier query is still armed and would win the lookup. */
+  def unregister(spark: SparkSession, dataPath: String, kind: String): Unit =
+    regs.remove(s"${uuid(spark)}|${qualify(spark, dataPath)}|$kind")
+
+  def lookup(spark: SparkSession, rootPaths: Seq[Path], kind: String)
+      : Option[Reg] =
     rootPaths match {
       case Seq(p) =>
-        Option(regs.get(s"${uuid(spark)}|$p")).filter { reg =>
-          graft.index.IndexStore.ready(spark, reg.indexPath) &&
-            reg.indexPath.endsWith(
-              "_" + graft.index.IndexStore.fingerprint(spark, reg.sources))
-        }
+        def live(k: String): Option[Reg] =
+          Option(regs.get(s"${uuid(spark)}|$p|$k")).filter { reg =>
+            graft.index.IndexStore.ready(spark, reg.indexPath) &&
+              reg.indexPath.endsWith(
+                "_" + graft.index.IndexStore.fingerprint(spark, reg.sources))
+          }
+        // an l2 sort prefers the exact IVF probe; the rerank-bounded
+        // IVF-PQ pool serves it only when that's the sole registration
+        live(kind).orElse(if (kind == "ivf") live("ivfpq") else None)
       case _ => None
     }
 
@@ -208,26 +225,38 @@ final case class AnnTopKRewrite(spark: SparkSession)
       case _                                        => None
     }
     sides.flatMap { case (vecAttr, qExpr) =>
-      // the registered file scan that owns the sort's vector column
+      // the registered file scan that owns the sort's vector column —
+      // looked up BY THE SORT'S DISTANCE KIND, so a table carrying
+      // several index registrations serves each metric from its own
+      // layout (lookup prefers exact IVF over IVF-PQ for l2)
       val scans = child.collect {
         case l @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
             if l.output.exists(_.exprId == vecAttr.exprId) =>
-          (l, IndexedTables.lookup(spark, fs.location.rootPaths))
+          (l, IndexedTables.lookup(spark, fs.location.rootPaths, kind))
       }
       scans match {
-        // an l2 sort is served by either the plain IVF cell layout or
-        // the IVF-PQ composed layout, whichever the table registered
-        case Seq((scan, Some(reg)))
-            if reg.vecCol == vecAttr.name && (reg.kind == kind ||
-              (kind == "ivf" && reg.kind == "ivfpq")) =>
-          splice(gl, scan, reg, queryVec(qExpr), k)
+        case Seq((scan, Some(reg))) if reg.vecCol == vecAttr.name =>
+          // a WHERE between the sort and the scan (the optimizer leaves
+          // it directly over the relation) is pushed INTO the candidate
+          // scan: filtered-ANN semantics demand the predicate apply
+          // BEFORE candidate bounding (LSH dedup / ADC pool), and a
+          // predicate at the parquet bucket scan prunes like any other
+          // PushedFilters. The original Filter node stays where it is —
+          // re-filtering the candidates is free and keeps the rewrite an
+          // optimization, never a correctness dependency.
+          val pushed = child.collect {
+            case Filter(cond, l) if (l eq scan) && cond.deterministic =>
+              cond
+          }.headOption
+          splice(gl, scan, reg, queryVec(qExpr), k, pushed)
         case _ => None
       }
     }
   }
 
   private def splice(gl: LogicalPlan, scan: LogicalRelation,
-      reg: IndexedTables.Reg, qv: Seq[Double], k: Int): Option[LogicalPlan] = {
+      reg: IndexedTables.Reg, qv: Seq[Double], k: Int,
+      pushed: Option[Expression]): Option[LogicalPlan] = {
     // the IVF-PQ pool is capped at the registration's rerank size: a
     // LIMIT beyond it would be silently truncated by the splice, so
     // decline and let the exact scan serve that query
@@ -241,8 +270,16 @@ final case class AnnTopKRewrite(spark: SparkSession)
     // cached per (indexPath, query, columns) so re-planning the same
     // query is free. The indexPath embeds the source fingerprint, so a
     // regenerated table can never hit a stale cache entry.
+    // the pushed predicate re-targets the candidate table BY NAME (the
+    // bucket/cell table carries the data columns under their original
+    // names); resolution happens when the candidate DataFrame analyzes
+    val pushedByName = pushed.map(_.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(a.name))
+    })
     val candPlan = AnnTopK.candidatePlan(spark, reg, qv,
-      scan.output.map(a => a.name -> a.dataType))
+      scan.output.map(a => a.name -> a.dataType), pushedByName)
     // splice only if the bucket table carries every table column, then
     // restore the original output exprIds so the untouched sort/limit/
     // projections above still resolve
@@ -272,7 +309,8 @@ object AnnTopK {
 
   private val candCache =
     new ConcurrentHashMap[(String, Seq[Seq[Double]],
-      Option[Seq[Seq[Seq[Double]]]], Seq[Double], String), LogicalPlan]()
+      Option[Seq[Seq[Seq[Double]]]], Seq[Double], String, String),
+      LogicalPlan]()
 
   /** Analyzed bucket-probe candidate plan for (index, query, columns) —
     * built once, then served from cache on every re-optimization of the
@@ -287,20 +325,29 @@ object AnnTopK {
     * by codegen downstream. (float→double→float is value-exact.) */
   private[plans] def candidatePlan(spark: SparkSession,
       reg: IndexedTables.Reg, qv: Seq[Double],
-      fields: Seq[(String, org.apache.spark.sql.types.DataType)])
+      fields: Seq[(String, org.apache.spark.sql.types.DataType)],
+      pushed: Option[Expression] = None)
       : LogicalPlan =
     // the key carries EVERY registration field the plan depends on:
     // nprobe and the centroid VALUES shape the ivf/mips probe, so a
     // re-registration with a different recall knob or model must never
     // hit a prior registration's cached plan (values, not hashCode — a
-    // hash collision would silently serve the wrong probe plan)
+    // hash collision would silently serve the wrong probe plan); the
+    // pushed predicate is part of the plan, so its sql keys too
     candCache.computeIfAbsent(
       (s"${reg.indexPath}|${reg.kind}|${reg.nprobe}|${reg.rerank}",
         reg.centroids, reg.pq.map(_.cb),
-        qv, fields.map(f => f._1 + ":" + f._2.sql).mkString(",")),
+        qv, fields.map(f => f._1 + ":" + f._2.sql).mkString(","),
+        pushed.map(_.sql).getOrElse("")),
       _ => {
         if (candCache.size > 64) candCache.clear()
         val typed = fields.map { case (n, dt) => col(n).cast(dt).as(n) }
+        // filtered-ANN: the predicate lands on the base candidate scan,
+        // BEFORE any pool bounding / dedup — exact top-k among matching
+        // rows, and the parquet reader gets it as a pushed filter
+        def preFiltered(df: org.apache.spark.sql.DataFrame) =
+          pushed.map(p => df.filter(
+            org.apache.spark.sql.graft.bridge.column(p))).getOrElse(df)
         if (reg.kind == "ivfpq") {
           // IVFADC serving: partition-pruned probe, codegen'd ADC over
           // the stored codes bounds the pool to `rerank` rows, the
@@ -310,8 +357,9 @@ object AnnTopK {
             reg.nprobe)
           val lutLit = typedlit(graft.quant.ProductQuant
             .adcLut(reg.pq.get, qv).map(_.toSeq).toSeq)
-          val cells = spark.read.parquet(s"${reg.indexPath}/cells")
-            .filter(col("cell").isin(probe: _*))
+          val cells = preFiltered(
+            spark.read.parquet(s"${reg.indexPath}/cells")
+              .filter(col("cell").isin(probe: _*)))
           val pool = cells
             .select(col(reg.idCol),
               graft.functions.VectorFunctions
@@ -334,8 +382,8 @@ object AnnTopK {
           val probeQ = if (reg.kind == "mips") qv :+ 0.0 else qv
           val probe = Ann.probeCells(
             Ann.IvfModel(reg.centroids), probeQ, reg.nprobe)
-          spark.read.parquet(s"${reg.indexPath}/cells")
-            .filter(col("cell").isin(probe: _*))
+          preFiltered(spark.read.parquet(s"${reg.indexPath}/cells")
+              .filter(col("cell").isin(probe: _*)))
             .select(typed: _*)
             .queryExecution.analyzed
         } else {
@@ -349,8 +397,8 @@ object AnnTopK {
           // Deduplicate would arrive after
           // ReplaceDeduplicateWithAggregate already ran.
           val others = fields.map(_._1).filterNot(_ == reg.idCol)
-          spark.read.parquet(s"${reg.indexPath}/buckets")
-            .filter(probe)
+          preFiltered(spark.read.parquet(s"${reg.indexPath}/buckets")
+              .filter(probe))
             .groupBy(col(reg.idCol))
             .agg(first(col(others.head)).as(others.head),
               others.tail.map(c => first(col(c)).as(c)): _*)

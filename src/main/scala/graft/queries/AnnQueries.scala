@@ -236,6 +236,33 @@ object AnnQueries {
         hashVectorSql("11", D), D, K)),
       bench = true
     ),
+    // the FILTERED declarative surface: WHERE meta = x ORDER BY distance
+    // LIMIT k over the registered table — the rewrite matches the Filter
+    // between sort and scan and pushes the predicate INTO the bucket
+    // probe (filter BEFORE rerank = exact filtered top-k, the same
+    // semantics as the programmatic LshIndex.search(filter=...)); plan
+    // pinned in AnnTopKSpec
+    Q(
+      "sql_ann_topk_filtered",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round, typedlit}
+        graft.plans.AnnTopK.install(s)
+        graft.plans.IndexedTables.register(s, s"$dir/embeddings.parquet",
+          "embedding", "vec_id", D, Indexes.lshEmb(s, dir))
+        val qc = typedlit(hashVectorValues(11L, D))
+        Tables.embeddings(s, dir)
+          .filter(col("label") === 3)
+          .orderBy(round(cosineDistance(col("embedding"), qc), 6),
+            col("vec_id"))
+          .limit(K)
+          .select(col("vec_id"),
+            round(cosineDistance(col("embedding"), qc), 6).as("score"))
+          .orderBy("score", "vec_id")
+      },
+      Some(Ann.lshSearchSql("embeddings", "embedding", "vec_id",
+        hashVectorSql("11", D), D, K, filterSql = Some("label = 3"))),
+      bench = true
+    ),
     // the l2 face of the declarative surface: ORDER BY l2-distance LIMIT
     // k over a table registered with its IVF index ⇒ the optimizer swaps
     // the full scan for the nprobe-cell partition probe; sort/limit stay
@@ -271,6 +298,11 @@ object AnnQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, round, typedlit}
         graft.plans.AnnTopK.install(s)
+        // this entry pins the IVF-PQ serving of an l2 sort: the exact
+        // IVF registration (armed by sql_ann_topk_l2 on the same
+        // session) would win the kind-scoped lookup, so withdraw it
+        graft.plans.IndexedTables.unregister(s, s"$dir/embeddings.parquet",
+          "ivf")
         graft.plans.IndexedTables.registerIvfPq(s,
           s"$dir/embeddings.parquet", "embedding", "vec_id", D,
           Indexes.ivfPqEmb(s, dir), Ann.fixedIvfModel(Indexes.IvfCells, D),

@@ -125,6 +125,49 @@ object StreamQueries {
           |FROM events
           |ORDER BY ts_sec DESC, event_id DESC LIMIT 10""".stripMargin)
     ),
+    // the EventBus bounded buffer (capacity 8, drop-oldest) replayed to
+    // 5 late joiners asking for the last 10 events: each gets min(10, 8)
+    // = 8 — the overflow policy visibly truncates the replay — except
+    // joiner 0, who joins at the stream's first timestamp when the
+    // buffer hasn't filled. Joiner times = quarter-points of the event
+    // time span (pure integer arithmetic, oracle-reproducible).
+    Q(
+      "events_replay",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val joiners = ev
+          .agg(min(unix_timestamp(col("ts"))).as("tmin"),
+            max(unix_timestamp(col("ts"))).as("tmax"))
+          .select(expr("explode(sequence(0, 4))").as("joiner_id"),
+            col("tmin"), col("tmax"))
+          .select(col("joiner_id"),
+            (col("tmin") +
+              col("joiner_id") * ((col("tmax") - col("tmin")) / 4)
+                .cast("long")).as("jt_sec"))
+        ChangeFeed.boundedReplay(ev, capacity = 8, replayN = 10, joiners)
+          .orderBy("joiner_id", "replay_rank")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT min(floor(epoch(ts))::BIGINT) AS tmin,
+          |         max(floor(epoch(ts))::BIGINT) AS tmax
+          |  FROM events),
+          |j AS (
+          |  SELECT t.k AS joiner_id,
+          |         (b.tmin + t.k * ((b.tmax - b.tmin) // 4))::BIGINT AS jt
+          |  FROM b, range(0, 5) t(k)),
+          |r AS (
+          |  SELECT j.joiner_id, e.event_id,
+          |         floor(epoch(e.ts))::BIGINT AS ts_sec, e.event_type,
+          |         row_number() OVER (
+          |           PARTITION BY j.joiner_id
+          |           ORDER BY floor(epoch(e.ts))::BIGINT DESC,
+          |                    e.event_id DESC) AS replay_rank
+          |  FROM j JOIN events e ON floor(epoch(e.ts))::BIGINT <= j.jt)
+          |SELECT joiner_id, replay_rank, event_id, ts_sec, event_type
+          |FROM r WHERE replay_rank <= 8
+          |ORDER BY joiner_id, replay_rank""".stripMargin)
+    ),
     // backward as-of join: every click attributed to the user's latest
     // at-or-before view (graft.core.AsOfJoin — union-tag + carry-forward
     // window, ONE shuffle on the key; never a quadratic time-range join).

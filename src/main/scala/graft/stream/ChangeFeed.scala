@@ -90,4 +90,30 @@ object ChangeFeed {
         col("event_type"), col("value"))
       .orderBy(desc("ts_sec"), desc("event_id"))
       .limit(n)
+
+  /** The reference EventBus's bounded buffer, replayed for a set of late
+    * joiners: the bus keeps at most `capacity` events (drop-OLDEST on
+    * overflow, `realtime.py:265-275`) and hands a joiner the last
+    * `replayN` of them (`realtime.py:154-160`) — so a joiner receives
+    * `min(replayN, capacity)` events, and fewer only when the buffer
+    * hasn't filled yet at its join time. `joiners` = (joiner_id, jt_sec)
+    * — tiny, broadcast; per-joiner top-k is a rank window partitioned by
+    * joiner. At scale, bound the scan with a time floor (jt − the bus's
+    * retention horizon) before the join so the rank never sorts deep
+    * history that can't be replayed anyway. */
+  def boundedReplay(events: DataFrame, capacity: Int, replayN: Int,
+      joiners: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val served = math.min(replayN, capacity)
+    val w = Window.partitionBy("joiner_id")
+      .orderBy(desc("ts_sec"), desc("event_id"))
+    events
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_type"))
+      .join(broadcast(joiners), col("ts_sec") <= col("jt_sec"))
+      .withColumn("replay_rank", row_number().over(w))
+      .filter(col("replay_rank") <= served)
+      .select(col("joiner_id"), col("replay_rank"), col("event_id"),
+        col("ts_sec"), col("event_type"))
+  }
 }

@@ -262,7 +262,7 @@ class AnnTopKSpec extends AnyFunSuite {
     } finally IndexedTables.clear()
   }
 
-  test("a filter between sort and scan stays on the candidate subset") {
+  test("a filter between sort and scan is PUSHED into the bucket probe") {
     AnnTopK.install(spark)
     IndexedTables.register(spark, s"$sf/embeddings.parquet",
       "embedding", "vec_id", D, Indexes.lshEmb(spark, sf))
@@ -278,12 +278,41 @@ class AnnTopKSpec extends AnyFunSuite {
         .orderBy("score", "vec_id")
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("band_idx"), plan)
+      // the predicate reaches the bucket parquet scan as a pushed filter
+      // (filter BEFORE the dedup/rerank = exact filtered top-k), not just
+      // as a residual Filter over the candidates
+      assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]") ||
+        plan.contains("PushedFilters: [EqualTo(label,3)"), plan)
       val a = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val b = LshIndex.search(spark, Indexes.lshEmb(spark, sf),
           "embedding", "vec_id", hashVectorValues(11L, D), D, K,
           filter = Some(col("label") === 3))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(a == b && a.nonEmpty)
+    } finally IndexedTables.clear()
+  }
+
+  test("coexisting registrations serve each metric from its own index") {
+    // the ADVICE r5 scenario: lsh + ivf + ivfpq registered for the SAME
+    // table (as the sql_ann_topk* catalog entries do) — an l2 sort must
+    // probe the EXACT IVF cells (never the rerank-bounded ADC pool) and
+    // a cosine sort the LSH bands, independent of registration order
+    AnnTopK.install(spark)
+    IndexedTables.registerIvf(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfEmb(spark, sf),
+      graft.knn.Ann.fixedIvfModel(Indexes.IvfCells, D))
+    IndexedTables.registerIvfPq(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.ivfPqEmb(spark, sf),
+      graft.knn.Ann.fixedIvfModel(Indexes.IvfCells, D),
+      graft.quant.ProductQuant.fixedCodebooks(D, 8, 16))
+    IndexedTables.register(spark, s"$sf/embeddings.parquet",
+      "embedding", "vec_id", D, Indexes.lshEmb(spark, sf))
+    try {
+      val l2Plan = topKL2().queryExecution.executedPlan.toString
+      assert(l2Plan.contains("PartitionFilters: [cell"), l2Plan)
+      assert(!l2Plan.contains("pq_adc_score"), l2Plan)
+      val cosPlan = topK().queryExecution.executedPlan.toString
+      assert(cosPlan.contains("band_idx"), cosPlan)
     } finally IndexedTables.clear()
   }
 }

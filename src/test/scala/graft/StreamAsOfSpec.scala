@@ -5,57 +5,111 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.AsOfJoin
 import graft.stream.StreamAsOf
 
-/** Streaming as-of enrichment vs the batch as-of join: with the right
-  * side arriving in order (the CDC regime), the streamed result over
-  * multiple micro-batches equals the batch operator on the union. */
+/** Streaming as-of enrichment vs the batch as-of join: the streamed
+  * result over multiple micro-batches must equal the batch operator on
+  * the union — including when arrival order is SHUFFLED across batches,
+  * the case the watermark-buffered design exists for. A final high-time
+  * sentinel right row (unused key) pushes the watermark past every real
+  * event so all buffered lefts flush. */
 class StreamAsOfSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("multi-batch streamed enrichment equals the batch as-of join") {
+  private val cols = Seq("k", "t", "side", "eid", "v")
+  private val SentinelKey = 999L
+
+  /** Stream `batches` through enrich(lateness), sentinel-flush, and
+    * return eid -> asof_v. */
+  private def streamed(batches: Seq[Seq[(Long, Long, Int, Long, Double)]],
+      lateness: String): Map[Long, Option[Double]] = {
     import spark.implicits._
-    val rnd = new scala.util.Random(13)
-    // batch 1 times in [0, 100), batch 2 in [100, 200): in-order arrival
-    def mk(lo: Int, n: Int, eidBase: Int) = (0 until n).map { i =>
-      (rnd.nextInt(3).toLong + 1L, (lo + rnd.nextInt(100)).toLong,
-        if (rnd.nextBoolean()) 0 else 1, (eidBase + i).toLong,
-        rnd.nextInt(1000).toDouble)
-    }
-    val b1 = mk(0, 60, 0)
-    val b2 = mk(100, 60, 1000)
     val src = Files.createTempDirectory("graft_stream_asof").toString
-    val cols = Seq("k", "t", "side", "eid", "v")
-    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$src/d1")
+    batches.head.toDF(cols: _*).coalesce(1).write.parquet(s"$src/d0")
     val stream = spark.readStream
-      .schema(b1.toDF(cols: _*).schema)
+      .schema(batches.head.toDF(cols: _*).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$src/d*")
-    val q = StreamAsOf.enrich(stream)
+    val name = s"asof_sink_${System.nanoTime()}"
+    val q = StreamAsOf.enrich(stream, lateness)
       .writeStream.outputMode("append")
-      .format("memory").queryName("asof_sink").start()
+      .format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
-      b2.toDF(cols: _*).coalesce(1).write.parquet(s"$src/d2")
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        b.toDF(cols: _*).coalesce(1).write.parquet(s"$src/d${i + 1}")
+        q.processAllAvailable()
+      }
+      // sentinel: one right row far in the future on an unused key
+      Seq((SentinelKey, 100000L, 0, 999999L, 0.0))
+        .toDF(cols: _*).coalesce(1).write.parquet(s"$src/dz")
       q.processAllAvailable()
-      val got = spark.table("asof_sink")
-        .collect()
+      spark.table(name).collect()
         .map(r => r.getLong(0) ->
           (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
         .toMap
-      // batch reference over the union
-      val all = (b1 ++ b2)
-      val left = all.filter(_._3 == 1).map(e => (e._4, e._1, e._2))
-        .toDF("eid", "k", "t")
-      val right = all.filter(_._3 == 0).map(e => (e._4, e._1, e._2, e._5))
-        .toDF("eid", "k", "t", "v")
-      val want = AsOfJoin.asof(left, right, "k", "t", tieBreak = "eid",
-          payloadCols = Seq("v"))
-        .collect()
-        .map(r => r.getLong(r.fieldIndex("eid")) ->
-          (if (r.isNullAt(r.fieldIndex("asof_v"))) None
-           else Some(r.getDouble(r.fieldIndex("asof_v")))))
-        .toMap
-      assert(got == want && got.nonEmpty)
-      assert(got.values.exists(_.isDefined)) // matches actually happen
     } finally q.stop()
+  }
+
+  /** Batch AsOfJoin reference over the union. */
+  private def batchRef(all: Seq[(Long, Long, Int, Long, Double)])
+      : Map[Long, Option[Double]] = {
+    import spark.implicits._
+    val left = all.filter(_._3 == 1).map(e => (e._4, e._1, e._2))
+      .toDF("eid", "k", "t")
+    val right = all.filter(_._3 == 0).map(e => (e._4, e._1, e._2, e._5))
+      .toDF("eid", "k", "t", "v")
+    AsOfJoin.asof(left, right, "k", "t", tieBreak = "eid",
+        payloadCols = Seq("v"))
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("eid")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_v"))) None
+         else Some(r.getDouble(r.fieldIndex("asof_v")))))
+      .toMap
+  }
+
+  // times start at 1: the engine's inclusive late filter drops rows at
+  // or below the watermark, and the INITIAL watermark is 0 — a t=0 row
+  // can never be admitted to an event-time-timeout stateful op
+  private def mk(rnd: scala.util.Random, lo: Int, n: Int, eidBase: Int) =
+    (0 until n).map { i =>
+      (rnd.nextInt(3).toLong + 1L, (1 + lo + rnd.nextInt(100)).toLong,
+        if (rnd.nextBoolean()) 0 else 1, (eidBase + i).toLong,
+        rnd.nextInt(1000).toDouble)
+    }
+
+  test("multi-batch streamed enrichment equals the batch as-of join") {
+    val rnd = new scala.util.Random(13)
+    val b1 = mk(rnd, 0, 60, 0)
+    val b2 = mk(rnd, 100, 60, 1000)
+    val got = streamed(Seq(b1, b2), lateness = "0 seconds")
+    val want = batchRef(b1 ++ b2)
+    assert(got == want && got.nonEmpty)
+    assert(got.values.exists(_.isDefined)) // matches actually happen
+  }
+
+  test("SHUFFLED arrival across batches still equals the batch as-of join") {
+    val rnd = new scala.util.Random(29)
+    // events over [0, 200) delivered in three batches in RANDOM order —
+    // a right row routinely arrives after left events it must enrich;
+    // lateness covers the full disorder so nothing is watermark-dropped
+    val all = rnd.shuffle(mk(rnd, 0, 150, 0) ++ mk(rnd, 100, 30, 5000))
+    val batches = all.grouped(60).toSeq
+    val got = streamed(batches, lateness = "300 seconds")
+    val want = batchRef(all)
+    assert(got == want && got.nonEmpty)
+    assert(got.values.exists(_.isDefined))
+  }
+
+  test("a right row later than the lateness bound is dropped, not mis-applied") {
+    // in-order history, then one right row 100 s behind the watermark:
+    // with lateness 0 it must NOT enrich later lefts (the old
+    // arrival-order design would have installed it as the carry)
+    val hist = Seq(
+      (1L, 10L, 0, 1L, 5.0),   // right t=10 v=5
+      (1L, 150L, 0, 2L, 7.0))  // right t=150 v=7 — pushes wm to 150
+    val late = Seq(
+      (1L, 50L, 0, 3L, 99.0),  // LATE right (t=50 < wm) — must be dropped
+      (1L, 160L, 1, 100L, 0.0)) // left t=160 → matches v=7, never 99
+    val got = streamed(Seq(hist, late), lateness = "0 seconds")
+    assert(got(100L) == Some(7.0))
   }
 }
