@@ -265,14 +265,17 @@ object GraphOps {
             expr(s"coalesce(r6, ${base}L) div od").as("c"))
         case None => outdeg.select(col("src"), expr(s"${base}L div od").as("c"))
       }
-      r = Some(edges.join(maybeBc(perSrc), "src")
+      val next = edges.join(maybeBc(perSrc), "src")
         .select(col("dst"), col("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("id"),
           (lit(150000L) + expr("sc * 17 div 20")).as("r6"))
-        // checkpoint the small rank table each hop: bounds lineage and
-        // keeps each broadcast's upstream shallow
-        .localCheckpoint())
+      // checkpoint the small rank table every second hop (and the last):
+      // a localCheckpoint is an eager materialization costing a full
+      // stage round-trip locally, and a two-hop lineage (one join + one
+      // groupBy deep) re-plans fine — halving the checkpoints cut the
+      // measured sf0.1 cold wall without touching a single rank value
+      r = Some(if (k % 2 == 0 || k == iters) next.localCheckpoint() else next)
     }
     nodes.join(r.get, Seq("id"), "left")
       .select(col("id"), coalesce(col("r6"), lit(150000L)).as("r6"))
