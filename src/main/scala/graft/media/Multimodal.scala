@@ -90,8 +90,94 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- deterministic synthetic-audio corpus: the WAV decode test bed.
+  // Signed 16-bit sample i of clip `id` — pure integer arithmetic,
+  // shared by the WAV generator, MediaSpec, and the DuckDB oracle.
+  def sampleValue(id: Long, i: Int): Int =
+    ((id * 31 + i * 7) % 65536).toInt - 32768
+  def sampleValueSql(id: String, i: String): String =
+    s"(($id) * 31 + ($i) * 7) % 65536 - 32768"
+  def synthSamples(id: Long): Int = (256 + id % 128).toInt // 256..383
+  val SynthRate = 8000
+
+  /** A canonical 44-byte-header mono 16-bit PCM WAV of the
+    * [[sampleValue]] signal — a REAL container the JDK's
+    * `javax.sound.sampled` parses, not a stand-in blob. */
+  def syntheticWav(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { bb.putShort(sampleValue(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Audio table of real WAV blobs, one per document id. */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = synthSamples(id)
+        MediaRow(id, "audio", syntheticWav(id, n, SynthRate), n, SynthRate)
+      })
+      .toDF()
+  }
+
+  final case class AudioFeatures(id: Long, dec_rate: Int, dec_frames: Int,
+      features: Seq[Double])
+
+  /** REAL audio decode (`javax.sound.sampled`, public JDK, offline) in
+    * the same per-partition batch shape as [[extractFeatures]]: the WAV
+    * container is parsed by the JDK codec, PCM frames are read back and
+    * bucket-summed — feature d = Σ sample(i) over i ≡ d (mod dim),
+    * integer-exact so the formula-driven oracle can recompute it. The
+    * decoded sample rate and frame count are surfaced so container
+    * mis-parses are visible defects. Undecodable payloads yield
+    * dec_rate = dec_frames = -1 with the byte-hash stub features. */
+  def audioFeatures(media: DataFrame, dim: Int): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("id", "kind", "payload", "width", "height").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val decoded =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                  fmt.isBigEndian) None
+              else {
+                val bytes = in.readAllBytes()
+                val bb = java.nio.ByteBuffer.wrap(bytes)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                val n = bytes.length / 2
+                val sums = new Array[Double](dim)
+                var i = 0
+                while (i < n) { sums(i % dim) += bb.getShort(2 * i); i += 1 }
+                Some(AudioFeatures(r.id, fmt.getSampleRate.toInt, n,
+                  sums.toSeq))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          decoded.getOrElse {
+            val key = fakeDecodeKey(r.payload)
+            AudioFeatures(r.id, -1, -1,
+              VectorFunctions.hashVectorValues(key, dim))
+          }
+        }
+      }
+  }
+
   /** STUB decode for non-image payloads: byte-stream hash standing in
-    * for an audio/video decoder (none ships in the JDK). */
+    * for a VIDEO decoder (the JDK ships image and WAV codecs — used
+    * above — but no video codec, so that one stays a stub). */
   private def fakeDecodeKey(payload: Array[Byte]): Long =
     payload.foldLeft(0L)((a, b) =>
       (a * TextAnalysis.CharB + (b & 0xff)) % TextAnalysis.HashM)

@@ -49,6 +49,35 @@ object MediaQueries {
            |FROM px GROUP BY id, w, h ORDER BY id""".stripMargin
       }
     ),
+    // REAL audio decode: deterministic PCM WAV blobs parsed by the JDK's
+    // javax.sound.sampled codec; bucket sums over the decoded frames are
+    // recomputed by the oracle from the sample formula — a header
+    // mis-parse, endianness bug, or frame miscount breaks the hash
+    Q(
+      "media_audio_features",
+      (s, dir) =>
+        Multimodal.audioFeatures(
+            Multimodal.syntheticAudio(Tables.documents(s, dir)), Dim)
+          .toDF()
+          .select(col("id"), col("dec_rate"), col("dec_frames"),
+            element_at(col("features"), 1).as("a0"),
+            expr("aggregate(features, 0D, (a, b) -> a + b)").as("asum"))
+          .orderBy("id"),
+      Some {
+        val v = Multimodal.sampleValueSql("d.id", "t.i")
+        s"""WITH d AS (SELECT doc_id AS id,
+           |                  (256 + doc_id % 128)::INT AS n
+           |           FROM documents),
+           |sm AS (
+           |  SELECT d.id, d.n, t.i, ($v)::INT AS v
+           |  FROM d, range(0, 384) t(i)
+           |  WHERE t.i < d.n)
+           |SELECT id, ${Multimodal.SynthRate} AS dec_rate, n AS dec_frames,
+           |       sum(CASE WHEN i % $Dim = 0 THEN v ELSE 0 END)::DOUBLE AS a0,
+           |       sum(v)::DOUBLE AS asum
+           |FROM sm GROUP BY id, n ORDER BY id""".stripMargin
+      }
+    ),
     // exact-byte blob dedup — the first pass every image/video corpus
     // runs (identical files under different ids): content hash of the
     // OPAQUE payload, per-kind duplication stats. No decode needed, so

@@ -56,6 +56,45 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("synthetic WAV round-trips through javax.sound.sampled sample-for-sample") {
+    val id = 21L
+    val n = Multimodal.synthSamples(id)
+    val wav = Multimodal.syntheticWav(id, n, Multimodal.SynthRate)
+    // a real RIFF/WAVE container — the magic-byte sniffer agrees
+    import spark.implicits._
+    val mime = Seq(Tuple1(wav)).toDF("payload")
+      .select(Multimodal.sniffMime(org.apache.spark.sql.functions.col("payload")))
+      .head().getString(0)
+    assert(mime == "audio/wav")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate.toInt == Multimodal.SynthRate)
+    val bytes = in.readAllBytes()
+    assert(bytes.length == n * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      assert(bb.getShort(2 * i) == Multimodal.sampleValue(id, i).toShort,
+        s"sample $i of clip $id decoded wrong")
+    }
+  }
+
+  test("audioFeatures really decodes: bucket sums equal the sample formula") {
+    import spark.implicits._
+    val docs = Seq(3L, 21L, 130L).toDF("doc_id")
+    val got = Multimodal
+      .audioFeatures(Multimodal.syntheticAudio(docs), 16)
+      .collect().map(f => f.id -> f).toMap
+    Seq(3L, 21L, 130L).foreach { id =>
+      val f = got(id)
+      val n = Multimodal.synthSamples(id)
+      assert(f.dec_rate == Multimodal.SynthRate && f.dec_frames == n)
+      val expect = new Array[Double](16)
+      (0 until n).foreach(i => expect(i % 16) += Multimodal.sampleValue(id, i))
+      assert(f.features == expect.toSeq, s"bucket sums for clip $id")
+    }
+  }
+
   test("undecodable payloads fall back to the stub with dec dims = -1") {
     import spark.implicits._
     val junk = Seq((1L, "image", "not a png".getBytes, 4, 4))
