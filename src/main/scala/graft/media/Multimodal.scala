@@ -55,17 +55,17 @@ object Multimodal {
   def synthW(id: Long): Int = (8 + id % 16).toInt // 8..23
   def synthH(id: Long): Int = (8 + id % 12).toInt // 8..19
 
-  /** A real PNG encode of the [[pixelValue]] grid (gray written to all
-    * three RGB channels; PNG is lossless so decode returns the exact
+  /** A real PNG encode of an arbitrary gray-value grid (gray written to
+    * all three RGB channels; PNG is lossless so decode returns the exact
     * values). */
-  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+  def pngOf(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = pixelValue(id, x, y)
+        val v = px(x, y)
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }
@@ -75,6 +75,10 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** The [[pixelValue]] grid as a real PNG. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] =
+    pngOf(w, h, (x, y) => pixelValue(id, x, y))
 
   /** Media table of REAL encoded PNG blobs, one per document id. The
     * encode runs per partition (ImageIO is executor-local JDK code), so
@@ -88,6 +92,113 @@ object Multimodal {
         MediaRow(id, "image", syntheticPng(id, w, h), w, h)
       })
       .toDF()
+  }
+
+  // ---- perceptual image hash over DECODED pixels: the image analog of
+  // MinHash dedup. A multimodal corpus dedups images the same exact-byte
+  // pass can't catch (re-encoded / brightness-shifted copies).
+
+  /** Brightness-variant corpus for the perceptual-dedup entries: doc i
+    * renders the BASE image of id i/2 with a +40 gray offset when i is
+    * odd — each even/odd pair is the same picture at two exposures, so
+    * exact-byte dedup misses it and [[aHash]] must not. Values stay in
+    * 0..255 (base % 216 + 40 max), so no clamp breaks the invariance.
+    * The base pattern's stripe FREQUENCIES depend on the base id (not
+    * just its brightness — aHash is brightness-invariant by design, so
+    * an id-as-offset-only formula would collapse same-dimension images
+    * into one hash and drown the demo in accidental matches). */
+  def phashBaseValue(b: Long, x: Int, y: Int): Int =
+    ((b * 31 + x * (7 + b % 5) + y * (13 + b % 3) +
+      x * y * (1 + b % 7)) % 216).toInt
+  def phashPixelValue(docId: Long, x: Int, y: Int): Int =
+    phashBaseValue(docId / 2, x, y) + 40 * (docId % 2).toInt
+  def phashPixelValueSql(docId: String, x: String, y: String): String = {
+    val b = s"(($docId) // 2)"
+    s"($b * 31 + ($x) * (7 + $b % 5) + ($y) * (13 + $b % 3)" +
+      s" + ($x) * ($y) * (1 + $b % 7)) % 216 + 40 * (($docId) % 2)"
+  }
+
+  def syntheticPhashImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val b = id / 2
+        val w = synthW(b); val h = synthH(b)
+        MediaRow(id, "image", pngOf(w, h, (x, y) => phashPixelValue(id, x, y)),
+          w, h)
+      })
+      .toDF()
+  }
+
+  /** Average-hash (aHash) of a gray image: 8×8 block grid (pixel (x, y)
+    * belongs to block ((x·8)/w, (y·8)/h)), bit by·8+bx set when the
+    * block's mean exceeds the global mean. The compare runs in
+    * cross-multiplied integer form (blockSum·N > globalSum·blockN) — a
+    * uniform brightness shift adds c·blockN·N to both sides and cancels
+    * EXACTLY, and every bit is reproducible by an integer-only oracle.
+    * Returned as (lo = bits 0..31, hi = bits 32..63): two halves so no
+    * bit ever shifts into the BIGINT sign position (DuckDB's `<<` checks
+    * overflow; one 64-bit value would need bit 63). */
+  def aHash(gray: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val n = w.toLong * h
+    var gs = 0L
+    var i = 0
+    while (i < gray.length) { gs += gray(i); i += 1 }
+    val bs = new Array[Long](64); val bn = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val idx = by * 8 + x * 8 / w
+        bs(idx) += gray(y * w + x); bn(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L; var hi = 0L
+    var idx = 0
+    while (idx < 64) {
+      if (bn(idx) > 0 && bs(idx) * n > gs * bn(idx)) {
+        if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+      }
+      idx += 1
+    }
+    (lo, hi)
+  }
+
+  final case class ImagePhash(id: Long, phash_lo: Long, phash_hi: Long)
+
+  /** Decode (real, javax.imageio) + [[aHash]] per partition. Undecodable
+    * payloads hash to (-1, -1) — visibly distinct from any real hash. */
+  def imagePhash(media: DataFrame): Dataset[ImagePhash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("id", "kind", "payload", "width", "height").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImagePhash(r.id, -1L, -1L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val gray = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                gray(y * w + x) = img.getRGB(x, y) & 0xff; x += 1
+              }
+              y += 1
+            }
+            val (lo, hi) = aHash(gray, w, h)
+            ImagePhash(r.id, lo, hi)
+          }
+        }
+      }
   }
 
   // ---- deterministic synthetic-audio corpus: the WAV decode test bed.

@@ -49,6 +49,121 @@ object MediaQueries {
            |FROM px GROUP BY id, w, h ORDER BY id""".stripMargin
       }
     ),
+    // perceptual hash over DECODED pixels: every bit of the 64-bit aHash
+    // is recomputed by the oracle from the pixel formula, so the whole
+    // decode → block-average → threshold chain is pinned. The corpus
+    // renders each base image at two exposures (even/odd doc pairs) —
+    // byte-level dedup can't see the duplication, the phash must.
+    Q(
+      "media_phash",
+      (s, dir) =>
+        Multimodal.imagePhash(
+            Multimodal.syntheticPhashImages(Tables.documents(s, dir)))
+          .toDF().orderBy("id"),
+      Some {
+        val v = Multimodal.phashPixelValueSql("d.id", "tx.x", "ty.y")
+        s"""WITH d AS (SELECT doc_id AS id,
+           |                  (8 + (doc_id // 2) % 16)::INT AS w,
+           |                  (8 + (doc_id // 2) % 12)::INT AS h
+           |           FROM documents),
+           |px AS (
+           |  SELECT d.id, d.w, d.h, ($v)::BIGINT AS v,
+           |         ((ty.y * 8) // d.h) * 8 + (tx.x * 8) // d.w AS idx
+           |  FROM d, range(0, 24) tx(x), range(0, 20) ty(y)
+           |  WHERE tx.x < d.w AND ty.y < d.h),
+           |g AS (SELECT id, sum(v) AS gs, count(*) AS n FROM px GROUP BY id),
+           |blk AS (SELECT id, idx, sum(v) AS bs, count(*) AS bn
+           |        FROM px GROUP BY id, idx),
+           |bits AS (
+           |  SELECT b.id, b.idx,
+           |         CASE WHEN b.bs * g.n > g.gs * b.bn THEN 1 ELSE 0 END AS bit
+           |  FROM blk b JOIN g USING (id))
+           |SELECT id,
+           |  bit_or(CASE WHEN idx < 32 AND bit = 1
+           |              THEN (1::BIGINT << idx) ELSE 0 END) AS phash_lo,
+           |  bit_or(CASE WHEN idx >= 32 AND bit = 1
+           |              THEN (1::BIGINT << (idx - 32)) ELSE 0 END) AS phash_hi
+           |FROM bits GROUP BY id ORDER BY id""".stripMargin
+      }
+    ),
+    // perceptual NEAR-DUP pairs at scale shape: 16-bit Hamming-LSH bands
+    // (two identical bands of a 64-bit hash ⟺ hamming concentrated in
+    // the others) — candidates come from a band equi-join carrying only
+    // (id, lo, hi) scalars, never an all-pairs comparison; exact
+    // bit_count(xor) filter on the candidates. The two-exposure corpus
+    // guarantees the catch: every even/odd pair is the same picture.
+    Q(
+      "media_near_dup",
+      (s, dir) => {
+        val h = Multimodal.imagePhash(
+            Multimodal.syntheticPhashImages(Tables.documents(s, dir)))
+          .toDF()
+        val banded = h.select(col("id"), col("phash_lo"), col("phash_hi"),
+            explode(array(
+              struct(lit(0).as("bi"),
+                (col("phash_lo") % 65536).as("bv")),
+              struct(lit(1).as("bi"),
+                expr("phash_lo div 65536").as("bv")),
+              struct(lit(2).as("bi"),
+                (col("phash_hi") % 65536).as("bv")),
+              struct(lit(3).as("bi"),
+                expr("phash_hi div 65536").as("bv")))).as("b"))
+          .select(col("id"), col("phash_lo"), col("phash_hi"),
+            col("b.bi"), col("b.bv"))
+        val a = banded.select(col("id").as("id_a"),
+          col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a"),
+          col("bi"), col("bv"))
+        val b = banded.select(col("id").as("id_b"),
+          col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b"),
+          col("bi"), col("bv"))
+        a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+          .select(col("id_a"), col("id_b"),
+            (expr("bit_count(lo_a ^ lo_b)") +
+              expr("bit_count(hi_a ^ hi_b)")).as("hamming"))
+          .filter(col("hamming") <= 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val v = Multimodal.phashPixelValueSql("d.id", "tx.x", "ty.y")
+        s"""WITH d AS (SELECT doc_id AS id,
+           |                  (8 + (doc_id // 2) % 16)::INT AS w,
+           |                  (8 + (doc_id // 2) % 12)::INT AS h
+           |           FROM documents),
+           |px AS (
+           |  SELECT d.id, ($v)::BIGINT AS v,
+           |         ((ty.y * 8) // d.h) * 8 + (tx.x * 8) // d.w AS idx
+           |  FROM d, range(0, 24) tx(x), range(0, 20) ty(y)
+           |  WHERE tx.x < d.w AND ty.y < d.h),
+           |g AS (SELECT id, sum(v) AS gs, count(*) AS n FROM px GROUP BY id),
+           |blk AS (SELECT id, idx, sum(v) AS bs, count(*) AS bn
+           |        FROM px GROUP BY id, idx),
+           |ph AS (
+           |  SELECT b.id,
+           |    bit_or(CASE WHEN b.idx < 32 AND b.bs * g.n > g.gs * b.bn
+           |                THEN (1::BIGINT << b.idx) ELSE 0 END) AS lo,
+           |    bit_or(CASE WHEN b.idx >= 32 AND b.bs * g.n > g.gs * b.bn
+           |                THEN (1::BIGINT << (b.idx - 32)) ELSE 0 END) AS hi
+           |  FROM blk b JOIN g USING (id) GROUP BY b.id),
+           |bands AS (
+           |  SELECT id, lo, hi, t.bi,
+           |         CASE t.bi WHEN 0 THEN lo % 65536
+           |                   WHEN 1 THEN lo // 65536
+           |                   WHEN 2 THEN hi % 65536
+           |                   ELSE hi // 65536 END AS bv
+           |  FROM ph, range(0, 4) t(bi)),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+           |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+           |  WHERE a.id < b.id)
+           |SELECT id_a, id_b,
+           |       (bit_count(xor(lo_a, lo_b)) +
+           |        bit_count(xor(hi_a, hi_b)))::INT AS hamming
+           |FROM cand WHERE hamming <= 8
+           |ORDER BY id_a, id_b""".stripMargin
+      }
+    ),
     // REAL audio decode: deterministic PCM WAV blobs parsed by the JDK's
     // javax.sound.sampled codec; bucket sums over the decoded frames are
     // recomputed by the oracle from the sample formula — a header

@@ -95,6 +95,36 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash is exposure-invariant: both renders of a base image hash equal") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val got = Multimodal
+      .imagePhash(Multimodal.syntheticPhashImages(docs))
+      .collect().map(p => p.id -> (p.phash_lo, p.phash_hi)).toMap
+    (0L until 10L).foreach { m =>
+      assert(got(2 * m) == got(2 * m + 1),
+        s"base $m: the +40-exposure render must hash identically")
+      assert(got(2 * m) != ((-1L, -1L)), "decode must have succeeded")
+    }
+    // and the corpus is not degenerate: different bases hash differently
+    assert(got.values.toSet.size > 5, got.values.toSet)
+  }
+
+  test("aHash discriminates: a structurally different image hashes differently") {
+    // same dims, different stripe frequency → different block-mean
+    // pattern; also pin one hand-computed property: a constant image has
+    // no block above the global mean, so the hash is all zeros
+    val w = 16; val h = 12
+    val flat = Array.fill(w * h)(100)
+    assert(Multimodal.aHash(flat, w, h) == ((0L, 0L)))
+    val gradX = Array.tabulate(w * h)(i => (i % w) * 10)
+    val gradY = Array.tabulate(w * h)(i => (i / w) * 10)
+    assert(Multimodal.aHash(gradX, w, h) != Multimodal.aHash(gradY, w, h))
+    // brightness shift cancels exactly (the cross-multiplied compare)
+    assert(Multimodal.aHash(gradX.map(_ + 40), w, h) ==
+      Multimodal.aHash(gradX, w, h))
+  }
+
   test("undecodable payloads fall back to the stub with dec dims = -1") {
     import spark.implicits._
     val junk = Seq((1L, "image", "not a png".getBytes, 4, 4))
