@@ -10,18 +10,25 @@ import graft.text.TextAnalysis
   * feature-extract / resize / frame-sample as per-partition batch
   * operators over a typed Dataset.
   *
-  * Image decode is REAL: [[extractFeatures]] runs `javax.imageio`
-  * (public JDK API, works offline) inside the `mapPartitions` batch
-  * shape — one reader per partition, rows streamed through an iterator.
-  * What keeps it DuckDB-oracle-checkable without a decoder on the oracle
-  * side is the corpus, not the kernel: [[syntheticImages]] encodes PNGs
-  * whose pixel values follow the pure-integer formula [[pixelValue]], so
-  * the oracle recomputes the expected post-decode features from the
-  * formula while Spark actually round-trips the bytes through the PNG
-  * codec — any decode defect (wrong pixels, wrong dims, channel order)
-  * breaks the hash match. Audio/video decode stays a clearly-marked
-  * deterministic stub (byte sampling for frames): no such codec ships in
-  * the JDK.
+  * Decode is REAL across all three modalities, all on public JDK APIs
+  * that work offline, all inside the `mapPartitions` batch shape (one
+  * reader per partition, rows streamed through an iterator):
+  *
+  *  - images: `javax.imageio` PNG decode ([[extractFeatures]],
+  *    [[imagePhash]]),
+  *  - audio: `javax.sound.sampled` WAV/PCM decode ([[audioFeatures]]),
+  *  - video-like: the JDK GIF reader's multi-frame API
+  *    ([[frameSample]]) — the closest to video decode the JDK offers
+  *    (no MP4-class codec ships with it).
+  *
+  * What keeps every kernel DuckDB-oracle-checkable without a decoder on
+  * the oracle side is the corpus, not the kernel: the synthetic
+  * generators encode real containers whose payload values follow
+  * pure-integer formulas ([[pixelValue]], [[sampleValue]],
+  * [[frameValue]]), so the oracle recomputes expected post-decode
+  * results from the formula while Spark actually round-trips the bytes
+  * through the codec — any decode defect (wrong pixels, wrong dims,
+  * channel order, endianness, frame indexing) breaks the hash match.
   */
 object Multimodal {
 
@@ -29,8 +36,8 @@ object Multimodal {
       width: Int, height: Int)
   final case class MediaFeatures(id: Long, dim: Int, dec_w: Int, dec_h: Int,
       features: Seq[Double])
-  final case class FrameSample(id: Long, frame_idx: Int, offset: Int,
-      byte_val: Int)
+  final case class FrameSample(id: Long, sample_i: Int, frame_idx: Int,
+      dec_w: Int, dec_h: Int, fsum: Long)
 
   /** Derive a deterministic media table from `documents` (payload = the
     * UTF-8 text bytes standing in for an encoded blob). */
@@ -286,9 +293,10 @@ object Multimodal {
       }
   }
 
-  /** STUB decode for non-image payloads: byte-stream hash standing in
-    * for a VIDEO decoder (the JDK ships image and WAV codecs — used
-    * above — but no video codec, so that one stays a stub). */
+  /** Fallback fingerprint for UNDECODABLE payloads (every decodable
+    * modality above runs a real JDK codec): a deterministic byte-stream
+    * hash so corrupt/foreign blobs still produce stable, comparable
+    * feature rows instead of crashing the batch. */
   private def fakeDecodeKey(payload: Array[Byte]): Long =
     payload.foldLeft(0L)((a, b) =>
       (a * TextAnalysis.CharB + (b & 0xff)) % TextAnalysis.HashM)
@@ -337,22 +345,108 @@ object Multimodal {
       }
   }
 
-  /** Deterministic frame sampling for non-image media: n offsets spread
-    * over the payload, emitting the byte at each offset (STUB for real
-    * frame decode). */
+  // ---- deterministic synthetic-video corpus: the frame-decode test
+  // bed. An animated GIF is a real multi-frame container the JDK's
+  // ImageIO reads frame-by-frame — the closest thing to video decode
+  // that needs no codec beyond the JDK.
+  def frameValue(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 97 + x * 7 + y * 13) % 256).toInt
+  def frameValueSql(id: String, f: String, x: String, y: String): String =
+    s"(($id) * 31 + ($f) * 97 + ($x) * 7 + ($y) * 13) % 256"
+  def synthFrames(id: Long): Int = (3 + id % 4).toInt // 3..6
+  def synthVidW(id: Long): Int = (8 + id % 8).toInt // 8..15
+  def synthVidH(id: Long): Int = (8 + id % 6).toInt // 8..13
+
+  /** 256-gray palette: GIF stores the palette verbatim, so gray values
+    * survive encode+decode exactly (TYPE_BYTE_GRAY would pass through a
+    * colorspace conversion instead). */
+  private def grayPalette = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** A real animated GIF of the [[frameValue]] frames. */
+  def syntheticGif(id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, frameValue(id, f, x, y)); x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Video table of real animated-GIF blobs, one per document id. */
+  def syntheticVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "video",
+          syntheticGif(id, synthFrames(id), synthVidW(id), synthVidH(id)),
+          synthVidW(id), synthVidH(id))
+      })
+      .toDF()
+  }
+
+  /** REAL frame sampling: the container is opened with the JDK's GIF
+    * ImageReader, `n` frame indexes are spread over the decoded frame
+    * count (index i ↦ i·(F−1)/(n−1)), and each sampled frame is decoded
+    * and gray-summed — integer-exact, so the oracle recomputes fsum from
+    * the frame formula while Spark actually runs the container parse +
+    * per-frame decode. Replaces the former byte-offset stub: this is the
+    * per-partition batch shape a real video codec would occupy, now
+    * exercising a real (JDK) multi-frame decoder. Undecodable payloads
+    * emit one (-1, -1, -1, -1) marker row. */
   def frameSample(media: DataFrame, n: Int): Dataset[FrameSample] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("id", "kind", "payload", "width", "height").as[MediaRow]
       .filter(_.kind != "image")
       .flatMap { r =>
-        val len = r.payload.length
-        (0 until n).flatMap { i =>
-          if (len == 0) None
-          else {
-            val off = (i.toLong * (len - 1) / math.max(1, n - 1)).toInt
-            Some(FrameSample(r.id, i, off, r.payload(off) & 0xff))
-          }
+        try {
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          try {
+            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload)))
+            val frames = reader.getNumImages(true)
+            if (frames < 1) throw new IllegalArgumentException("no frames")
+            (0 until n).map { i =>
+              val fi = (i.toLong * (frames - 1) / math.max(1, n - 1)).toInt
+              val img = reader.read(fi)
+              val w = img.getWidth; val h = img.getHeight
+              var fsum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { fsum += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+              FrameSample(r.id, i, fi, w, h, fsum)
+            }
+          } finally reader.dispose()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(FrameSample(r.id, -1, -1, -1, -1, -1L))
         }
       }
   }

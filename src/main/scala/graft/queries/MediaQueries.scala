@@ -5,11 +5,12 @@ import graft.Q
 import graft.core.Tables
 import graft.media.Multimodal
 
-/** Multimodal queries. Image decode is real (javax.imageio over
-  * deterministic synthetic PNGs — see Multimodal's scaladoc for why the
-  * oracle can still check it); the remaining frame-sample stub is integer
-  * arithmetic, so even that mapPartitions path has a DuckDB oracle
-  * pinning schema, ordering, and batch plumbing.
+/** Multimodal queries. Every decode path is real JDK-codec work —
+  * images (javax.imageio PNG), audio (javax.sound.sampled WAV), and
+  * multi-frame containers (the GIF reader's frame API) — over
+  * deterministic synthetic corpora whose payloads follow pure-integer
+  * formulas, so each DuckDB oracle recomputes expected post-decode
+  * results without a decoder of its own (see Multimodal's scaladoc).
   */
 object MediaQueries {
   private val Dim = 16
@@ -217,21 +218,38 @@ object MediaQueries {
           |       count(*) - count(DISTINCT h) AS n_dupes
           |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
     ),
+    // REAL frame sampling: animated-GIF containers (a true multi-frame
+    // format) parsed and per-frame decoded by the JDK's ImageIO reader;
+    // the sampled frames' gray sums are recomputed by the oracle from
+    // the frame formula — container mis-parse, wrong frame index, or
+    // palette corruption breaks the hash. This replaced the byte-offset
+    // stub: no honest decode stub remains in the media surface.
     Q(
       "media_frame_sample",
       (s, dir) =>
         Multimodal.frameSample(
-            Multimodal.mediaFromDocuments(Tables.documents(s, dir)), 4)
-          .toDF().orderBy("id", "frame_idx"),
-      Some(
-        """WITH v AS (SELECT doc_id AS id, text FROM documents
-          |           WHERE doc_id % 2 <> 0),
-          |f AS (SELECT id, i AS frame_idx,
-          |             ((i * (length(text) - 1)) // 3)::INT AS "offset", text
-          |      FROM v, range(0, 4) t(i) WHERE length(text) > 0)
-          |SELECT id, frame_idx, "offset",
-          |       ascii(substr(text, "offset" + 1, 1)) AS byte_val
-          |FROM f ORDER BY id, frame_idx""".stripMargin)
+            Multimodal.syntheticVideos(Tables.documents(s, dir)), 3)
+          .toDF().orderBy("id", "sample_i"),
+      Some {
+        val v = Multimodal.frameValueSql("sm.id", "sm.frame_idx",
+          "tx.x", "ty.y")
+        s"""WITH d AS (SELECT doc_id AS id, (3 + doc_id % 4)::INT AS nf,
+           |                  (8 + doc_id % 8)::INT AS w,
+           |                  (8 + doc_id % 6)::INT AS h
+           |           FROM documents),
+           |sm AS (SELECT id, nf, w, h, t.i::INT AS sample_i,
+           |              ((t.i * (nf - 1)) // 2)::INT AS frame_idx
+           |       FROM d, range(0, 3) t(i)),
+           |px AS (
+           |  SELECT sm.id, sm.sample_i, sm.frame_idx, sm.w, sm.h,
+           |         ($v)::BIGINT AS v
+           |  FROM sm, range(0, 16) tx(x), range(0, 14) ty(y)
+           |  WHERE tx.x < sm.w AND ty.y < sm.h)
+           |SELECT id, sample_i, frame_idx, w AS dec_w, h AS dec_h,
+           |       CAST(sum(v) AS BIGINT) AS fsum
+           |FROM px GROUP BY id, sample_i, frame_idx, w, h
+           |ORDER BY id, sample_i""".stripMargin
+      }
     ),
     // container-format sniffing from magic bytes — REAL (no codec):
     // payloads synthesized with deterministic JPEG/PNG/GIF/WAV headers

@@ -133,15 +133,33 @@ class MediaSpec extends AnyFunSuite {
     assert(f.dec_w == -1 && f.dec_h == -1 && f.features.length == 8)
   }
 
-  test("frame sampling covers payload start and end, images excluded") {
-    val frames = Multimodal.frameSample(media, 4).collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.id % 2 == 1), "only non-image rows sampled")
-    val byId = frames.groupBy(_.id)
-    byId.values.foreach { fs =>
-      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
-      assert(fs.find(_.frame_idx == 0).get.offset == 0)
+  test("frame sampling really decodes GIF frames: sums match the formula") {
+    import spark.implicits._
+    val docs = Seq(2L, 5L, 11L).toDF("doc_id")
+    val frames = Multimodal
+      .frameSample(Multimodal.syntheticVideos(docs), 3).collect()
+    assert(frames.length == 9)
+    frames.foreach { fr =>
+      val nf = Multimodal.synthFrames(fr.id)
+      val w = Multimodal.synthVidW(fr.id); val h = Multimodal.synthVidH(fr.id)
+      assert(fr.dec_w == w && fr.dec_h == h, "decoded dims must match")
+      assert(fr.frame_idx == fr.sample_i * (nf - 1) / 2, "sampling spread")
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        want += Multimodal.frameValue(fr.id, fr.frame_idx, x, y)
+      assert(fr.fsum == want, s"frame ${fr.frame_idx} of clip ${fr.id}")
     }
+    // first and last frames are always covered
+    assert(frames.filter(_.id == 5L).map(_.frame_idx).toSet ==
+      Set(0, (Multimodal.synthFrames(5L) - 1) / 2, Multimodal.synthFrames(5L) - 1))
+  }
+
+  test("frame sampling marks undecodable payloads instead of crashing") {
+    import spark.implicits._
+    val junk = Seq((7L, "video", "not a gif".getBytes, 4, 4))
+      .toDF("id", "kind", "payload", "width", "height")
+    val got = Multimodal.frameSample(junk, 3).collect()
+    assert(got.toSeq == Seq(Multimodal.FrameSample(7L, -1, -1, -1, -1, -1L)))
   }
 
   test("sniffMime detects magic bytes, survives short/empty payloads") {
