@@ -208,6 +208,35 @@ object Multimodal {
       }
   }
 
+  /** Perceptual near-dup pairs from a phash table (id, phash_lo,
+    * phash_hi): 16-bit Hamming-LSH bands → candidate equi-join carrying
+    * scalars only (never all-pairs) → exact bit_count(xor) filter.
+    * Callers must pre-filter failed hashes ((-1, -1)): identical failure
+    * markers would band-join every undecodable blob with every other. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("id"), col("phash_lo"), col("phash_hi"),
+        explode(array(
+          struct(lit(0).as("bi"), (col("phash_lo") % 65536).as("bv")),
+          struct(lit(1).as("bi"), expr("phash_lo div 65536").as("bv")),
+          struct(lit(2).as("bi"), (col("phash_hi") % 65536).as("bv")),
+          struct(lit(3).as("bi"), expr("phash_hi div 65536").as("bv"))))
+          .as("b"))
+      .select(col("id"), col("phash_lo"), col("phash_hi"),
+        col("b.bi"), col("b.bv"))
+    val a = banded.select(col("id").as("id_a"),
+      col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a"),
+      col("bi"), col("bv"))
+    val b = banded.select(col("id").as("id_b"),
+      col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b"),
+      col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(lo_a ^ lo_b)") +
+          expr("bit_count(hi_a ^ hi_b)")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- deterministic synthetic-audio corpus: the WAV decode test bed.
   // Signed 16-bit sample i of clip `id` — pure integer arithmetic,
   // shared by the WAV generator, MediaSpec, and the DuckDB oracle.

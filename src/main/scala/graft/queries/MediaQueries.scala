@@ -85,7 +85,10 @@ object MediaQueries {
            |  bit_or(CASE WHEN idx >= 32 AND bit = 1
            |              THEN (1::BIGINT << (idx - 32)) ELSE 0 END) AS phash_hi
            |FROM bits GROUP BY id ORDER BY id""".stripMargin
-      }
+      },
+      // benched: the one entry exercising the real PNG encode + decode +
+      // hash path end-to-end (≈1.6 s warm for 5 000 images at sf0.1)
+      bench = true
     ),
     // perceptual NEAR-DUP pairs at scale shape: 16-bit Hamming-LSH bands
     // (two identical bands of a 64-bit hash ⟺ hamming concentrated in
@@ -95,36 +98,13 @@ object MediaQueries {
     // guarantees the catch: every even/odd pair is the same picture.
     Q(
       "media_near_dup",
-      (s, dir) => {
-        val h = Multimodal.imagePhash(
-            Multimodal.syntheticPhashImages(Tables.documents(s, dir)))
-          .toDF()
-        val banded = h.select(col("id"), col("phash_lo"), col("phash_hi"),
-            explode(array(
-              struct(lit(0).as("bi"),
-                (col("phash_lo") % 65536).as("bv")),
-              struct(lit(1).as("bi"),
-                expr("phash_lo div 65536").as("bv")),
-              struct(lit(2).as("bi"),
-                (col("phash_hi") % 65536).as("bv")),
-              struct(lit(3).as("bi"),
-                expr("phash_hi div 65536").as("bv")))).as("b"))
-          .select(col("id"), col("phash_lo"), col("phash_hi"),
-            col("b.bi"), col("b.bv"))
-        val a = banded.select(col("id").as("id_a"),
-          col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a"),
-          col("bi"), col("bv"))
-        val b = banded.select(col("id").as("id_b"),
-          col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b"),
-          col("bi"), col("bv"))
-        a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
-          .select(col("id_a"), col("id_b"),
-            (expr("bit_count(lo_a ^ lo_b)") +
-              expr("bit_count(hi_a ^ hi_b)")).as("hamming"))
-          .filter(col("hamming") <= 8)
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) =>
+        Multimodal.phashNearDupPairs(
+            Multimodal.imagePhash(
+              Multimodal.syntheticPhashImages(Tables.documents(s, dir)))
+              .toDF(),
+            maxHamming = 8)
+          .orderBy("id_a", "id_b"),
       Some {
         val v = Multimodal.phashPixelValueSql("d.id", "tx.x", "ty.y")
         s"""WITH d AS (SELECT doc_id AS id,
@@ -249,6 +229,106 @@ object MediaQueries {
            |       CAST(sum(v) AS BIGINT) AS fsum
            |FROM px GROUP BY id, sample_i, frame_idx, w, h
            |ORDER BY id, sample_i""".stripMargin
+      }
+    ),
+    // the composed multimodal ingest report: all three decoders run over
+    // corpora with DELIBERATE corruption (every doc_id % 10 == 7 payload
+    // truncated to 10 bytes), so the decode-failure rate — THE metric a
+    // real multimodal ingest watches — is a live number the oracle pins,
+    // not a constant 0; plus perceptual near-dup counts among the
+    // decodable images. One row per modality.
+    Q(
+      "media_card",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        def corrupt(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("payload",
+            when(col("id") % 10 === 7, expr("substring(payload, 1, 10)"))
+              .otherwise(col("payload")))
+        val docs = Tables.documents(s, dir)
+        val img = Multimodal.imagePhash(
+          corrupt(Multimodal.syntheticPhashImages(docs))).toDF()
+        val imgOk = img.filter(col("phash_lo") =!= -1L ||
+          col("phash_hi") =!= -1L)
+        val pairs = Multimodal.phashNearDupPairs(imgOk, maxHamming = 8)
+          .agg(count(lit(1)).as("near_dup_pairs"))
+        val imgRow = img
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(when(col("phash_lo") === -1L && col("phash_hi") === -1L, 1L)
+              .otherwise(0L)).as("n_decode_fail"))
+          .crossJoin(pairs)
+          .select(lit("image").as("kind"), col("n_blobs"),
+            (col("n_blobs") - col("n_decode_fail")).as("n_decode_ok"),
+            col("n_decode_fail"), col("near_dup_pairs"))
+        val aud = Multimodal.audioFeatures(
+          corrupt(Multimodal.syntheticAudio(docs)), Dim).toDF()
+        val audRow = aud
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(when(col("dec_rate") === -1, 1L).otherwise(0L))
+              .as("n_decode_fail"))
+          .select(lit("audio").as("kind"), col("n_blobs"),
+            (col("n_blobs") - col("n_decode_fail")).as("n_decode_ok"),
+            col("n_decode_fail"), lit(0L).as("near_dup_pairs"))
+        val vid = Multimodal.frameSample(
+          corrupt(Multimodal.syntheticVideos(docs)), 3).toDF()
+        val vidRow = vid
+          .select(col("id"), when(col("sample_i") === -1, 1L).otherwise(0L)
+            .as("fail"))
+          .groupBy("id").agg(max("fail").as("fail"))
+          .agg(count(lit(1)).as("n_blobs"), sum("fail").as("n_decode_fail"))
+          .select(lit("video").as("kind"), col("n_blobs"),
+            (col("n_blobs") - col("n_decode_fail")).as("n_decode_ok"),
+            col("n_decode_fail"), lit(0L).as("near_dup_pairs"))
+        imgRow.unionByName(audRow).unionByName(vidRow).orderBy("kind")
+      },
+      Some {
+        val v = Multimodal.phashPixelValueSql("d.id", "tx.x", "ty.y")
+        s"""WITH d AS (SELECT doc_id AS id,
+           |                  (8 + (doc_id // 2) % 16)::INT AS w,
+           |                  (8 + (doc_id // 2) % 12)::INT AS h
+           |           FROM documents WHERE doc_id % 10 <> 7),
+           |px AS (
+           |  SELECT d.id, ($v)::BIGINT AS v,
+           |         ((ty.y * 8) // d.h) * 8 + (tx.x * 8) // d.w AS idx
+           |  FROM d, range(0, 24) tx(x), range(0, 20) ty(y)
+           |  WHERE tx.x < d.w AND ty.y < d.h),
+           |g AS (SELECT id, sum(v) AS gs, count(*) AS n FROM px GROUP BY id),
+           |blk AS (SELECT id, idx, sum(v) AS bs, count(*) AS bn
+           |        FROM px GROUP BY id, idx),
+           |ph AS (
+           |  SELECT b.id,
+           |    bit_or(CASE WHEN b.idx < 32 AND b.bs * g.n > g.gs * b.bn
+           |                THEN (1::BIGINT << b.idx) ELSE 0 END) AS lo,
+           |    bit_or(CASE WHEN b.idx >= 32 AND b.bs * g.n > g.gs * b.bn
+           |                THEN (1::BIGINT << (b.idx - 32)) ELSE 0 END) AS hi
+           |  FROM blk b JOIN g USING (id) GROUP BY b.id),
+           |bands AS (
+           |  SELECT id, lo, hi, t.bi,
+           |         CASE t.bi WHEN 0 THEN lo % 65536
+           |                   WHEN 1 THEN lo // 65536
+           |                   WHEN 2 THEN hi % 65536
+           |                   ELSE hi // 65536 END AS bv
+           |  FROM ph, range(0, 4) t(bi)),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+           |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+           |  WHERE a.id < b.id),
+           |np AS (SELECT count(*) AS near_dup_pairs FROM cand
+           |       WHERE bit_count(xor(lo_a, lo_b)) +
+           |             bit_count(xor(hi_a, hi_b)) <= 8),
+           |tot AS (SELECT count(*) AS n,
+           |               count(CASE WHEN doc_id % 10 = 7 THEN 1 END) AS bad
+           |        FROM documents)
+           |SELECT k.kind, tot.n AS n_blobs,
+           |       CAST(tot.n - tot.bad AS BIGINT) AS n_decode_ok,
+           |       CAST(tot.bad AS BIGINT) AS n_decode_fail,
+           |       CASE WHEN k.kind = 'image'
+           |            THEN (SELECT near_dup_pairs FROM np)
+           |            ELSE 0 END AS near_dup_pairs
+           |FROM tot, (VALUES ('audio'), ('image'), ('video')) k(kind)
+           |ORDER BY k.kind""".stripMargin
       }
     ),
     // container-format sniffing from magic bytes — REAL (no codec):
