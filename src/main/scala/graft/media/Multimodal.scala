@@ -322,6 +322,95 @@ object Multimodal {
       }
   }
 
+  // ---- gain-invariant audio fingerprint over DECODED PCM: the audio
+  // analog of [[aHash]]. Bit j compares the samples at two spread
+  // positions (p_j, p_{j+1}); a positive gain scales both sides of the
+  // comparison and cancels EXACTLY — the same invariance-by-integer-
+  // arithmetic discipline as the image hash.
+
+  /** Signal of the audio near-dup corpus: coefficients hash-spread per
+    * base id (small coefficient classes would make unrelated clips share
+    * most delta signs and drown the near-dup join in accidental
+    * matches). Range ±16384 so a 2× gain still fits int16. */
+  def fpSampleValue(b: Long, i: Int): Int = {
+    val c2 = 7 + (b * 2654435761L) % 997
+    val c1 = 5 + (b * 40503L) % 211
+    ((b * 31 + i.toLong * i * c2 + i * c1) % 32768).toInt - 16384
+  }
+  def fpSampleValueSql(b: String, i: String): String =
+    s"(($b) * 31 + ($i) * ($i) * (7 + (($b) * 2654435761) % 997)" +
+      s" + ($i) * (5 + (($b) * 40503) % 211)) % 32768 - 16384"
+
+  /** Two-gain corpus: doc i renders the base clip of id i/2 at gain
+    * (1 + i%2) — same recording, different loudness; byte dedup misses
+    * it, the fingerprint must not. */
+  def syntheticGainAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val b = id / 2
+        val n = synthSamples(b)
+        val gain = 1 + (id % 2).toInt
+        val dataSize = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)
+          .putInt(SynthRate).putInt(SynthRate * 2).putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var i = 0
+        while (i < n) {
+          bb.putShort((fpSampleValue(b, i) * gain).toShort); i += 1
+        }
+        MediaRow(id, "audio", bb.array(), n, SynthRate)
+      })
+      .toDF()
+  }
+
+  final case class AudioFp(id: Long, fp_lo: Long, fp_hi: Long)
+
+  /** 64-bit delta-sign fingerprint of really-decoded PCM: bit j set when
+    * sample(p_{j+1}) > sample(p_j), positions p_j = j·(n−1)/64 spread
+    * over the clip. Undecodable payloads fingerprint to (-1, -1). */
+  def audioFingerprint(media: DataFrame): Dataset[AudioFp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("id", "kind", "payload", "width", "height").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val fp =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                  fmt.isBigEndian) None
+              else {
+                val bytes = in.readAllBytes()
+                val bb = java.nio.ByteBuffer.wrap(bytes)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                val n = bytes.length / 2
+                var lo = 0L; var hi = 0L
+                var j = 0
+                while (j < 64) {
+                  val p0 = (j.toLong * (n - 1) / 64).toInt
+                  val p1 = ((j + 1).toLong * (n - 1) / 64).toInt
+                  if (bb.getShort(2 * p1) > bb.getShort(2 * p0)) {
+                    if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+                  }
+                  j += 1
+                }
+                Some(AudioFp(r.id, lo, hi))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          fp.getOrElse(AudioFp(r.id, -1L, -1L))
+        }
+      }
+  }
+
   /** Fallback fingerprint for UNDECODABLE payloads (every decodable
     * modality above runs a real JDK codec): a deterministic byte-stream
     * hash so corrupt/foreign blobs still produce stable, comparable

@@ -231,6 +231,86 @@ object MediaQueries {
            |ORDER BY id, sample_i""".stripMargin
       }
     ),
+    // gain-invariant audio fingerprint over DECODED PCM — the audio
+    // analog of media_phash: every bit compares two really-decoded
+    // samples, and the oracle recomputes all 64 from the signal formula
+    Q(
+      "media_audio_fingerprint",
+      (s, dir) =>
+        Multimodal.audioFingerprint(
+            Multimodal.syntheticGainAudio(Tables.documents(s, dir)))
+          .toDF().orderBy("id"),
+      Some {
+        def p(off: Int) = s"(((t.j + $off) * (d.n - 1)) // 64)"
+        val v0 = Multimodal.fpSampleValueSql("d.b", p(0))
+        val v1 = Multimodal.fpSampleValueSql("d.b", p(1))
+        s"""WITH d AS (SELECT doc_id AS id, doc_id // 2 AS b,
+           |                  (256 + (doc_id // 2) % 128)::INT AS n
+           |           FROM documents),
+           |bits AS (
+           |  SELECT d.id, t.j,
+           |         CASE WHEN ($v1) > ($v0) THEN 1 ELSE 0 END AS bit
+           |  FROM d, range(0, 64) t(j))
+           |SELECT id,
+           |  bit_or(CASE WHEN j < 32 AND bit = 1
+           |              THEN (1::BIGINT << j) ELSE 0 END) AS fp_lo,
+           |  bit_or(CASE WHEN j >= 32 AND bit = 1
+           |              THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS fp_hi
+           |FROM bits GROUP BY id ORDER BY id""".stripMargin
+      }
+    ),
+    // audio near-dup at scale shape: the same 16-bit Hamming-LSH band
+    // join as the image path, over the gain-pair corpus — every even/odd
+    // pair is the same recording at two loudnesses, invisible to byte
+    // dedup, hamming 0 to the fingerprint
+    Q(
+      "media_audio_near_dup",
+      (s, dir) =>
+        Multimodal.phashNearDupPairs(
+            Multimodal.audioFingerprint(
+              Multimodal.syntheticGainAudio(Tables.documents(s, dir)))
+              .toDF()
+              .select(col("id"), col("fp_lo").as("phash_lo"),
+                col("fp_hi").as("phash_hi")),
+            maxHamming = 8)
+          .orderBy("id_a", "id_b"),
+      Some {
+        def p(off: Int) = s"(((t.j + $off) * (d.n - 1)) // 64)"
+        val v0 = Multimodal.fpSampleValueSql("d.b", p(0))
+        val v1 = Multimodal.fpSampleValueSql("d.b", p(1))
+        s"""WITH d AS (SELECT doc_id AS id, doc_id // 2 AS b,
+           |                  (256 + (doc_id // 2) % 128)::INT AS n
+           |           FROM documents),
+           |bits AS (
+           |  SELECT d.id, t.j,
+           |         CASE WHEN ($v1) > ($v0) THEN 1 ELSE 0 END AS bit
+           |  FROM d, range(0, 64) t(j)),
+           |ph AS (
+           |  SELECT id,
+           |    bit_or(CASE WHEN j < 32 AND bit = 1
+           |                THEN (1::BIGINT << j) ELSE 0 END) AS lo,
+           |    bit_or(CASE WHEN j >= 32 AND bit = 1
+           |                THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS hi
+           |  FROM bits GROUP BY id),
+           |bands AS (
+           |  SELECT id, lo, hi, t.bi,
+           |         CASE t.bi WHEN 0 THEN lo % 65536
+           |                   WHEN 1 THEN lo // 65536
+           |                   WHEN 2 THEN hi % 65536
+           |                   ELSE hi // 65536 END AS bv
+           |  FROM ph, range(0, 4) t(bi)),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+           |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+           |  WHERE a.id < b.id)
+           |SELECT id_a, id_b,
+           |       (bit_count(xor(lo_a, lo_b)) +
+           |        bit_count(xor(hi_a, hi_b)))::INT AS hamming
+           |FROM cand WHERE hamming <= 8
+           |ORDER BY id_a, id_b""".stripMargin
+      }
+    ),
     // the composed multimodal ingest report: all three decoders run over
     // corpora with DELIBERATE corruption (every doc_id % 10 == 7 payload
     // truncated to 10 bytes), so the decode-failure rate — THE metric a

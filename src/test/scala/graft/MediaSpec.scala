@@ -125,6 +125,20 @@ class MediaSpec extends AnyFunSuite {
       Multimodal.aHash(gradX, w, h))
   }
 
+  test("audio fingerprint is gain-invariant and discriminating") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val got = Multimodal
+      .audioFingerprint(Multimodal.syntheticGainAudio(docs))
+      .collect().map(f => f.id -> (f.fp_lo, f.fp_hi)).toMap
+    (0L until 10L).foreach { m =>
+      assert(got(2 * m) == got(2 * m + 1),
+        s"base $m: the 2x-gain render must fingerprint identically")
+      assert(got(2 * m) != ((-1L, -1L)), "decode must have succeeded")
+    }
+    assert(got.values.toSet.size == 10, "distinct bases fingerprint apart")
+  }
+
   test("undecodable payloads fall back to the stub with dec dims = -1") {
     import spark.implicits._
     val junk = Seq((1L, "image", "not a png".getBytes, 4, 4))
