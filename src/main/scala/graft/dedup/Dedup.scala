@@ -458,6 +458,87 @@ object Dedup {
       .selectExpr("doc_id", s"$bits as simhash")
   }
 
+  // ---- exact-substring scrub -----------------------------------------
+
+  /** Cross-document duplicated-substring removal (the practical shape of
+    * Lee et al. 2022's exact-substring dedup, at word-k-gram
+    * granularity): any k-gram of word tokens that appears in ≥ `minDocs`
+    * DISTINCT documents is boilerplate; every word position covered by a
+    * duplicated k-gram occurrence is removed and the survivors are
+    * reassembled in order. Returns (doc_id, n_words, n_removed,
+    * clean_text) for every input document (fully-scrubbed docs keep a
+    * row with clean_text = '').
+    *
+    * Scale shape: the shingle explode is a linear ×k blowup; the
+    * duplicated-shingle groupBy and the position reassembly are each one
+    * map-side-combinable shuffle; covered positions re-enter by
+    * (doc, shingle-start) equi-join — no all-pairs stage anywhere, and
+    * within-doc repetition (text_repetition's job) deliberately does not
+    * trigger removal. */
+  def substringScrub(docs: DataFrame, k: Int = 5, minDocs: Int = 2)
+      : DataFrame = {
+    val words = docs.selectExpr("doc_id", s"${wordTokens("text")} as ws")
+    val sh = words.selectExpr("doc_id",
+      s"""posexplode(
+         |  case when size(ws) >= $k
+         |       then transform(sequence(0, size(ws) - $k),
+         |                      p -> array_join(slice(ws, p + 1, $k), ' '))
+         |       else cast(array() as array<string>) end)
+         |  as (p, shingle)""".stripMargin)
+    val dup = sh.groupBy("shingle")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("shingle")
+    val covered = sh.join(dup, "shingle")
+      .selectExpr("doc_id", s"explode(sequence(p, p + ${k - 1})) as pos")
+      .distinct()
+    val wordPos = words.selectExpr("doc_id", "posexplode(ws) as (pos, wd)")
+    val keptAgg = wordPos
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("wd")))).as("pw"))
+    words.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        (size(col("ws")) - coalesce(size(col("pw")), lit(0)))
+          .cast("int").as("n_removed"),
+        coalesce(expr("array_join(transform(pw, x -> x.wd), ' ')"), lit(""))
+          .as("clean_text"))
+  }
+
+  /** DuckDB twin of [[substringScrub]] (same k-gram windows, same
+    * distinct-doc threshold, same position arithmetic). Correlated
+    * position ranges use the list-returning `range()` + `unnest` in the
+    * SELECT list — the `range()` TABLE function rejects lateral column
+    * arguments. */
+  def substringScrubSql(k: Int = 5, minDocs: Int = 2): String =
+    s"""WITH w AS (SELECT doc_id, ${wordTokensSql("text")} AS ws FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, ws,
+       |         unnest(range(0, greatest(len(ws) - $k + 1, 0))) AS p
+       |  FROM w),
+       |sh AS (
+       |  SELECT doc_id, p,
+       |         array_to_string(ws[p + 1 : p + $k], ' ') AS shingle
+       |  FROM sh0),
+       |dup AS (SELECT shingle FROM sh GROUP BY shingle
+       |        HAVING count(DISTINCT doc_id) >= $minDocs),
+       |cov0 AS (
+       |  SELECT s.doc_id, unnest(range(s.p, s.p + $k)) AS pos
+       |  FROM sh s JOIN dup USING (shingle)),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+       |wp0 AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM w),
+       |wp AS (SELECT doc_id, pos, ws[pos + 1] AS wd FROM wp0),
+       |kept AS (
+       |  SELECT wp.doc_id, wp.pos, wp.wd
+       |  FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+       |  WHERE cov.pos IS NULL)
+       |SELECT doc_id,
+       |  CAST(min(len(w.ws)) AS INT) AS n_words,
+       |  CAST(min(len(w.ws)) - count(k.pos) AS INT) AS n_removed,
+       |  coalesce(string_agg(k.wd, ' ' ORDER BY k.pos), '') AS clean_text
+       |FROM w LEFT JOIN kept k USING (doc_id)
+       |GROUP BY doc_id""".stripMargin
+
   def simhashSql: String = {
     val sums = (0 until SimhashBits).map(j =>
       s"sum(case when (h >> $j) & 1 = 1 then 1 else -1 end) AS s$j")

@@ -49,6 +49,18 @@ object DedupQueries {
       Some(s"${Dedup.simhashSql}\nORDER BY doc_id"),
       bench = true
     ),
+    // exact-substring scrub (Lee et al. 2022 shape at word-k-gram
+    // granularity): word 5-grams repeated across ≥2 distinct docs are
+    // boilerplate — remove every covered word position, reassemble the
+    // survivors in order. Linear ×k shingle explode + two combinable
+    // shuffles; no all-pairs stage.
+    Q(
+      "dedup_substrings",
+      (s, dir) =>
+        Dedup.substringScrub(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"${Dedup.substringScrubSql()}\nORDER BY doc_id"),
+      bench = true
+    ),
     // per-source near-dup report, scale-safe form: pair generation goes
     // through the MinHash (band, sig) bucket join — the source block key
     // is a CONJUNCT of the bucket key, never the join key alone, so a

@@ -362,6 +362,45 @@ object TextQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS merges_match")
     ),
+    // the APPLY half of the tokenizer: distributed corpus encode with
+    // the learned merges. The per-symbol merge loop runs once per
+    // DISTINCT word (vocabulary-sized, broadcast ranks); the corpus pass
+    // is explode + hash-join + position-ordered reassembly. Gated
+    // in-engine three ways: segmentation is lossless (concat of tokens
+    // rebuilds every doc's words), the greedy lowest-rank encoder equals
+    // the sequential reference apply on the whole vocabulary, and
+    // merges genuinely compress (tokens < chars corpus-wide).
+    Q(
+      "text_bpe_encode",
+      (s, dir) => {
+        import graft.text.BpeTrain
+        val sample = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        val wordsDf = BpeTrain.wordCounts(sample, "text").localCheckpoint()
+        val merges = BpeTrain.learnFromWords(wordsDf, iters = 60)
+        val enc = BpeTrain.encodeCorpus(sample, "text", merges)
+          .localCheckpoint()
+        val lossless = enc
+          .join(sample.selectExpr("doc_id",
+            s"array_join(${wordTokens("text")}, '') as flat"), "doc_id")
+          .filter(expr("array_join(tokens, '') != flat"))
+          .isEmpty
+        val ranks = BpeTrain.ranksOf(merges)
+        val twin = wordsDf.collect().map(_.getString(0)).forall { w =>
+          BpeTrain.encodeWord(w, ranks).toVector ==
+            BpeTrain.referenceEncodeWord(w, merges)
+        }
+        val Array(toks, chars) = enc
+          .agg(sum("n_tokens"), sum(expr("aggregate(tokens, 0, (a, t) -> a + length(t))")))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val spark = s
+        import spark.implicits._
+        Seq((lossless, twin, toks > 0 && toks < chars))
+          .toDF("lossless", "matches_reference", "compresses")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS lossless, " +
+        "CAST(1 AS BOOLEAN) AS matches_reference, " +
+        "CAST(1 AS BOOLEAN) AS compresses")
+    ),
     // step 2: per-document NLL/perplexity under that LM — the
     // high-perplexity tail is what a CCNet-style pipeline drops. Scoring
     // is two hash joins on the count tables + one micro-nat-exact agg.

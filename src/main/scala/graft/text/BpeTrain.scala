@@ -124,6 +124,97 @@ object BpeTrain {
     out.toSeq
   }
 
+  /** Greedy lowest-rank BPE apply for ONE word: repeatedly find the
+    * adjacent symbol pair with the lowest merge rank and merge every
+    * occurrence (left-to-right) until no learned pair remains. For a
+    * merge list produced by BPE training this yields the identical
+    * segmentation to applying the merges in learned order
+    * ([[referenceEncodeWord]]) — a symbol can only participate in a
+    * merge after the lower-ranked merges that built it — but costs
+    * O(passes · len) with passes ≤ len instead of O(|merges| · len),
+    * which is what makes 30k-merge vocabularies affordable per word.
+    * BpeApplySpec pins the equivalence over learned merges. */
+  def encodeWord(w: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val l = syms.zip(syms.tail).find(p => ranks.get(p).contains(bestRank)).get
+        val b = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l._1 && syms(j + 1) == l._2) {
+            b += (l._1 + l._2); j += 2
+          } else { b += syms(j); j += 1 }
+        }
+        syms = b.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Sequential reference apply — each learned merge applied in order,
+    * exactly [[referenceLearn]]'s rewrite rule. Verification twin for
+    * [[encodeWord]]. */
+  def referenceEncodeWord(w: String, merges: Seq[Merge]): Vector[String] = {
+    var syms = w.map(_.toString).toVector
+    merges.foreach { m =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == m.left && syms(i + 1) == m.right) {
+          b += (m.left + m.right); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      syms = b.result()
+    }
+    syms
+  }
+
+  /** Rank lookup for [[encodeWord]]: merge i has rank i. */
+  def ranksOf(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap
+
+  /** Distributed corpus tokenization with learned merges — the apply
+    * half of the tokenizer. Same two-level factoring as [[learn]]: the
+    * merge loop runs once per DISTINCT word (a vocabulary-sized
+    * mapPartitions with the rank table broadcast), and the corpus-scale
+    * work is relational — explode words with positions, hash-join the
+    * (word → tokens) table back, reassemble per document in position
+    * order. At 100 TB the per-symbol loop cost is O(vocab), not
+    * O(corpus); repeated words are encoded exactly once.
+    * Returns (idCol, n_words, n_tokens, tokens). */
+  def encodeCorpus(docs: DataFrame, textCol: String, merges: Seq[Merge],
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = ranksOf(merges)
+    val bc = spark.sparkContext.broadcast(ranks)
+    val words = docs.selectExpr(idCol,
+      s"posexplode(${TextAnalysis.wordTokens(textCol)}) as (pos, w)")
+    val vocab = words.select("w").distinct().as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map(w => (w, encodeWord(w, r).toSeq))
+      }
+      .toDF("w", "toks")
+    words.join(vocab, "w")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("toks")))).as("pt"))
+      .select(col(idCol), size(col("pt")).as("n_words"),
+        flatten(expr("transform(pt, x -> x.toks)")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** Driver-side reference implementation (plain Scala, same tie rule) —
     * the verification twin for the in-engine gate. */
   def referenceLearn(words: Map[String, Long], iters: Int): Seq[Merge] = {

@@ -62,6 +62,37 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(learned == BpeTrain.referenceLearn(Map("bb" -> 3L, "aa" -> 2L), 2))
   }
 
+  test("encodeWord: greedy lowest-rank equals the sequential reference apply") {
+    // on a merge list produced by training, picking the lowest-rank
+    // present pair must reproduce the apply-in-learned-order
+    // segmentation for every vocabulary word — and concatenating the
+    // tokens must rebuild the word exactly (lossless)
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.sf)
+      .limit(100).cache()
+    val wordsDf = BpeTrain.wordCounts(docs, "text").localCheckpoint()
+    val merges = BpeTrain.learnFromWords(wordsDf, 60)
+    val ranks = BpeTrain.ranksOf(merges)
+    wordsDf.collect().map(_.getString(0)).foreach { w =>
+      val got = BpeTrain.encodeWord(w, ranks)
+      assert(got.toVector == BpeTrain.referenceEncodeWord(w, merges),
+        s"greedy/sequential divergence on '$w'")
+      assert(got.mkString == w, s"lossy segmentation of '$w'")
+    }
+  }
+
+  test("encodeCorpus: distributed tokens are position-ordered and lossless") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "lower low"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.learn(docs, "text", 3) // (l,o), (lo,w), (e,r)
+    val out = BpeTrain.encodeCorpus(docs, "text", merges).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getSeq[String](r.fieldIndex("tokens"))).toMap
+    assert(out(1L) == Seq("low", "low", "low", "er"))
+    assert(out(2L) == Seq("low", "er", "low"))
+    assert(!out.contains(3L), "a doc with no word tokens produces no row")
+  }
+
   test("greedy apply does not re-merge across a fresh merge boundary") {
     import spark.implicits._
     // "aaa": pairs (a,a)×2 → merge 'aa'; greedy scan of a,a,a yields

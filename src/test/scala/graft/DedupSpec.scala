@@ -91,4 +91,26 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     pair.foreach(row => assert(row.getInt(0) == row.getInt(1), row))
   }
+
+  test("substring scrub removes cross-doc 5-grams and keeps unique text") {
+    val boiler = "one two three four five"
+    val d = docs(
+      1 -> s"alpha $boiler beta",
+      2 -> s"gamma $boiler",
+      3 -> "unique words only here now",
+      4 -> boiler,
+      5 -> boiler)
+    val rows = Dedup.substringScrub(d).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // the shared 5-gram is scrubbed wherever it occurs; words outside
+    // any duplicated window survive in order
+    assert(rows(1) == ((7, 5, "alpha beta")))
+    assert(rows(2) == ((6, 5, "gamma")))
+    // doc 3's only 5-gram is unique → untouched
+    assert(rows(3) == ((5, 0, "unique words only here now")))
+    // fully-boilerplate docs keep a row with empty clean_text
+    assert(rows(4) == ((5, 5, "")))
+    assert(rows(5) == ((5, 5, "")))
+  }
 }
