@@ -133,6 +133,72 @@ object DedupQueries {
       },
       bench = true
     ),
+    // SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
+    // embedding space (fixed deterministic codebook, the codegen'd IVF
+    // assignment kernel), then within each cluster drop any vector whose
+    // cosine distance to a LOWER-id clustermate is at or below the
+    // threshold — the keep-list form. Candidate pairs come from the cell
+    // equi-join, never all-pairs: the cluster count bounds the pairwise
+    // work per cell, which is the algorithm's scale design.
+    Q(
+      "dedup_semantic",
+      (s, dir) => {
+        import graft.knn.Ann
+        val D = Tables.EmbeddingDim
+        val cells = graft.index.Indexes.IvfCells
+        val model = Ann.fixedIvfModel(cells, D)
+        val tau = 0.7
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        val assigned = emb.select(col("vec_id"),
+          nearestCell(col("embedding"), model.centroids).as("cell"),
+          col("embedding"))
+        val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"))
+        val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb"))
+        val dropped = a.join(b, Seq("cell"))
+          .filter(col("vec_a") < col("vec_b") &&
+            round(cosineDistance(col("ea"), col("eb")), 6) <= tau)
+          .select(col("vec_b").as("vec_id")).distinct()
+        assigned.select("vec_id", "cell")
+          .join(dropped.withColumn("d", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            not(coalesce(col("d"), lit(false))).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some {
+        import graft.knn.Ann
+        import graft.functions.VectorFunctions
+        val D = Tables.EmbeddingDim
+        val cells = graft.index.Indexes.IvfCells
+        s"""WITH cents AS (
+           |  SELECT cell, ${VectorFunctions
+              .hashVectorSql(s"${Ann.CentroidKeyBase} + cell", D)} AS cv
+           |  FROM range($cells) t(cell)),
+           |cd AS (
+           |  SELECT e.vec_id, c.cell,
+           |         ${VectorFunctions.sqL2Sql("e.embedding", "c.cv", D)} AS d2
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assign AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY d2, cell) AS rn
+           |    FROM cd) WHERE rn = 1),
+           |e2 AS (SELECT a.vec_id, a.cell, e.embedding
+           |       FROM assign a JOIN embeddings e USING (vec_id)),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE round(${cosineDistanceSql(
+              "a.embedding", "b.embedding", D)}, 6) <= 0.7)
+           |SELECT a.vec_id, a.cell,
+           |       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+           |FROM assign a ORDER BY vec_id""".stripMargin
+      },
+      bench = true
+    ),
     // the composed training-data prep pipeline a 100 TB corpus runs
     // nightly: quality gate → language gate → near-dup keep-list
     // (keep doc == its component representative) → per-source summary.
