@@ -263,6 +263,52 @@ object PipelineQueries {
            |FROM d GROUP BY source ORDER BY source""".stripMargin
       }
     ),
+    // temperature-scaled source mixing (the α<1 upweighting of tail
+    // sources every multi-source LLM corpus applies): keep rate per
+    // source p_s = min(1, β·(n_max/n_s)^(1−α)) with α=0.5, β=0.5 — the
+    // largest source keeps β, rarer sources keep proportionally more.
+    // The rate table is source-count-sized (broadcast); the accept test
+    // is the same deterministic affine-hash in integer million-units as
+    // the other samplers, so reruns and repartitioning are stable and
+    // the double-precision sqrt rounds identically in both engines via
+    // floor(x + 0.5).
+    Q(
+      "pipeline_temperature_mix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val nmax = counts.agg(max("n_s").as("n_max"))
+        val rates = counts.crossJoin(broadcast(nmax))
+          .withColumn("p6", least(lit(1000000L),
+            floor(lit(500000.0) * sqrt(col("n_max") / col("n_s")) + 0.5)
+              .cast("long")))
+          .select("source", "p6")
+        docs.select("doc_id", "source")
+          .join(broadcast(rates), "source")
+          .withColumn("keep",
+            (col("doc_id") * Dedup.Knuth) % Dedup.P % 1000000 < col("p6"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            round(min("p6") / 1000000.0, 6).as("rate"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents
+           |           GROUP BY source),
+           |m AS (SELECT max(n_s) AS n_max FROM c),
+           |r AS (SELECT source,
+           |        least(1000000, CAST(floor(500000 * sqrt(n_max / n_s) + 0.5)
+           |                            AS BIGINT)) AS p6
+           |      FROM c CROSS JOIN m)
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN (d.doc_id * ${Dedup.Knuth}) % ${Dedup.P}
+           |                     % 1000000 < r.p6
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  round(min(r.p6) / 1000000.0, 6) AS rate
+           |FROM documents d JOIN r USING (source)
+           |GROUP BY d.source ORDER BY source""".stripMargin)
+    ),
     // decontamination, broadcast-Bloom form — the shape the exact-join
     // sweep takes at 100 TB: the eval side collapses to a Bloom filter
     // built from BUILT-INS (K xxhash64 bit positions per shingle,
