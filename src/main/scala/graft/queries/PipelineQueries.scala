@@ -24,6 +24,8 @@ object PipelineQueries {
   private val TopN = 20
   /** Token budget per packed training sequence (pipeline_pack). */
   private val PackBudget = 4096
+  /** Retrieval query text for the composed RAG entry. */
+  private val RagQuery = "hash join shuffle partition"
   /** Chunk window / stride (tokens) for pipeline_chunk — W−S overlap. */
   private val ChunkTokens = 32
   private val ChunkStride = 24
@@ -534,6 +536,63 @@ object PipelineQueries {
            |SELECT doc_id, source, chunk_idx, len(ctoks) AS n_tokens,
            |       array_to_string(ctoks, ' ') AS chunk_text
            |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+      },
+      bench = true
+    ),
+    // the composed RAG ingest + retrieval path end-to-end: sliding-window
+    // chunking → deterministic hash embedding of every chunk (key
+    // materialized once per row, then the LCG vector — the corpus-scale
+    // discipline from HashEmbedder's own note) → exact cosine top-10
+    // with provenance (doc_id, chunk_idx, source). Every stage is an
+    // already-oracled operator; this pins their composition, and the
+    // whole pipeline is scan → explode → per-row kernels →
+    // TakeOrderedAndProject: zero shuffles before the final top-k.
+    Q(
+      "pipeline_rag_search",
+      (s, dir) => {
+        import graft.embed.HashEmbedder
+        import graft.functions.VectorFunctions.cosineDistance
+        val e = HashEmbedder(Tables.EmbeddingDim)
+        val chunks = graft.text.Chunking.chunk(Tables.documents(s, dir),
+          "text", "doc_id", ChunkTokens, ChunkStride,
+          passthrough = Seq("source"))
+        val qv = typedlit(e.embedValue(RagQuery))
+        chunks
+          .withColumn("key", e.textKey("chunk_text"))
+          .withColumn("emb", e.embedKey(col("key")))
+          .withColumn("score", round(cosineDistance(col("emb"), qv), 6))
+          .select("doc_id", "chunk_idx", "source", "score")
+          .orderBy(col("score"), col("doc_id"), col("chunk_idx"))
+          .limit(10)
+      },
+      Some {
+        import graft.text.TextAnalysis._
+        import graft.embed.HashEmbedder
+        import graft.functions.VectorFunctions
+        val D = Tables.EmbeddingDim
+        val e = HashEmbedder(D)
+        val qKey = charHashSql(s"'$RagQuery'")
+        s"""WITH tk AS (
+           |  SELECT doc_id, source, ${wordTokensSql("text")} AS t
+           |  FROM documents),
+           |st AS (
+           |  SELECT doc_id, source, t,
+           |         unnest(range(0, len(t), $ChunkStride)) AS st
+           |  FROM tk WHERE len(t) > 0),
+           |ch AS (
+           |  SELECT doc_id, source, CAST(st // $ChunkStride AS INT) AS chunk_idx,
+           |         array_to_string(t[st + 1 : st + $ChunkTokens], ' ')
+           |           AS chunk_text
+           |  FROM st),
+           |q AS (SELECT ${VectorFunctions.hashVectorSql(s"($qKey)", D)} AS v),
+           |d AS (SELECT doc_id, source, chunk_idx,
+           |             ${e.embedSql("chunk_text")} AS emb
+           |      FROM ch)
+           |SELECT doc_id, chunk_idx, source,
+           |       round(${VectorFunctions
+                .cosineDistanceSql("emb", "q.v", D)}, 6) AS score
+           |FROM d, q
+           |ORDER BY score, doc_id, chunk_idx LIMIT 10""".stripMargin
       },
       bench = true
     ),
