@@ -113,4 +113,39 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4) == ((5, 5, "")))
     assert(rows(5) == ((5, 5, "")))
   }
+
+  test("substring scrub: random small-vocab corpora match a naive reference") {
+    // a tiny vocabulary forces heavy cross-doc 5-gram collisions, the
+    // regime where off-by-one window/coverage bugs would surface
+    val k = 5
+    def refScrub(rows: Seq[(Int, String)]): Map[Int, (Int, Int, String)] = {
+      val toks = rows.map { case (id, t) =>
+        id -> "\\w+".r.findAllIn(t.toLowerCase).toArray
+      }
+      val sh = toks.flatMap { case (id, ws) =>
+        (0 to ws.length - k).map(p => (ws.slice(p, p + k).mkString(" "), id))
+      }
+      val dup = sh.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      toks.map { case (id, ws) =>
+        val covered = (0 to ws.length - k)
+          .filter(p => dup.contains(ws.slice(p, p + k).mkString(" ")))
+          .flatMap(p => p until p + k).toSet
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !covered(i) => w
+        }
+        id -> ((ws.length, ws.length - kept.length, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    for (_ <- 1 to 3) {
+      val d = (1 to 30).map(id =>
+        id -> Seq.fill(rnd.nextInt(16))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      val got = Dedup.substringScrub(docs(d: _*)).collect()
+        .map(r => r.getInt(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(got == refScrub(d))
+    }
+  }
 }
