@@ -569,10 +569,59 @@ object Multimodal {
       }
   }
 
-  /** Metadata-only resize: payload untouched (a real implementation would
-    * re-encode per partition), dimensions scaled. */
+  /** Metadata-only resize: payload untouched, dimensions scaled — the
+    * cheap planning-stage form ([[resizePixels]] is the real one). */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  final case class ResizedImage(id: Long, src_w: Int, src_h: Int,
+      width: Int, height: Int, payload: Array[Byte], gray_sum: Long)
+
+  /** REAL resize over decoded pixels: javax.imageio decode, explicit
+    * nearest-neighbor resample — dst(x, y) = src((x·sw)/dw, (y·sh)/dh)
+    * with integer floor, spelled out rather than delegated to
+    * Graphics2D so every output pixel is oracle-recomputable — then a
+    * real PNG re-encode of the result. `gray_sum` totals the resized
+    * gray values (the decode→resample→re-encode round-trip check; the
+    * payload itself re-decodes to exactly these pixels, MediaSpec pins
+    * it). Runs per partition like every other codec stage; undecodable
+    * payloads → dims −1, empty payload, gray_sum −1. */
+  def resizePixels(media: DataFrame, dw: Int, dh: Int)
+      : Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("id", "kind", "payload", "width", "height").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) throw new java.io.IOException("undecodable")
+            val sw = img.getWidth; val sh = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var gs = 0L
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                val v = img.getRGB(x * sw / dw, y * sh / dh) & 0xFF
+                gs += v
+                out.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(r.id, sw, sh, dw, dh, bos.toByteArray, gs)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedImage(r.id, -1, -1, -1, -1, Array.emptyByteArray, -1L)
+          }
+        }
+      }
+  }
 
   /** Container-format sniffing from magic bytes — REAL, not a stub (no
     * codec needed): the first pass a mixed-media corpus runs to catch

@@ -311,6 +311,36 @@ object MediaQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }
     ),
+    // REAL pixel resize: decode → explicit nearest-neighbor resample
+    // (integer floor coordinates, so the oracle recomputes every output
+    // pixel from the corpus formula) → real PNG re-encode. gray_sum
+    // totals the resized image; MediaSpec additionally re-decodes the
+    // emitted payload pixel-for-pixel.
+    Q(
+      "media_resize",
+      (s, dir) =>
+        Multimodal.resizePixels(
+            Multimodal.syntheticImages(Tables.documents(s, dir)),
+            dw = 6, dh = 5)
+          .toDF()
+          .select("id", "src_w", "src_h", "width", "height", "gray_sum")
+          .orderBy("id"),
+      Some {
+        val (dw, dh) = (6, 5)
+        val v = Multimodal.pixelValueSql("d.id",
+          s"((tx.x * d.sw) // $dw)", s"((ty.y * d.sh) // $dh)")
+        s"""WITH d AS (SELECT doc_id AS id, (8 + doc_id % 16)::INT AS sw,
+           |                  (8 + doc_id % 12)::INT AS sh
+           |           FROM documents),
+           |px AS (
+           |  SELECT d.id, d.sw, d.sh, ($v)::BIGINT AS v
+           |  FROM d, range(0, $dw) tx(x), range(0, $dh) ty(y))
+           |SELECT id, sw AS src_w, sh AS src_h,
+           |       $dw::INT AS width, $dh::INT AS height,
+           |       CAST(sum(v) AS BIGINT) AS gray_sum
+           |FROM px GROUP BY id, sw, sh ORDER BY id""".stripMargin
+      }
+    ),
     // the composed multimodal ingest report: all three decoders run over
     // corpora with DELIBERATE corruption (every doc_id % 10 == 7 payload
     // truncated to 10 bytes), so the decode-failure rate — THE metric a

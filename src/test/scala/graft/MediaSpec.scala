@@ -203,6 +203,38 @@ class MediaSpec extends AnyFunSuite {
     assert(got("text") == "application/octet-stream")
   }
 
+  test("resizePixels: payload re-decodes to the exact resample formula") {
+    import spark.implicits._
+    val docs = (0L until 6L).toDF("doc_id")
+    val (dw, dh) = (6, 5)
+    val rows = Multimodal
+      .resizePixels(Multimodal.syntheticImages(docs), dw, dh)
+      .collect()
+    rows.foreach { r =>
+      val sw = Multimodal.synthW(r.id); val sh = Multimodal.synthH(r.id)
+      assert((r.src_w, r.src_h, r.width, r.height) == ((sw, sh, dw, dh)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == dw && img.getHeight == dh)
+      var gs = 0L
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val expect = Multimodal.pixelValue(r.id, x * sw / dw, y * sh / dh)
+        assert((img.getRGB(x, y) & 0xFF) == expect,
+          s"id ${r.id} pixel ($x,$y)")
+        gs += expect
+      }
+      assert(r.gray_sum == gs)
+    }
+  }
+
+  test("resizePixels marks undecodable payloads") {
+    import spark.implicits._
+    val junk = Seq((9L, "image", "not a png".getBytes, 4, 4))
+      .toDF("id", "kind", "payload", "width", "height")
+    val r = Multimodal.resizePixels(junk, 6, 5).collect().head
+    assert(r.src_w == -1 && r.gray_sum == -1L && r.payload.isEmpty)
+  }
+
   test("resize rewrites metadata only") {
     val r = Multimodal.resize(media, 320, 240)
     val row = r.select("width", "height").head()
