@@ -401,6 +401,20 @@ object TextQueries {
         "CAST(1 AS BOOLEAN) AS matches_reference, " +
         "CAST(1 AS BOOLEAN) AS compresses")
     ),
+    // model-based domain classification: multinomial Naive Bayes, the
+    // countable twin of the fastText-style linear filter (training =
+    // two map-side-combined count aggregates, scoring = one hash join +
+    // per-doc argmax; micro-nat-exact, deterministic tie-breaks).
+    // Confusion matrix of the held-out doc_id % 5 == 0 slice.
+    Q(
+      "text_nb_classify",
+      (s, dir) =>
+        graft.text.NaiveBayes.confusion(Tables.documents(s, dir))
+          .orderBy("actual", "predicted"),
+      Some(s"${graft.text.NaiveBayes.confusionSql()}\n" +
+        "ORDER BY actual, predicted"),
+      bench = true
+    ),
     // step 2: per-document NLL/perplexity under that LM — the
     // high-perplexity tail is what a CCNet-style pipeline drops. Scoring
     // is two hash joins on the count tables + one micro-nat-exact agg.

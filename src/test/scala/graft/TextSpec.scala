@@ -38,4 +38,15 @@ class TextSpec extends AnyFunSuite {
     assert(rows(2)._1 == 0.0)
     assert(rows(1)._2 < rows(2)._2, "all-stopword text scores lower")
   }
+
+  test("naive bayes separates a vocabulary-disjoint corpus exactly") {
+    // sources with disjoint vocabularies must classify diagonally: every
+    // held-out doc (doc_id % 5 == 0) lands on its own source
+    val df = (0 until 10).map(i => (i.toLong, "aa bb aa bb aa", "srcA")) ++
+      (10 until 20).map(i => (i.toLong, "cc dd cc dd cc", "srcB"))
+    val docs = df.toDF("doc_id", "text", "source")
+    val got = graft.text.NaiveBayes.confusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("srcA", "srcA") -> 2L, ("srcB", "srcB") -> 2L))
+  }
 }
