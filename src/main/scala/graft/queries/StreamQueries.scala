@@ -306,6 +306,59 @@ object StreamQueries {
           |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true
+    ),
+    // REAL stream-stream interval join (the other pillar of Structured
+    // Streaming state besides windowed aggs): clicks joined to the same
+    // user's purchases within the following 2 hours, both sides
+    // watermarked so the join state is bounded — exactly the plan shape
+    // a 100 TB event firehose needs (state pruned by watermark, keyed
+    // shuffle on user_id). Runs as a genuine multi-micro-batch file
+    // stream; the final appended table equals the batch interval join,
+    // which is what the oracle pins. The watermark is sized to the
+    // REPLAY's event-time disorder: the stream dir is hash-partitioned
+    // (not time-ordered), so any batch can carry events from anywhere in
+    // the corpus's 30-day span, and a tighter bound would evict click
+    // state that a later batch still matches (a live feed would use its
+    // true lateness bound instead — the semantics don't change, only the
+    // constant).
+    Q(
+      "stream_interval_join_live",
+      (s, dir) => {
+        val src = eventsStreamDir(s, dir)
+        val sink = "stream_interval_join_live_sink"
+        val schema = Tables.events(s, dir).schema
+        def side() = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(src)
+        val clicks = side().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("cts"))
+          .withWatermark("cts", "31 days")
+        val purchases = side().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("pts"))
+          .withWatermark("pts", "31 days")
+        val q = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("cts") <= col("pts") &&
+              col("pts") <= col("cts") + expr("interval 2 hours"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            (unix_timestamp(col("pts")) - unix_timestamp(col("cts")))
+              .as("gap_s"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("click_id", "purchase_id").localCheckpoint()
+      },
+      Some(
+        """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+          |       c.user_id,
+          |       floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT
+          |         AS gap_s
+          |FROM events c JOIN events p
+          |  ON p.user_id = c.user_id
+          | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+          |ORDER BY click_id, purchase_id""".stripMargin)
     )
   )
 
