@@ -401,6 +401,65 @@ object TextQueries {
         "CAST(1 AS BOOLEAN) AS matches_reference, " +
         "CAST(1 AS BOOLEAN) AS compresses")
     ),
+    // distribution-drift monitoring: per-source KL(current ‖ reference)
+    // over Laplace-smoothed token distributions, with the even/odd doc
+    // halves standing in for yesterday/today snapshots. Two map-side-
+    // combined count aggregates; every KL term is rounded to nano-nats
+    // BEFORE the per-source sum so the result is partition-order exact
+    // (the NgramLm discipline, one decimal deeper because terms are
+    // tiny). The alarm a 100 TB ingest pipeline fires when a source's
+    // token distribution shifts between refreshes.
+    Q(
+      "text_drift_kl",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.selectExpr("source", "doc_id % 2 as half",
+          s"explode(${wordTokens("text")}) as w")
+        val c = tok.groupBy("source", "w").agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        val tot = c.groupBy("source").agg(
+          sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1)).as("v"))
+        c.join(tot, "source")
+          .select(col("source"), col("ta"), col("tb"), col("v"),
+            expr("cast(round((cb + 1.0) / (tb + v) * " +
+              "ln(((cb + 1.0) / (tb + v)) / ((ca + 1.0) / (ta + v))) * 1e9)" +
+              " as bigint)").as("t9"))
+          .groupBy("source")
+          .agg(min("ta").as("n_tokens_a"), min("tb").as("n_tokens_b"),
+            min("v").as("vocab"), round(sum("t9") / 1e9, 6).as("kl"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.text.TextAnalysis.wordTokensSql
+        s"""WITH tok AS (
+           |  SELECT source, doc_id % 2 AS half,
+           |         unnest(${wordTokensSql("text")}) AS w
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, w,
+           |         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+           |         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+           |  FROM tok GROUP BY 1, 2),
+           |tot AS (SELECT source, sum(ca) AS ta, sum(cb) AS tb,
+           |               count(*) AS v
+           |        FROM c GROUP BY 1),
+           |t AS (
+           |  SELECT c.source,
+           |         CAST(round((c.cb + 1.0) / (tot.tb + tot.v) *
+           |           ln(((c.cb + 1.0) / (tot.tb + tot.v)) /
+           |              ((c.ca + 1.0) / (tot.ta + tot.v))) * 1e9)
+           |           AS BIGINT) AS t9
+           |  FROM c JOIN tot USING (source))
+           |SELECT t.source,
+           |       CAST(min(tot.ta) AS BIGINT) AS n_tokens_a,
+           |       CAST(min(tot.tb) AS BIGINT) AS n_tokens_b,
+           |       CAST(min(tot.v) AS BIGINT) AS vocab,
+           |       round(sum(t.t9) / 1e9, 6) AS kl
+           |FROM t JOIN tot USING (source)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    ),
     // model-based domain classification: multinomial Naive Bayes, the
     // countable twin of the fastText-style linear filter (training =
     // two map-side-combined count aggregates, scoring = one hash join +
