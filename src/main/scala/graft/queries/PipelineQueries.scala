@@ -265,6 +265,74 @@ object PipelineQueries {
            |FROM d GROUP BY source ORDER BY source""".stripMargin
       }
     ),
+    // corpus snapshot diff — the "what changed since the last crawl"
+    // report an incremental ingest runs before reprocessing: previous
+    // snapshot is derived deterministically from the current one
+    // (doc_id%10==3 rows are newly added, %10==6 texts were edited,
+    // %10==9 rows also existed under a retired id that has since been
+    // removed), then one full-outer join on doc_id comparing content
+    // hashes classifies every row. One shuffle on the id, counters
+    // combine map-side.
+    Q(
+      "pipeline_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cur = docs.select(col("doc_id"), col("source").as("sc"),
+          md5(col("text").cast("binary")).as("hc"))
+        val prev = docs.filter(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"), col("source").as("sp"),
+            md5(when(col("doc_id") % 10 === 6, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).cast("binary")).as("hp"))
+          .union(docs.filter(col("doc_id") % 10 === 9)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              col("source").as("sp"),
+              md5(col("text").cast("binary")).as("hp")))
+        cur.join(prev, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("sc"), col("sp")).as("source"),
+            when(col("hp").isNull, "added")
+              .when(col("hc").isNull, "removed")
+              .when(col("hc") =!= col("hp"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy("source")
+          .agg(
+            sum(when(col("status") === "added", 1L).otherwise(0L))
+              .as("n_added"),
+            sum(when(col("status") === "removed", 1L).otherwise(0L))
+              .as("n_removed"),
+            sum(when(col("status") === "changed", 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+              .as("n_unchanged"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH cur AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+          |prev AS (
+          |  SELECT doc_id, source,
+          |         md5(CASE WHEN doc_id % 10 = 6 THEN text || ' v2'
+          |                  ELSE text END) AS h
+          |  FROM documents WHERE doc_id % 10 != 3
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, source, md5(text)
+          |  FROM documents WHERE doc_id % 10 = 9),
+          |j AS (
+          |  SELECT coalesce(c.source, p.source) AS source,
+          |         CASE WHEN p.h IS NULL THEN 'added'
+          |              WHEN c.h IS NULL THEN 'removed'
+          |              WHEN c.h != p.h THEN 'changed'
+          |              ELSE 'unchanged' END AS status
+          |  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+          |SELECT source,
+          |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS n_added,
+          |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS n_removed,
+          |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS n_changed,
+          |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS n_unchanged
+          |FROM j GROUP BY source ORDER BY source""".stripMargin)
+    ),
     // temperature-scaled source mixing (the α<1 upweighting of tail
     // sources every multi-source LLM corpus applies): keep rate per
     // source p_s = min(1, β·(n_max/n_s)^(1−α)) with α=0.5, β=0.5 — the
