@@ -42,14 +42,17 @@ object NaiveBayes {
       labelCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val train = docs.filter(col(idCol) % TestMod =!= 0)
     val test = docs.filter(col(idCol) % TestMod === 0)
-    // one tokenize pass over the training slice feeds all three count
-    // tables (GC-scoped barrier, the signature-table pattern)
+    // ONE corpus-scale pass: the (label, word) count table. The barrier
+    // sits HERE — vocabulary×labels-sized, not on the token stream (a
+    // checkpointed token explode would materialize the whole corpus) —
+    // and the per-label totals and vocabulary size derive from it for
+    // free.
     val tw = train
       .selectExpr(labelCol, s"explode(${wordTokens(textCol)}) as w")
-      .localCheckpoint()
     val cw = tw.groupBy(labelCol, "w").agg(count(lit(1)).as("c"))
-    val ts = tw.groupBy(labelCol).agg(count(lit(1)).as("t"))
-    val v = tw.agg(countDistinct("w").as("v"))
+      .localCheckpoint()
+    val ts = cw.groupBy(labelCol).agg(sum("c").as("t"))
+    val v = cw.select("w").distinct().agg(count(lit(1)).as("v"))
     val pri = train.groupBy(labelCol).agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
       .select(col(labelCol),
