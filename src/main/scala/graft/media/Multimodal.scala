@@ -623,6 +623,65 @@ object Multimodal {
       }
   }
 
+  final case class ResampledAudio(id: Long, src_rate: Int, dst_rate: Int,
+      n_in: Int, n_out: Int, payload: Array[Byte], sample_sum: Long)
+
+  /** REAL audio resample over decoded PCM — the audio analog of
+    * [[resizePixels]]: javax.sound decode, explicit decimation (every
+    * `factor`-th sample, spelled out so each output sample is
+    * oracle-recomputable), real WAV re-encode at rate/factor.
+    * `sample_sum` totals the resampled signal (the round-trip check;
+    * MediaSpec re-decodes the payload sample-for-sample). Only 16-bit
+    * mono little-endian input is resampled; anything else (or an
+    * undecodable payload) degrades to a marked row. */
+  def audioResample(media: DataFrame, factor: Int): Dataset[ResampledAudio] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("id", "kind", "payload", "width", "height").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian)
+              throw new java.io.IOException("unsupported PCM layout")
+            val bytes = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = bytes.length / 2
+            val nOut = (n + factor - 1) / factor
+            val srcRate = fmt.getSampleRate.toInt
+            val dstRate = srcRate / factor
+            val dataSize = nOut * 2
+            val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+              .put("WAVE".getBytes("US-ASCII"))
+              .put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(1)
+              .putInt(dstRate).putInt(dstRate * 2).putShort(2).putShort(16)
+              .put("data".getBytes("US-ASCII")).putInt(dataSize)
+            var sum = 0L
+            var j = 0
+            while (j < nOut) {
+              val v = bb.getShort(2 * j * factor)
+              sum += v
+              out.putShort(v)
+              j += 1
+            }
+            ResampledAudio(r.id, srcRate, dstRate, n, nOut,
+              out.array(), sum)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResampledAudio(r.id, -1, -1, -1, -1, Array.emptyByteArray, -1L)
+          }
+        }
+      }
+  }
+
   /** Container-format sniffing from magic bytes — REAL, not a stub (no
     * codec needed): the first pass a mixed-media corpus runs to catch
     * mislabeled/corrupt blobs before they reach a decoder. Detects

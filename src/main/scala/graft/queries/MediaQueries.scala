@@ -231,6 +231,32 @@ object MediaQueries {
            |ORDER BY id, sample_i""".stripMargin
       }
     ),
+    // REAL audio resample: decode → explicit 4× decimation (every output
+    // sample oracle-recomputable from the signal formula) → real WAV
+    // re-encode at 2 kHz. The audio mirror of media_resize.
+    Q(
+      "media_audio_resample",
+      (s, dir) =>
+        Multimodal.audioResample(
+            Multimodal.syntheticAudio(Tables.documents(s, dir)), factor = 4)
+          .toDF()
+          .select("id", "src_rate", "dst_rate", "n_in", "n_out", "sample_sum")
+          .orderBy("id"),
+      Some {
+        val v = Multimodal.sampleValueSql("d.id", "(4 * t.j)")
+        s"""WITH d AS (SELECT doc_id AS id,
+           |                  (256 + doc_id % 128)::INT AS n
+           |           FROM documents),
+           |sm AS (
+           |  SELECT d.id, d.n, ($v)::BIGINT AS v
+           |  FROM d, range(0, 96) t(j)
+           |  WHERE t.j < (d.n + 3) // 4)
+           |SELECT id, 8000::INT AS src_rate, 2000::INT AS dst_rate,
+           |       min(n)::INT AS n_in, ((min(n) + 3) // 4)::INT AS n_out,
+           |       CAST(sum(v) AS BIGINT) AS sample_sum
+           |FROM sm GROUP BY id ORDER BY id""".stripMargin
+      }
+    ),
     // gain-invariant audio fingerprint over DECODED PCM — the audio
     // analog of media_phash: every bit compares two really-decoded
     // samples, and the oracle recomputes all 64 from the signal formula

@@ -227,6 +227,41 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("audioResample: payload re-decodes to the exact decimation") {
+    import spark.implicits._
+    val docs = (0L until 5L).toDF("doc_id")
+    val factor = 4
+    val rows = Multimodal
+      .audioResample(Multimodal.syntheticAudio(docs), factor).collect()
+    rows.foreach { r =>
+      val n = Multimodal.synthSamples(r.id)
+      assert((r.src_rate, r.dst_rate, r.n_in, r.n_out) ==
+        ((8000, 2000, n, (n + 3) / 4)))
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(in.getFormat.getSampleRate.toInt == 2000)
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(bytes.length / 2 == r.n_out)
+      var sum = 0L
+      (0 until r.n_out).foreach { j =>
+        val expect = Multimodal.sampleValue(r.id, factor * j)
+        assert(bb.getShort(2 * j).toInt == expect, s"id ${r.id} sample $j")
+        sum += expect
+      }
+      assert(r.sample_sum == sum)
+    }
+  }
+
+  test("audioResample marks undecodable payloads") {
+    import spark.implicits._
+    val junk = Seq((9L, "audio", "not a wav".getBytes, 4, 4))
+      .toDF("id", "kind", "payload", "width", "height")
+    val r = Multimodal.audioResample(junk, 4).collect().head
+    assert(r.src_rate == -1 && r.sample_sum == -1L && r.payload.isEmpty)
+  }
+
   test("resizePixels marks undecodable payloads") {
     import spark.implicits._
     val junk = Seq((9L, "image", "not a png".getBytes, 4, 4))
