@@ -158,6 +158,80 @@ object HybridSearch {
     blend(vecTop, kwTop, k, a)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) over the same
+    * two indexed branches as [[searchIndexed]] — the rank-based blend a
+    * retrieval stack reaches for when the branch score SCALES don't
+    * compare (RRF needs no normalization at all): score =
+    * Σ_branch 1/(rrfK + rank). The rank windows run over the two
+    * bounded top-`fetch` lists (≤ k·FetchFactor rows — the same
+    * bounded-window shape as [[blend]]'s normalization). */
+  def searchIndexedRrf(
+      spark: SparkSession,
+      indexPath: String,
+      queryTerms: Seq[String],
+      queryVec: Seq[Double],
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fetch = k * FetchFactor
+    val qv = typedlit(queryVec)
+    val vecTop = spark.read.parquet(s"$indexPath/vectors")
+      .withColumn("d", VectorFunctions.cosineDistance(col("embedding"), qv))
+      .select("doc_id", "d")
+      .orderBy(col("d"), col("doc_id"))
+      .limit(fetch)
+    val kwTop = graft.index.Bm25Index.search(spark, indexPath, queryTerms, fetch)
+    val v = vecTop
+      .withColumn("rv", row_number().over(Window.orderBy(col("d"), col("doc_id"))))
+      .select("doc_id", "rv")
+    val w = kwTop
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select("doc_id", "rk")
+    v.join(w, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("rv")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("rk")), lit(0.0)), 6)
+          .as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[searchIndexedRrf]]. */
+  def searchRrfSql(
+      queryTerms: Seq[String],
+      queryVecKey: Long,
+      dim: Int,
+      k: Int,
+      rrfK: Int = 60): String = {
+    val fetch = k * FetchFactor
+    val dist = VectorFunctions.cosineDistanceSql("c.embedding", "q.v", dim)
+    val bm25 = Bm25.searchSql(queryTerms, fetch, relation = "corpus")
+    s"""WITH corpus AS (SELECT d.doc_id, d.text, e.embedding
+       |                FROM documents d
+       |                JOIN embeddings e ON e.vec_id = d.doc_id),
+       |q AS (SELECT ${VectorFunctions.hashVectorSql(queryVecKey.toString, dim)} AS v),
+       |vec_top AS (
+       |  SELECT c.doc_id, $dist AS d
+       |  FROM corpus c, q
+       |  ORDER BY d, doc_id LIMIT $fetch),
+       |vec_rank AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS rv
+       |  FROM vec_top),
+       |kw_top AS (SELECT * FROM ($bm25)),
+       |kw_rank AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |  FROM kw_top)
+       |SELECT coalesce(v.doc_id, w.doc_id) AS doc_id,
+       |       round(coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + v.rv), 0.0) +
+       |             coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + w.rk), 0.0), 6)
+       |         AS score
+       |FROM vec_rank v FULL OUTER JOIN kw_rank w ON v.doc_id = w.doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB oracle; default corpus = documents ⋈ embeddings on
     * doc_id = vec_id. `corpusSql` must yield (doc_id, text, embedding);
     * `idAlias` renames the output id (collection searches return `id`,

@@ -96,6 +96,17 @@ object Bm25Queries {
           vectorWeight = Some(3.0), keywordWeight = Some(1.0)),
       Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.75))
     ),
+    // reciprocal-rank fusion (Cormack et al. 2009): the rank-based
+    // blend that needs no score normalization at all — the standard
+    // alternative to the reference's max-norm α-blend when branch score
+    // scales don't compare
+    Q(
+      "hybrid_search_rrf",
+      (s, dir) =>
+        HybridSearch.searchIndexedRrf(s, Indexes.hybrid(s, dir), QueryTerms,
+          VectorFunctions.hashVectorValues(5L, D), K),
+      Some(HybridSearch.searchRrfSql(QueryTerms, 5L, D, K))
+    ),
     // no query text → pure vector fallback with raw similarity scores
     // (hybrid_search.py:397-411)
     Q(

@@ -76,6 +76,61 @@ object EmbedQueries {
            |             / 1000000.0 / count(*), 6) AS avg_norm,
            |       min(nrm) AS min_norm, max(nrm) AS max_norm
            |FROM d GROUP BY label ORDER BY label""".stripMargin)
+    ),
+    // late-interaction retrieval (ColBERT's MaxSim, Khattab & Zaharia
+    // 2020): score(doc) = Σ_q max_t sim(q, e_t) over per-TOKEN
+    // embeddings instead of one doc vector. The expensive kernel runs
+    // once per DISTINCT word (embed + |query-tokens| similarities —
+    // vocabulary-sized, the BPE-apply factoring); the corpus side is a
+    // distinct (doc, word) explode and two map-side-combined groupBys.
+    // Per-(word, qtoken) sims round to micro-units BEFORE max/sum, so
+    // the score is partition-order exact.
+    Q(
+      "embed_maxsim",
+      (s, dir) => {
+        val qToks = Seq("spark", "join", "filter", "query")
+        val qVecs = qToks.map(t => e.embedValue(t).toSeq)
+        val dw = Tables.documents(s, dir).selectExpr("doc_id",
+          s"explode(array_distinct(${TextAnalysis.wordTokens("text")})) as w")
+        val sims = dw.select("w").distinct()
+          .withColumn("key", e.textKey("w"))
+          .withColumn("ev", e.embedKey(col("key")))
+          .select(col("w"), col("ev"),
+            posexplode(typedlit(qVecs)).as(Seq("qi", "qv")))
+          .withColumn("d", cosineDistance(col("ev"), col("qv")))
+          .selectExpr("w", "qi",
+            "cast(round((1.0 - d) * 1e6) as bigint) as sim6")
+        dw.join(sims, "w")
+          .groupBy("doc_id", "qi").agg(max("sim6").as("ms6"))
+          .groupBy("doc_id")
+          .agg(round(sum("ms6") / 1e6, 6).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(K)
+      },
+      Some {
+        val qVals = Seq("spark", "join", "filter", "query").zipWithIndex
+          .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+        val dist = cosineDistanceSql("ev.v", "q.qv", D)
+        s"""WITH dw AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct(${TextAnalysis
+              .wordTokensSql("text")})) AS w
+           |  FROM documents),
+           |vocab AS (SELECT DISTINCT w FROM dw),
+           |ev AS (SELECT w, ${e.embedSql("w")} AS v FROM vocab),
+           |q AS (SELECT j, ${e.embedSql("term")} AS qv
+           |      FROM (VALUES $qVals) t(j, term)),
+           |sims AS (
+           |  SELECT ev.w, q.j,
+           |         CAST(round((1.0 - ($dist)) * 1e6) AS BIGINT) AS sim6
+           |  FROM ev CROSS JOIN q),
+           |pm AS (
+           |  SELECT dw.doc_id, s.j, max(s.sim6) AS ms6
+           |  FROM dw JOIN sims s ON s.w = dw.w GROUP BY 1, 2)
+           |SELECT doc_id, round(sum(ms6) / 1e6, 6) AS score
+           |FROM pm GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin
+      }
     )
   )
 }
