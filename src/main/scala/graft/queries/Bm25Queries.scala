@@ -96,6 +96,76 @@ object Bm25Queries {
           vectorWeight = Some(3.0), keywordWeight = Some(1.0)),
       Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.75))
     ),
+    // pseudo-relevance feedback (the RM3 shape): BM25 top-k feedback
+    // docs → top-3 expansion terms by feedback-set term frequency
+    // (original terms and stopwords excluded, ties lexicographic) →
+    // expanded re-search against the SAME prebuilt postings. The
+    // expansion collect is 3 bounded rows (the learnFromWords
+    // discipline); both searches probe the index, nothing re-tokenizes
+    // at query time.
+    Q(
+      "bm25_prf_expand",
+      (s, dir) => {
+        import graft.text.TextAnalysis
+        val base = Bm25Index.search(s, Indexes.bm25Docs(s, dir), QueryTerms, K)
+        val excluded = QueryTerms ++ TextAnalysis.Stopwords
+        val exp = Tables.documents(s, dir)
+          .join(base.select("doc_id"), "doc_id")
+          .selectExpr(s"explode(${TextAnalysis.wordTokens("text")}) as term")
+          .filter(!col("term").isin(excluded: _*))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        Bm25Index.search(s, Indexes.bm25Docs(s, dir), QueryTerms ++ exp, K)
+      },
+      Some {
+        import graft.bm25.Bm25.{K1, B}
+        import graft.text.TextAnalysis
+        val lit0 = QueryTerms.map(t => s"'$t'").mkString(", ")
+        val excl = (QueryTerms ++ TextAnalysis.Stopwords)
+          .map(t => s"'$t'").mkString(", ")
+        def scored(qpost: String, out: String) =
+          s"""$out AS (
+             |  SELECT p.doc_id,
+             |         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |             * p.tf * ($K1 + 1.0)
+             |             / (p.tf + $K1 * (1.0 - $B + $B * dl.dl / s.avgdl)))
+             |           AS score
+             |  FROM $qpost p
+             |  JOIN df_$qpost df ON df.term = p.term
+             |  JOIN dl ON dl.doc_id = p.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY p.doc_id)""".stripMargin
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${TextAnalysis.wordTokensSql("text")})
+           |           AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+           |       FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+           |       FROM tok GROUP BY 1),
+           |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+           |          FROM dl),
+           |q0 AS (SELECT * FROM tf WHERE term IN ($lit0)),
+           |df_q0 AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |          FROM q0 GROUP BY term),
+           |${scored("q0", "s0")},
+           |base AS (SELECT doc_id FROM s0
+           |         ORDER BY score DESC, doc_id LIMIT $K),
+           |exp AS (
+           |  SELECT term FROM tok JOIN base USING (doc_id)
+           |  WHERE term NOT IN ($excl)
+           |  GROUP BY term ORDER BY count(*) DESC, term LIMIT 3),
+           |q1 AS (SELECT * FROM tf
+           |       WHERE term IN ($lit0)
+           |          OR term IN (SELECT term FROM exp)),
+           |df_q1 AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |          FROM q1 GROUP BY term),
+           |${scored("q1", "s1")}
+           |SELECT doc_id, round(score, 6) AS score FROM s1
+           |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin
+      }
+    ),
     // reciprocal-rank fusion (Cormack et al. 2009): the rank-based
     // blend that needs no score normalization at all — the standard
     // alternative to the reference's max-norm α-blend when branch score
