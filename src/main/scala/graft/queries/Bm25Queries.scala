@@ -96,6 +96,72 @@ object Bm25Queries {
           vectorWeight = Some(3.0), keywordWeight = Some(1.0)),
       Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.75))
     ),
+    // serving-side snippet extraction: for each BM25 hit, the 7-token
+    // window starting at max(0, first-match-pos − 3) — the highlight a
+    // search UI shows under every result. Window arithmetic is pure
+    // integer position math (the substring-scrub discipline), so every
+    // snippet is oracle-recomputable.
+    Q(
+      "bm25_snippets",
+      (s, dir) => {
+        import graft.text.TextAnalysis
+        val base = Bm25Index.search(s, Indexes.bm25Docs(s, dir), QueryTerms, K)
+        val tokp = Tables.documents(s, dir)
+          .join(base.select("doc_id"), "doc_id")
+          .selectExpr("doc_id", s"${TextAnalysis.wordTokens("text")} as ws")
+        val firstPos = tokp
+          .selectExpr("doc_id", "posexplode(ws) as (pos, t)")
+          .filter(col("t").isin(QueryTerms: _*))
+          .groupBy("doc_id").agg(min("pos").as("p"))
+        tokp.join(firstPos, "doc_id")
+          .selectExpr("doc_id", "p",
+            "array_join(slice(ws, greatest(p - 3, 0) + 1, 7), ' ') as snippet")
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.bm25.Bm25.{K1, B}
+        import graft.text.TextAnalysis
+        val lit0 = QueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${TextAnalysis.wordTokensSql("text")})
+           |           AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+           |       FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+           |       FROM tok GROUP BY 1),
+           |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+           |          FROM dl),
+           |qpost AS (SELECT * FROM tf WHERE term IN ($lit0)),
+           |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |       FROM qpost GROUP BY term),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           |             * p.tf * ($K1 + 1.0)
+           |             / (p.tf + $K1 * (1.0 - $B + $B * dl.dl / s.avgdl)))
+           |           AS score
+           |  FROM qpost p
+           |  JOIN df ON df.term = p.term
+           |  JOIN dl ON dl.doc_id = p.doc_id
+           |  CROSS JOIN stats s
+           |  GROUP BY p.doc_id),
+           |base AS (SELECT doc_id FROM scored
+           |         ORDER BY score DESC, doc_id LIMIT $K),
+           |w AS (SELECT doc_id, ${TextAnalysis.wordTokensSql("text")} AS ws
+           |      FROM documents JOIN base USING (doc_id)),
+           |wp0 AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos
+           |        FROM w),
+           |fp AS (
+           |  SELECT doc_id, CAST(min(pos) AS INT) AS p
+           |  FROM wp0 WHERE ws[pos + 1] IN ($lit0) GROUP BY doc_id)
+           |SELECT w.doc_id, fp.p,
+           |       array_to_string(
+           |         ws[greatest(p - 3, 0) + 1 : greatest(p - 3, 0) + 7], ' ')
+           |         AS snippet
+           |FROM w JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin
+      }
+    ),
     // pseudo-relevance feedback (the RM3 shape): BM25 top-k feedback
     // docs → top-3 expansion terms by feedback-set term frequency
     // (original terms and stopwords excluded, ties lexicographic) →
