@@ -153,6 +153,41 @@ object AnnQueries {
       Some(Ann.ivfCellStatsSql("embeddings", "embedding", "vec_id", D,
         Indexes.IvfCells))
     ),
+    // LSH bucket-occupancy histogram per band — the skew diagnostic of
+    // the banded layout (a hot (band, sig) bucket = a hot candidate join
+    // key at 100 TB); read straight off the persisted bucket table, no
+    // vectors touched. The oracle recomputes every band signature.
+    Q(
+      "ann_lsh_bucket_stats",
+      (s, dir) =>
+        s.read.parquet(s"${Indexes.lshEmb(s, dir)}/buckets")
+          .groupBy("band_idx", "band_val")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .groupBy("band_idx")
+          .agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_buckets"),
+            org.apache.spark.sql.functions.max("n").as("max_bucket"),
+            org.apache.spark.sql.functions.sum("n").as("n_rows"))
+          .orderBy("band_idx"),
+      Some {
+        val db = (0 until Ann.Bands).map(b =>
+          s"${Ann.bandSql("embedding", b, D)} AS b$b")
+        val bandRows = (0 until Ann.Bands).map(b =>
+          s"SELECT vec_id, $b AS band_idx, b$b AS band_val FROM d")
+          .mkString("\nUNION ALL\n")
+        s"""WITH d AS (SELECT vec_id, ${db.mkString(", ")} FROM embeddings),
+           |bands AS ($bandRows),
+           |occ AS (
+           |  SELECT band_idx, band_val, count(*) AS n
+           |  FROM bands GROUP BY 1, 2)
+           |SELECT band_idx, count(*) AS n_buckets,
+           |       CAST(max(n) AS BIGINT) AS max_bucket,
+           |       CAST(sum(n) AS BIGINT) AS n_rows
+           |FROM occ GROUP BY band_idx ORDER BY band_idx""".stripMargin
+      }
+    ),
     // ip-metric ANN via the MIPS→L2 augmentation (Bachrach et al. 2014):
     // augmented-space IVF cells prune candidates, the TRUE dot product
     // reranks — the metric the reference serves only brute-force

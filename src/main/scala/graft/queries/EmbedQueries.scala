@@ -77,6 +77,48 @@ object EmbedQueries {
            |       min(nrm) AS min_norm, max(nrm) AS max_norm
            |FROM d GROUP BY label ORDER BY label""".stripMargin)
     ),
+    // per-label centroid — the vector AGGREGATE (mean embedding) a
+    // curator compares across shards/snapshots for drift. Per-dimension
+    // micro-unit integer sums make the mean partition-order exact; the
+    // norm stays integer until the final sqrt.
+    Q(
+      "embedding_centroids",
+      (s, dir) => {
+        val dims = Tables.embeddings(s, dir)
+          .selectExpr("label", "posexplode(embedding) as (i, x)")
+          .selectExpr("label", "i",
+            "cast(round(cast(x as double) * 1e6) as bigint) as x6")
+          .groupBy("label", "i")
+          .agg(count(lit(1)).as("n"), sum("x6").as("s6"))
+          .selectExpr("label", "i", "n",
+            "cast(round(s6 / n) as bigint) as m6")
+        dims.groupBy("label")
+          .agg(min("n").as("n_vectors"),
+            sum(expr("case when i = 0 then m6 else 0 end")).as("c06"),
+            sum(expr("case when i = 1 then m6 else 0 end")).as("c16"),
+            sum(expr("m6 * m6")).as("nn"))
+          .selectExpr("label", "n_vectors",
+            "round(c06 / 1e6, 6) as c0", "round(c16 / 1e6, 6) as c1",
+            "round(sqrt(nn) / 1e6, 6) as centroid_norm")
+          .orderBy("label")
+      },
+      Some(
+        s"""WITH px AS (
+           |  SELECT label, t.i,
+           |         CAST(round(embedding[t.i + 1] * 1e6) AS BIGINT) AS x6
+           |  FROM embeddings, range(0, $D) t(i)),
+           |dm AS (
+           |  SELECT label, i, count(*) AS n,
+           |         CAST(round(sum(x6) / count(*)) AS BIGINT) AS m6
+           |  FROM px GROUP BY 1, 2)
+           |SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
+           |       round(sum(CASE WHEN i = 0 THEN m6 ELSE 0 END) / 1e6, 6)
+           |         AS c0,
+           |       round(sum(CASE WHEN i = 1 THEN m6 ELSE 0 END) / 1e6, 6)
+           |         AS c1,
+           |       round(sqrt(sum(m6 * m6)) / 1e6, 6) AS centroid_norm
+           |FROM dm GROUP BY label ORDER BY label""".stripMargin)
+    ),
     // late-interaction retrieval (ColBERT's MaxSim, Khattab & Zaharia
     // 2020): score(doc) = Σ_q max_t sim(q, e_t) over per-TOKEN
     // embeddings instead of one doc vector. The expensive kernel runs
