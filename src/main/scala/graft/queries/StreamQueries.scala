@@ -307,6 +307,46 @@ object StreamQueries {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true
     ),
+    // strict-order funnel analysis (click → view → purchase): per user,
+    // the first click, the first view AFTER it, the first purchase after
+    // that — the conversion report every event warehouse runs. Three
+    // keyed min-aggregations chained by join-filters, all partitioned on
+    // user_id; timestamps compare at full microsecond precision in both
+    // engines.
+    Q(
+      "events_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val t1 = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val t2 = ev.filter(col("event_type") === "view").join(t1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        ev.agg(countDistinct("user_id").as("n_users"))
+          .crossJoin(broadcast(t1.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_click_view"))))
+          .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_purchase"))))
+      },
+      Some(
+        """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'click' GROUP BY 1),
+          |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+          |       FROM events e JOIN t1 USING (user_id)
+          |       WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY 1),
+          |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+          |       FROM events e JOIN t2 USING (user_id)
+          |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          |       GROUP BY 1)
+          |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+          |       CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_click,
+          |       CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_click_view,
+          |       CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase"""
+          .stripMargin)
+    ),
     // REAL stream-stream interval join (the other pillar of Structured
     // Streaming state besides windowed aggs): clicks joined to the same
     // user's purchases within the following 2 hours, both sides
