@@ -93,6 +93,29 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(!out.contains(3L), "a doc with no word tokens produces no row")
   }
 
+  test("encodeCorpus: random corpora match per-word reference encoding") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // random words over a 3-letter alphabet force dense merge collisions
+    for (trial <- 1 to 2) {
+      val d = (1 to 40).map { id =>
+        val words = Seq.fill(1 + rnd.nextInt(6))(
+          Seq.fill(1 + rnd.nextInt(8))("abc" (rnd.nextInt(3))).mkString)
+        (id.toLong, words.mkString(" "))
+      }
+      val docs = d.toDF("doc_id", "text")
+      val merges = BpeTrain.learn(docs, "text", 25)
+      val got = BpeTrain.encodeCorpus(docs, "text", merges).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getSeq[String](r.fieldIndex("tokens"))).toMap
+      d.foreach { case (id, text) =>
+        val expect = text.split(" ").filter(_.nonEmpty).toSeq
+          .flatMap(w => BpeTrain.referenceEncodeWord(w, merges))
+        assert(got(id) == expect, s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("greedy apply does not re-merge across a fresh merge boundary") {
     import spark.implicits._
     // "aaa": pairs (a,a)×2 → merge 'aa'; greedy scan of a,a,a yields
