@@ -117,6 +117,41 @@ object KnnQueries {
     knnQ("knn_l2", "l2", 2),
     knnQ("knn_ip", "ip", 3),
     // pre-filter (exact filtered top-k; reference over-fetches + post-filters,
+    // grouped top-k (faceted search): the 3 nearest neighbors WITHIN
+    // EVERY label for one query, in a single pass — score, then one
+    // rank window partitioned on the group key (the knn_batch shape
+    // with the corpus-side label as the partition). One shuffle on
+    // label, no per-group job fan-out.
+    Q(
+      "knn_grouped_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("label")
+          .orderBy(col("score"), col("vec_id"))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            round(cosineDistance(col("embedding"), hashVectorLit(1, D)), 6)
+              .as("score"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("label", "rk", "vec_id", "score")
+          .orderBy("label", "rk")
+      },
+      Some(
+        s"""WITH q AS (SELECT ${qvecSql(1)} AS v),
+           |sc AS (
+           |  SELECT vec_id, label,
+           |         round(${Knn.distanceSql("cosine", "embedding", "q.v", D)}, 6)
+           |           AS score
+           |  FROM embeddings, q),
+           |rk AS (
+           |  SELECT label, vec_id, score,
+           |         row_number() OVER (PARTITION BY label
+           |                            ORDER BY score, vec_id) AS rk
+           |  FROM sc)
+           |SELECT label, CAST(rk AS INT) AS rk, vec_id, score
+           |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin)
+    ),
     // which can under-fill — SURVEY.md §4)
     Q(
       "knn_filtered",
