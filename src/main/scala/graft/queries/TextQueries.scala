@@ -401,6 +401,50 @@ object TextQueries {
         "CAST(1 AS BOOLEAN) AS matches_reference, " +
         "CAST(1 AS BOOLEAN) AS compresses")
     ),
+    // robust per-source outlier detection on the quality score:
+    // median/MAD (not mean/stddev — one garbage shard must not move the
+    // gate), flag docs beyond 3 MADs. Two grouped exact percentiles
+    // (Spark percentile ≡ DuckDB quantile_cont, parity pinned by
+    // text_token_quantiles) joined back as broadcast scalars per source.
+    Q(
+      "text_quality_outliers",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            round(qualityScore("text"), 6).as("q"))
+        val med = docs.groupBy("source")
+          .agg(round(expr("percentile(q, 0.5)"), 6).as("med"))
+        val dev = docs.join(broadcast(med), "source")
+          .withColumn("ad", round(abs(col("q") - col("med")), 6))
+        val mad = dev.groupBy("source")
+          .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
+        dev.join(broadcast(mad), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            min("med").as("med"), min("mad").as("mad"),
+            sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id, source,
+           |         round(${qualityScoreSql("text")}, 6) AS q
+           |  FROM documents),
+           |med AS (SELECT source, round(quantile_cont(q, 0.5), 6) AS med
+           |        FROM d GROUP BY 1),
+           |dev AS (
+           |  SELECT d.source, round(abs(d.q - med.med), 6) AS ad
+           |  FROM d JOIN med USING (source)),
+           |mad AS (SELECT source, round(quantile_cont(ad, 0.5), 6) AS mad
+           |        FROM dev GROUP BY 1)
+           |SELECT dev.source, count(*) AS n_docs,
+           |       min(med.med) AS med, min(mad.mad) AS mad,
+           |       CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_outliers
+           |FROM dev JOIN med USING (source) JOIN mad USING (source)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
     // distribution-drift monitoring: per-source KL(current ‖ reference)
     // over Laplace-smoothed token distributions, with the even/odd doc
     // halves standing in for yesterday/today snapshots. Two map-side-
