@@ -133,6 +133,46 @@ object DedupQueries {
       },
       bench = true
     ),
+    // representative selection policy over near-dup components: min-id
+    // (the component label itself) vs KEEP-BEST-QUALITY — the policy a
+    // curation pipeline actually wants (keep the cleanest copy, not the
+    // first-crawled one). One rank window per component on the already-
+    // computed keep-list; ties break to the lower id.
+    Q(
+      "dedup_keep_policy",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.text.TextAnalysis.qualityScore
+        val docs = Tables.documents(s, dir)
+        val comp = Dedup.nearDupComponents(docs)
+        val q = docs.select(col("doc_id"),
+          round(qualityScore("text"), 6).as("q"))
+        val w = Window.partitionBy("component")
+          .orderBy(desc("q"), col("doc_id"))
+        comp.join(q, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rn") === 1, col("doc_id"))).as("rep_by_quality"),
+            max(when(col("rn") === 1, col("q"))).as("rep_quality"))
+          .orderBy("component")
+      },
+      Some {
+        import graft.text.TextAnalysis.qualityScoreSql
+        s"""WITH comp AS (SELECT * FROM (${Dedup.nearDupComponentsSql}) t),
+           |q AS (SELECT doc_id, round(${qualityScoreSql("text")}, 6) AS q
+           |      FROM documents),
+           |j AS (
+           |  SELECT comp.component, comp.doc_id, q.q,
+           |         row_number() OVER (PARTITION BY component
+           |                            ORDER BY q DESC, doc_id) AS rn
+           |  FROM comp JOIN q USING (doc_id))
+           |SELECT component, count(*) AS n_members,
+           |       max(CASE WHEN rn = 1 THEN doc_id END) AS rep_by_quality,
+           |       max(CASE WHEN rn = 1 THEN q END) AS rep_quality
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    ),
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     // embedding space (fixed deterministic codebook, the codegen'd IVF
     // assignment kernel), then within each cluster drop any vector whose
