@@ -265,6 +265,54 @@ object PipelineQueries {
            |FROM d GROUP BY source ORDER BY source""".stripMargin
       }
     ),
+    // referential-integrity audit between the document and embedding
+    // tables — the data-contract check an ingest runs before serving
+    // (every doc embedded? orphan vectors? duplicate keys?). Two
+    // anti-joins plus two key-cardinality aggregates, all combinable.
+    Q(
+      "pipeline_integrity_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"))
+        val missingEmb = docs.join(emb, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("docs_without_embedding"))
+        val orphanVec = emb.join(docs, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("orphan_embeddings"))
+        val dupDocs = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, 1L).otherwise(0L))
+            .as("duplicate_doc_keys"))
+        val dupVecs = emb.groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, 1L).otherwise(0L))
+            .as("duplicate_vec_keys"))
+        docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_embeddings"))))
+          .crossJoin(broadcast(missingEmb))
+          .crossJoin(broadcast(orphanVec))
+          .crossJoin(broadcast(dupDocs))
+          .crossJoin(broadcast(dupVecs))
+      },
+      Some(
+        """SELECT
+          |  (SELECT count(*) FROM documents) AS n_docs,
+          |  (SELECT count(*) FROM embeddings) AS n_embeddings,
+          |  CAST((SELECT count(*) FROM documents d
+          |        WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+          |                          WHERE e.vec_id = d.doc_id))
+          |       AS BIGINT) AS docs_without_embedding,
+          |  CAST((SELECT count(*) FROM embeddings e
+          |        WHERE NOT EXISTS (SELECT 1 FROM documents d
+          |                          WHERE d.doc_id = e.vec_id))
+          |       AS BIGINT) AS orphan_embeddings,
+          |  CAST((SELECT count(*) FROM (
+          |          SELECT doc_id FROM documents GROUP BY doc_id
+          |          HAVING count(*) > 1) t) AS BIGINT)
+          |    AS duplicate_doc_keys,
+          |  CAST((SELECT count(*) FROM (
+          |          SELECT vec_id FROM embeddings GROUP BY vec_id
+          |          HAVING count(*) > 1) t) AS BIGINT)
+          |    AS duplicate_vec_keys""".stripMargin)
+    ),
     // corpus snapshot diff — the "what changed since the last crawl"
     // report an incremental ingest runs before reprocessing: previous
     // snapshot is derived deterministically from the current one
