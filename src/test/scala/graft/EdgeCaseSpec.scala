@@ -116,6 +116,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.text.NgramLm.bigrams(docs).count() == 0)
   }
 
+  test("audio resample with factor 1 is the identity on samples") {
+    val docs = Seq(3L).toDF("doc_id")
+    val r = graft.media.Multimodal
+      .audioResample(graft.media.Multimodal.syntheticAudio(docs), 1)
+      .collect().head
+    val n = graft.media.Multimodal.synthSamples(3L)
+    assert(r.n_in == n && r.n_out == n && r.src_rate == r.dst_rate)
+    val expect = (0 until n).map(i =>
+      graft.media.Multimodal.sampleValue(3L, i).toLong).sum
+    assert(r.sample_sum == expect)
+  }
+
+  test("substring scrub honors a higher distinct-doc threshold") {
+    val boiler = "one two three four five"
+    val d = Seq((1, s"a $boiler"), (2, s"b $boiler"), (3, s"c $boiler"))
+      .toDF("doc_id", "text")
+    // present in 3 docs: removed at minDocs=3, kept at minDocs=4
+    val at3 = graft.dedup.Dedup.substringScrub(d, minDocs = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(at3 == Map(1 -> 5, 2 -> 5, 3 -> 5))
+    val at4 = graft.dedup.Dedup.substringScrub(d, minDocs = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(at4 == Map(1 -> 0, 2 -> 0, 3 -> 0))
+  }
+
+  test("naive bayes survives a label present only in the held-out slice") {
+    // doc_id 5 (held out) carries a label with NO training docs: it must
+    // still be classified (into some trained label), not crash or vanish
+    val docs = Seq(
+      (1L, "aa bb aa", "srcA"), (2L, "aa bb", "srcA"),
+      (3L, "cc dd cc", "srcB"), (4L, "cc dd", "srcB"),
+      (5L, "aa bb aa bb", "ghost"), (10L, "cc dd cc dd", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.text.NaiveBayes.confusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("ghost", "srcA") -> 1L, ("srcB", "srcB") -> 1L))
+  }
+
   test("pagerank on an edgeless graph gives every node the floor rank") {
     val g = graft.graph.Graph(
       Seq(("a", "N", "a", 0.0, ""), ("b", "N", "b", 0.0, ""))
