@@ -459,9 +459,13 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
         val tok = docs.selectExpr("source", "doc_id % 2 as half",
           s"explode(${wordTokens("text")}) as w")
+        // barrier on the vocabulary×source-sized count table (it feeds
+        // both the totals and the term join — without it the corpus
+        // explode+agg runs twice), same discipline as NaiveBayes
         val c = tok.groupBy("source", "w").agg(
           sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+          .localCheckpoint()
         val tot = c.groupBy("source").agg(
           sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1)).as("v"))
         c.join(tot, "source")
