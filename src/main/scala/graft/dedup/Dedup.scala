@@ -183,11 +183,14 @@ object Dedup {
       .toDF("doc_id", "shingles", "sigs")
   }
 
-  /** Slim (doc_id, band, sig) rows derived from [[docSignatures]] —
-    * scalar-only, safe to self-join on the bucket key. */
+  /** Slim (doc_id, fsig, band, sig) rows derived from [[docSignatures]] —
+    * scalar-only, safe to self-join on the bucket key. `fsig` hashes the
+    * FULL signature vector (all [[Bands]] band values), feeding the
+    * hot-bucket guard's boilerplate-cluster grouping. */
   def bandRows(ds: DataFrame): DataFrame =
-    ds.select(col("doc_id"), posexplode(col("sigs")))
-      .toDF("doc_id", "band", "sig")
+    ds.select(col("doc_id"), xxhash64(col("sigs")).as("fsig"),
+        posexplode(col("sigs")))
+      .toDF("doc_id", "fsig", "band", "sig")
 
   /** Join candidate id pairs back to the stored shingle arrays and score
     * exact Jaccard — arrays enter the plan only HERE, on the (small)
@@ -216,7 +219,8 @@ object Dedup {
       s"(len($a) + len($b) - len(list_intersect($a, $b)))"
 
   /** LSH candidate pairs with exact-Jaccard verification, top-N. */
-  def minhashLshPairs(docs: DataFrame, topN: Int): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, topN: Int,
+      bucketCap: Int = BucketGuard.DefaultCap): DataFrame = {
     // localCheckpoint: the signatures feed both sides of the self-join
     // AND the score join-back — without the barrier the shingle hashing
     // runs three times per row. Checkpoint (not persist): storage is
@@ -224,12 +228,10 @@ object Dedup {
     // leaking in the CacheManager until an explicit unpersist, so a
     // long-lived session stays bounded.
     val ds = docSignatures(docs).localCheckpoint()
-    val b = bandRows(ds)
-    val cand = b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = BucketGuard
+      .candidatePairs(bandRows(ds), "doc_id", Seq("band", "sig"), "fsig",
+        bucketCap)
+      .toDF("doc_a", "doc_b")
     scorePairs(cand, ds, "doc_a", "doc_b")
       .select("doc_a", "doc_b", "jac")
       .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
@@ -258,20 +260,21 @@ object Dedup {
     * turn into an all-pairs cartesian; candidate volume is governed by
     * signature collisions, not block size. */
   def minhashLshPairsBlocked(docs: DataFrame, blockCol: String,
-      topN: Int): DataFrame = {
+      topN: Int, bucketCap: Int = BucketGuard.DefaultCap): DataFrame = {
     // localCheckpoint — see minhashLshPairs (GC-scoped barrier; the
     // bucket self-join and the score join-back reuse the shingle hashing)
     val ds = docSignatures(docs).localCheckpoint()
     val blocks =
       docs.select(col("doc_id").cast("long").as("doc_id"), col(blockCol))
     val b = bandRows(ds).join(blocks, Seq("doc_id"))
-    val cand = b.as("a").join(b.as("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col(s"a.$blockCol").as(blockCol),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = BucketGuard
+      .candidatePairs(b, "doc_id", Seq(blockCol, "band", "sig"), "fsig",
+        bucketCap)
+      .toDF("doc_a", "doc_b")
+      // the block key is part of the bucket key, so both ids share it —
+      // re-attach it from the doc_a side for the output schema
+      .join(blocks.select(col("doc_id").as("doc_a"), col(blockCol)),
+        Seq("doc_a"))
     scorePairs(cand, ds, "doc_a", "doc_b")
       .select(blockCol, "doc_a", "doc_b", "jac")
       .orderBy(desc("jac"), col("doc_a"), col("doc_b"))
@@ -345,15 +348,14 @@ object Dedup {
     * Output (doc_id, component) where component = min doc id reachable —
     * the dedup keep-list is then "keep doc_id == component".
     */
-  def nearDupComponents(docs: DataFrame): DataFrame = {
+  def nearDupComponents(docs: DataFrame,
+      bucketCap: Int = BucketGuard.DefaultCap): DataFrame = {
     // localCheckpoint not persist — see minhashLshPairs (GC-scoped storage)
     val ds = docSignatures(docs).localCheckpoint()
-    val b = bandRows(ds)
-    val cand = b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-      .distinct()
+    val cand = BucketGuard
+      .candidatePairs(bandRows(ds), "doc_id", Seq("band", "sig"), "fsig",
+        bucketCap)
+      .toDF("x", "y")
     val pairs = scorePairs(cand, ds, "x", "y")
       // threshold on the UNROUNDED ratio (jac is display-rounded)
       .filter(col("ni").cast("double") /

@@ -32,20 +32,27 @@ object LshIndex {
     * bucket scan instead of joining the corpus. Also the candidate
     * generator for self-join sweeps: equi-joining two bucket-row sides on
     * (band_idx, band_val) yields LSH candidate pairs without any
-    * all-pairs block join. */
+    * all-pairs block join. `withFullSig` adds `fsig` — a hash of ALL
+    * band values — so self-join sweeps can feed
+    * [[graft.dedup.BucketGuard]]'s hot-bucket thinning. */
   def bucketRows(emb: DataFrame, vecCol: String, idCol: String,
-      dim: Int, metaCols: Seq[String] = Nil): DataFrame = {
+      dim: Int, metaCols: Seq[String] = Nil,
+      withFullSig: Boolean = false): DataFrame = {
     val keep = Seq(col(idCol), col(vecCol)) ++ metaCols.map(col)
     val withBands = emb.select(
       keep ++ (0 until Ann.Bands).map(b =>
         Ann.bandCol(col(vecCol), b, dim).as(s"b$b")): _*)
+    val sig =
+      if (withFullSig)
+        Seq(xxhash64((0 until Ann.Bands).map(b => col(s"b$b")): _*).as("fsig"))
+      else Nil
     withBands
-      .select(keep :+
+      .select(keep ++ sig :+
         explode(array((0 until Ann.Bands).map(b =>
           struct(lit(b).as("band_idx"), col(s"b$b").as("band_val"))): _*))
           .as("band"): _*)
       .select(Seq(col("band.band_idx").as("band_idx"),
-        col("band.band_val").as("band_val")) ++ keep: _*)
+        col("band.band_val").as("band_val")) ++ keep ++ sig.map(_ => col("fsig")): _*)
   }
 
   def build(spark: SparkSession, emb: DataFrame, vecCol: String,

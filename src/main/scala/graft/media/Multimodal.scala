@@ -210,27 +210,36 @@ object Multimodal {
 
   /** Perceptual near-dup pairs from a phash table (id, phash_lo,
     * phash_hi): 16-bit Hamming-LSH bands → candidate equi-join carrying
-    * scalars only (never all-pairs) → exact bit_count(xor) filter.
+    * scalars only (never all-pairs) → exact bit_count(xor) filter;
+    * buckets above `bucketCap` rows are thinned to O(n) candidates by
+    * [[graft.dedup.BucketGuard]] (identical-hash clusters chain instead
+    * of pairing quadratically).
     * Callers must pre-filter failed hashes ((-1, -1)): identical failure
     * markers would band-join every undecodable blob with every other. */
-  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = hashes.select(col("id"), col("phash_lo"), col("phash_hi"),
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int,
+      bucketCap: Int = graft.dedup.BucketGuard.DefaultCap): DataFrame = {
+    // checkpoint: the hash table (which may embed a decode pipeline)
+    // feeds band-row generation AND the two pair join-backs below —
+    // without the barrier the decode would run three times per row
+    val hs = hashes.select("id", "phash_lo", "phash_hi").localCheckpoint()
+    val banded = hs.select(col("id"),
+        // the 128-bit hash pair IS the full signature: identical
+        // (lo, hi) ⇒ collide in all four bands (the duplicate-cluster
+        // case the hot-bucket guard exists for)
+        xxhash64(col("phash_lo"), col("phash_hi")).as("fsig"),
         explode(array(
           struct(lit(0).as("bi"), (col("phash_lo") % 65536).as("bv")),
           struct(lit(1).as("bi"), expr("phash_lo div 65536").as("bv")),
           struct(lit(2).as("bi"), (col("phash_hi") % 65536).as("bv")),
           struct(lit(3).as("bi"), expr("phash_hi div 65536").as("bv"))))
           .as("b"))
-      .select(col("id"), col("phash_lo"), col("phash_hi"),
-        col("b.bi"), col("b.bv"))
-    val a = banded.select(col("id").as("id_a"),
-      col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a"),
-      col("bi"), col("bv"))
-    val b = banded.select(col("id").as("id_b"),
-      col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b"),
-      col("bi"), col("bv"))
-    a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+      .select(col("id"), col("fsig"), col("b.bi"), col("b.bv"))
+    graft.dedup.BucketGuard
+      .candidatePairs(banded, "id", Seq("bi", "bv"), "fsig", bucketCap)
+      .join(hs.select(col("id").as("id_a"),
+        col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"),
+        col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (expr("bit_count(lo_a ^ lo_b)") +
           expr("bit_count(hi_a ^ hi_b)")).as("hamming"))

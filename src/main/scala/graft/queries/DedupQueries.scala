@@ -88,17 +88,18 @@ object DedupQueries {
           .select(col("vec_id"), col("embedding"), col("label"))
           .localCheckpoint()
         val bands = graft.index.LshIndex
-          .bucketRows(emb, "embedding", "vec_id", D, metaCols = Seq("label"))
-          .select("vec_id", "label", "band_idx", "band_val")
-        val a = bands.as("a")
-        val b = bands.as("b")
-        val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.label") === col("b.label") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.label").as("label"),
-            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .distinct()
+          .bucketRows(emb, "embedding", "vec_id", D, metaCols = Seq("label"),
+            withFullSig = true)
+          .select("vec_id", "label", "band_idx", "band_val", "fsig")
+        // label is part of the bucket key (within-label sweep), so both
+        // pair ids share it — re-attach from the vec_a side after the
+        // guarded candidate generation (hot buckets thinned to O(n))
+        val cand = graft.dedup.BucketGuard
+          .candidatePairs(bands, "vec_id",
+            Seq("label", "band_idx", "band_val"), "fsig")
+          .toDF("vec_a", "vec_b")
+          .join(emb.select(col("vec_id").as("vec_a"), col("label")),
+            Seq("vec_a"))
         cand
           .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
             Seq("vec_a"))

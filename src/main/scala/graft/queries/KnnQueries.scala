@@ -53,21 +53,18 @@ object KnnQueries {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding")).localCheckpoint()
         val bands = graft.index.LshIndex
-          .bucketRows(emb, "embedding", "vec_id", D)
-          .select("vec_id", "band_idx", "band_val")
-        val a = bands.as("a")
-        val b = bands.as("b")
+          .bucketRows(emb, "embedding", "vec_id", D, withFullSig = true)
+          .select("vec_id", "band_idx", "band_val", "fsig")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("nbr_id"))
         // ordered pairs (a < b) halve the join output and the cosine
         // evaluations; the symmetric (b, a) rows are mirrored AFTER
-        // scoring, where each pair is one scalar row
-        val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-          .distinct()
+        // scoring, where each pair is one scalar row. BucketGuard thins
+        // any bucket above its cap to O(n) candidates (hot-bucket guard)
+        val cand = graft.dedup.BucketGuard
+          .candidatePairs(bands, "vec_id", Seq("band_idx", "band_val"), "fsig")
+          .toDF("va", "vb")
         val pairs = cand
           .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")),
             Seq("va"))
