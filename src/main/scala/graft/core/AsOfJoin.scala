@@ -130,10 +130,19 @@ object AsOfJoin {
     val bucketed = asDouble(col("__t"), all.schema("__t").dataType) match {
       case Some(td) if numBuckets > 1 =>
         val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
-        val bounds = all.select(td.as("__td"))
+        val ts = all.select(td.as("__td"))
+        val sampled = ts
           .sample(withReplacement = false, fraction = 0.05, seed = 42L)
           .stat.approxQuantile("__td", probs, 0.01)
           .distinct.sorted.toSeq
+        // a small input can leave the 5% sample empty (or one row →
+        // a single boundary), collapsing to one bucket and quietly
+        // reinstating the hot-key serialization: fall back to the
+        // unsampled scan — cheap exactly when the sample was starved
+        val bounds =
+          if (sampled.size >= 2) sampled
+          else ts.stat.approxQuantile("__td", probs, 0.01)
+            .distinct.sorted.toSeq
         if (bounds.isEmpty) all.withColumn("__b", lit(0))
         else all.withColumn("__b",
           bounds.map(b => when(td >= lit(b), 1).otherwise(0))
