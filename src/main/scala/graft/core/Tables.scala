@@ -22,17 +22,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default — read nanos as long, then truncate to micros (the testdata
-    * carries micro precision, so this is lossless). The conf is set
-    * defensively per-call because the driver smoke-test supplies its own
-    * SparkSession.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark
+    * only reads as long via the legacy conf) and as TIMESTAMP(MICROS)
+    * without UTC adjustment (read natively as TIMESTAMP_NTZ) across
+    * testdata generations — normalize either to session TIMESTAMP
+    * (session tz is pinned UTC by every entrypoint, so the NTZ cast is
+    * value-identical). The conf is set defensively per-call because the
+    * driver smoke-test supplies its own SparkSession.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Coerce an on-disk `ts` column (raw nanos long | TIMESTAMP_NTZ |
+    * TIMESTAMP) to session-tz TIMESTAMP at micro precision. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

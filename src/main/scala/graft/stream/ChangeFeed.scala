@@ -26,14 +26,18 @@ import graft.filter.Pred
   */
 object ChangeFeed {
 
-  /** On-disk schema: ts arrives as raw nanos (read with nanosAsLong). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** On-disk schema shape; the `ts` physical type has varied across
+    * testdata generations (raw nanos long vs TIMESTAMP(MICROS)-NTZ), so
+    * [[readStream]] probes the footer and normalizes via
+    * [[graft.core.Tables.normalizeTs]]. */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Streaming source over the events parquet (one file = one microbatch
     * here; a directory of arriving files at scale). The file source needs
@@ -41,11 +45,16 @@ object ChangeFeed {
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // one footer read (driver-side, no data scan) to learn this
+    // generation's physical ts type — the stream schema must match it
+    val tsType = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .schema("ts").dataType
+    graft.core.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Per-subscriber match predicate (reference `Subscription.matches`):

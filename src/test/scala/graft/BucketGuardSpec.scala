@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.{BucketGuard, Dedup}
+
+/** Adversarial pin for the hot-bucket guard (VERDICT r6 task #1).
+  *
+  * The banded near-dup joins emit Σ n_b² candidate pairs over bucket
+  * sizes; a boilerplate cluster (identical shingle sets — the dominant
+  * shape of web-crawl corpora) puts its whole population in ONE bucket
+  * per band. The guard must (a) stay EXACTLY equal to the naive
+  * self-join below the cap, (b) bound output linearly above it, and
+  * (c) keep the cluster transitively connected so component callers
+  * still collapse it.
+  */
+class BucketGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def naivePairs(rows: org.apache.spark.sql.DataFrame) =
+    rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+
+  test("below the cap the guard equals the naive self-join exactly") {
+    // 200 ids spread over 40 buckets (sizes 1..~10), two bands; fsig
+    // collides for ids sharing id/3 so some chains would exist if hot
+    val rows = spark.range(200).selectExpr("id",
+        "cast(id % 40 as long) as sig", "cast(id % 2 as int) as band",
+        "xxhash64(cast(id div 3 as long)) as fsig")
+    val guarded = BucketGuard
+      .candidatePairs(rows, "id", Seq("band", "sig"), "fsig", cap = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = naivePairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("100k-row corpus with a 10k identical-signature cluster stays linear") {
+    // The VERDICT shape: 100k band rows, one bucket holding 10k rows of
+    // a single full signature (boilerplate cluster), the rest spread
+    // thin. Unguarded output for the hot bucket alone would be
+    // 10k·(10k−1)/2 ≈ 5·10⁷ pairs; the guard must emit O(corpus).
+    val cap = 256
+    val normal = spark.range(90000).selectExpr("id",
+      "cast(id div 3 as long) as sig", "0 as band", // buckets of ≤3
+      "xxhash64(id) as fsig")
+    val cluster = spark.range(90000, 100000).selectExpr("id",
+      "cast(-1 as long) as sig", "0 as band", // ONE shared bucket
+      "xxhash64(cast(-1 as long)) as fsig") // identical full signature
+    val rows = normal.unionAll(cluster)
+    val cand = BucketGuard
+      .candidatePairs(rows, "id", Seq("band", "sig"), "fsig", cap)
+      .localCheckpoint()
+    val n = cand.count()
+    // linear bound from the BucketGuard doc: ≤ (cap+2)·|rows| — and in
+    // practice far below; crucially nowhere near the 5·10⁷ quadratic
+    assert(n <= (cap + 2).toLong * 100000L)
+    assert(n < 1000000L, s"candidate count $n should be O(corpus)")
+    // the 10k cluster must stay one connected component via chain edges
+    val clusterEdges = cand
+      .filter(col("id_a") >= 90000L && col("id_b") >= 90000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (90000L until 100000L).foreach(i => parent(i) = i)
+    clusterEdges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (90000L until 100000L).map(find).distinct
+    assert(roots.size == 1,
+      s"cluster split into ${roots.size} components — chain edges missing")
+  }
+
+  test("minhashLshPairs end-to-end: capped hot bucket still finds dups") {
+    // 60 identical boilerplate docs (one signature cluster) + 2 distinct
+    // near-dup docs; cap of 8 forces the cluster through the guarded
+    // path. Top pairs must still be jaccard-1.0 cluster members.
+    val boiler = (1 to 60).map(i =>
+      (i, "copyright footer all rights reserved contact us about privacy terms"))
+    val other = Seq(
+      (200, "spark dataframes shuffle partitions broadcast joins catalyst"),
+      (201, "spark dataframes shuffle partitions broadcast joins tungsten"))
+    val d = (boiler ++ other).toDF("doc_id", "text")
+    val top = Dedup.minhashLshPairs(d, 500, bucketCap = 8)
+      .localCheckpoint()
+    val ones = top.filter(col("jac") === 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ones.nonEmpty)
+    // chain edges connect the whole cluster: union-find over jac==1.0
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (1L to 60L).foreach(i => parent(i) = i)
+    ones.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 60L).map(find).distinct.size == 1,
+      "boilerplate cluster must stay transitively connected under the cap")
+    // and the guarded path must not have produced a quadratic sweep:
+    // 60 docs → ≤ 59 chain pairs per band + cross links, not 1770 pairs
+    val clusterPairs = ones.count { case (a, b) => a <= 60 && b <= 60 }
+    assert(clusterPairs < 1770, s"cluster emitted all-pairs ($clusterPairs)")
+  }
+}
