@@ -56,6 +56,12 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       }
       val cold = rep()
+      // one UNTIMED settle rep between cold and the warm medians: the
+      // cold rep pays Janino codegen, but HotSpot C2 compilation of the
+      // generated classes lands asynchronously during the next run —
+      // without the settle rep it bleeds into the first warm rep and
+      // moves driver-measured medians ~18% between JVMs (VERDICT r6 #4)
+      if (cold.isDefined) rep()
       val warmReps = Seq.fill(WarmReps)(rep()).flatten
       val warm =
         if (cold.isDefined && warmReps.size == WarmReps)
@@ -85,6 +91,43 @@ object Bench {
     val failed = results.collect { case (n, _, None) => "\"" + n + "\"" }
     val warmTotal = good.map(_._3).sum
     val coldTotal = good.map(_._2).sum
+    // ---- scale curve (VERDICT r6 #3): rerun the slowest-10 warm
+    // queries at the sibling smaller scale factor IN THIS JVM and report
+    // warm-vs-warm ratios. Rows grow 10× between sf0.01 and sf0.1, so a
+    // scan-bound query should show ratio well under 10 (sub-linear wall
+    // = fixed stage latency amortizing); ratio > 10 on a non-noise base
+    // (small-scale warm ≥ 50 ms) marks the query for a plan audit.
+    val scaleDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
+      .orElse(if (sfDir.endsWith("sf0.1"))
+        Some(sfDir.stripSuffix("sf0.1") + "sf0.01") else None)
+      .filter(d => new java.io.File(d).isDirectory)
+    val scalingJson = scaleDir.map { sd =>
+      val slow = good.sortBy(-_._3).take(10)
+      val entries = slow.flatMap { case (n, _, warmBig) =>
+        val q = Catalog.byName(n)
+        def rep(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { q.run(spark, sd).count() } catch {
+            case scala.util.control.NonFatal(t) =>
+              System.err.println(s"[bench] scaling $n failed: $t"); return None
+          }
+          Some((System.nanoTime() - t0) / 1e9)
+        }
+        rep() // cold at the small scale (index ensure, codegen) — untimed
+        val reps = Seq.fill(WarmReps)(rep()).flatten
+        if (reps.size == WarmReps) {
+          val wSmall = reps.sorted.apply(WarmReps / 2)
+          Some((n, wSmall, warmBig, warmBig / math.max(wSmall, 1e-3)))
+        } else None
+      }
+      val superlinear = entries
+        .collect { case (n, ws, _, ratio) if ws >= 0.05 && ratio > 10.0 => n }
+      s""""bench_scaling":{"dir_small":"$sd","rows_factor":10""" +
+        s""","queries":{${entries.map { case (n, ws, wb, r) =>
+          "\"" + n + s"""\":{"warm_small":${r3(ws)},"warm":${r3(wb)},"ratio":${r3(r)}}"""
+        }.mkString(",")}}""" +
+        s""","superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    }
     // The driver captures only a fixed-size tail of stdout, so the final
     // line must stay compact: totals + the 10 slowest warm queries. The
     // complete per-query cold/warm maps go to bench_full.json alongside
@@ -94,11 +137,18 @@ object Bench {
       s""","queries_cold":${jmap(good.map(r => r._1 -> r._2))}""" +
       s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
       s""","build_failed":$buildFailed""" +
+      scalingJson.map("," + _).getOrElse("") +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // full dump path is explicit (env) rather than whatever CWD the
+    // launcher picked; default stays the repo root the judge reads.
+    // NonFatal only — an OOM/StackOverflow in the write path must
+    // surface, not be logged away (ADVICE r6).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(fullPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case t: Throwable => System.err.println(s"[bench] bench_full.json write failed: $t") }
+    catch { case scala.util.control.NonFatal(t) =>
+      System.err.println(s"[bench] $fullPath write failed: $t") }
     val slowest = good.sortBy(-_._3).take(10)
     val json = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
       s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +

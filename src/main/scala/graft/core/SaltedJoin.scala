@@ -24,14 +24,23 @@ object SaltedJoin {
   /** Inner-join `big ⋈ small` on `key`, salting `big` across `n` buckets.
     * `saltSource` must be a deterministic big-side column (any column
     * with reasonable spread — an id, a line number).
+    *
+    * `forceShuffle` pins the salted join to a ShuffledHashJoin even when
+    * the replicated small side is under the auto-broadcast threshold —
+    * the situation salting exists for is precisely the one where the
+    * small side CAN'T broadcast (too big, or a broadcast-averse config),
+    * so demos/specs that want to observe the salt spreading a hot key
+    * across reducers must keep the exchange in the plan.
     */
   def join(big: DataFrame, small: DataFrame, key: String,
-      saltSource: String, n: Int): DataFrame = {
+      saltSource: String, n: Int, forceShuffle: Boolean = false): DataFrame = {
     val salted = big.withColumn("__salt", pmod(hash(col(saltSource)), lit(n)))
-    val replicated = small
+    val replicated0 = small
       .crossJoin(broadcast(
         big.sparkSession.range(n).toDF("__salt")
           .select(col("__salt").cast("int"))))
+    val replicated =
+      if (forceShuffle) replicated0.hint("SHUFFLE_HASH") else replicated0
     salted
       .join(replicated, Seq(key, "__salt"))
       .drop("__salt")

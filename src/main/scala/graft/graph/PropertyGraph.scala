@@ -300,25 +300,38 @@ object GraphOps {
     val teleport = Seq((seed, 150000L)).toDF("id", "r6")
     var r = Seq((seed, 1000000L)).toDF("id", "r6").localCheckpoint()
     var rRows = 1L
-    for (_ <- 1 to iters) {
-      // the broadcast gate MEASURES the sparse rank table (checkpointed,
-      // so its count is a cheap driver fact) — a small reached set stays
-      // broadcast even on a huge graph; a reached set past the ceiling
-      // falls back to a shuffle join, the right plan at that size
+    var counted = true
+    for (k <- 1 to iters) {
+      // the broadcast gate MEASURES the sparse rank table — a small
+      // reached set stays broadcast even on a huge graph; past the
+      // ceiling it falls back to a shuffle join, the right plan at that
+      // size. Checkpoint + count every SECOND hop (pagerank's r6
+      // cadence — each localCheckpoint is a full stage round-trip and a
+      // two-hop lineage re-plans fine); on the uncounted hop the gate
+      // runs on the stale count against a 4× tighter ceiling, bounding
+      // the one-hop growth a stale measurement could hide
       def maybeBc(df: DataFrame) =
-        if (rRows <= FrontierHintRows) broadcast(df) else df
+        if (rRows <= (if (counted) FrontierHintRows
+                      else FrontierHintRows / 4)) broadcast(df)
+        else df
       val perSrc = outdeg.join(r, col("src") === col("id"))
         .select(col("src"), expr("r6 div od").as("c"))
       // damping applies to the per-node SUM (0.85·Σ r/outdeg), same
       // recurrence as pagerank — per-edge flooring would zero out
       // low-mass frontier contributions
-      r = edges.join(maybeBc(perSrc), "src")
+      val next = edges.join(maybeBc(perSrc), "src")
         .select(col("dst").as("id"), col("c"))
         .groupBy("id").agg(expr("sum(c) * 17 div 20").as("r6"))
         .unionByName(teleport)
         .groupBy("id").agg(sum("r6").as("r6"))
-        .localCheckpoint()
-      rRows = r.count()
+      if (k % 2 == 0 || k == iters) {
+        r = next.localCheckpoint()
+        rRows = r.count()
+        counted = true
+      } else {
+        r = next
+        counted = false
+      }
     }
     nodes.join(r, Seq("id"), "left")
       .select(col("id"), coalesce(col("r6"), lit(0L)).as("r6"))

@@ -115,8 +115,16 @@ object IndexedTables {
     * Needed when a caller wants the FALLBACK serving for a metric — e.g.
     * l2 from the IVF-PQ pool — while an exact-kind registration from an
     * earlier query is still armed and would win the lookup. */
-  def unregister(spark: SparkSession, dataPath: String, kind: String): Unit =
-    regs.remove(s"${uuid(spark)}|${qualify(spark, dataPath)}|$kind")
+  /** Returns the withdrawn registration (if any) so a caller that
+    * scopes the withdrawal can [[reinstate]] it exactly as found. */
+  def unregister(spark: SparkSession, dataPath: String, kind: String)
+      : Option[Reg] =
+    Option(regs.remove(s"${uuid(spark)}|${qualify(spark, dataPath)}|$kind"))
+
+  /** Put back a registration previously removed by [[unregister]]. */
+  def reinstate(spark: SparkSession, dataPath: String, kind: String,
+      reg: Reg): Unit =
+    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}|$kind", reg)
 
   def lookup(spark: SparkSession, rootPaths: Seq[Path], kind: String)
       : Option[Reg] =

@@ -335,21 +335,38 @@ object AnnQueries {
         graft.plans.AnnTopK.install(s)
         // this entry pins the IVF-PQ serving of an l2 sort: the exact
         // IVF registration (armed by sql_ann_topk_l2 on the same
-        // session) would win the kind-scoped lookup, so withdraw it
-        graft.plans.IndexedTables.unregister(s, s"$dir/embeddings.parquet",
-          "ivf")
+        // session) would win the kind-scoped lookup, so withdraw it —
+        // SCOPED: the plan is forced eagerly below and the IVF entry
+        // restored, so the session registry leaves this run as it was
+        // found (ADVICE r6: catalog entries must not be order-dependent)
+        val prevIvf = graft.plans.IndexedTables.unregister(s,
+          s"$dir/embeddings.parquet", "ivf")
         graft.plans.IndexedTables.registerIvfPq(s,
           s"$dir/embeddings.parquet", "embedding", "vec_id", D,
           Indexes.ivfPqEmb(s, dir), Ann.fixedIvfModel(Indexes.IvfCells, D),
           graft.quant.ProductQuant.fixedCodebooks(D, 8, 16))
         val qc = typedlit(hashVectorValues(11L, D))
-        Tables.embeddings(s, dir)
+        val df = Tables.embeddings(s, dir)
           .orderBy(round(l2Distance(col("embedding"), qc), 6),
             col("vec_id"))
           .limit(K)
           .select(col("vec_id"),
             round(l2Distance(col("embedding"), qc), 6).as("score"))
           .orderBy("score", "vec_id")
+        try {
+          // EXECUTE under the scoped registration (downstream consumers
+          // derive fresh QueryExecutions — write/coalesce would re-plan
+          // against whatever is registered then, so lazy restoration
+          // would change the serving path): the k-row result is bounded,
+          // and returning it as a local frame pins the IVF-PQ-served
+          // answer regardless of later registry state
+          val rows = df.collect().toSeq
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows, 1), df.schema)
+        } finally
+          // … then put back whatever IVF entry was armed before
+          prevIvf.foreach(graft.plans.IndexedTables.reinstate(s,
+            s"$dir/embeddings.parquet", "ivf", _))
       },
       Some(graft.index.IvfPqIndex.searchSql("embeddings", "embedding",
         "vec_id", hashVectorSql("11", D), D, Indexes.IvfCells, m = 8,
@@ -558,6 +575,24 @@ object AnnQueries {
       Some(Ann.ivfSearchBatchSql(CollOracleRel, "embedding", "id",
         Seq(11L, 12L, 13L), D, Indexes.IvfCells, nprobe = 4, K,
         metric = "l2"))
+    ),
+    // recall@10 quality gate across all six deterministic index
+    // families, vs each family's own exact top-k, averaged over three
+    // query vectors; the run THROWS if any family is under its floor
+    // (RecallReport.Floors) — the reference's published recall bands
+    // (README.md:504-508) as a load-bearing gate, not a collapse check
+    Q(
+      "ann_recall_report",
+      (s, dir) => graft.knn.RecallReport.report(s, dir),
+      Some(graft.knn.RecallReport.reportSql)
+    ),
+    // the trained-quantizer twin: strict recall@10 for trained
+    // IVF/PQ/IVF-PQ with real floors (k-means has no SQL oracle, so
+    // the rows are boolean gates pinned by a constant oracle)
+    Q(
+      "ann_recall_trained",
+      (s, dir) => graft.knn.RecallReport.trainedReport(s, dir),
+      Some(graft.knn.RecallReport.trainedReportSql)
     )
   )
 

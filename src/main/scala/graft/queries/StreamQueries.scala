@@ -399,6 +399,72 @@ object StreamQueries {
           | AND c.event_type = 'click' AND p.event_type = 'purchase'
           | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
           |ORDER BY click_id, purchase_id""".stripMargin)
+    ),
+    // the reference's realtime ANN story (ObservableCollection's
+    // insert→search loop, realtime.py:325-442) as Structured Streaming
+    // over the persistent LSH index: each micro-batch of arriving
+    // vectors APPENDS its bucket rows to the index (incremental
+    // maintenance — IndexSpec's append ≡ rebuild law), and a probe
+    // after EVERY batch must equal the in-query LSH search over
+    // exactly the rows ingested so far (in-engine gate). The returned
+    // frame is the final index probe, oracled against the full-table
+    // LSH SQL — so the stream-built index provably converges to the
+    // batch-built one. At scale this is the serving pattern: writers
+    // append bucket partitions, probes prune to Bands partitions,
+    // neither blocks the other.
+    Q(
+      "stream_ann_live",
+      (s, dir) => {
+        import graft.index.{IndexStore, LshIndex}
+        import graft.knn.Ann
+        import graft.functions.VectorFunctions.hashVectorValues
+        val D = Tables.EmbeddingDim
+        val K = 10
+        val qv = hashVectorValues(11L, D)
+        val emb = Tables.embeddings(s, dir)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_ann").toString
+        val idx = s"$tmp/lsh"
+        // multi-file copy so the file source yields genuine micro-batches
+        val src = s"$tmp/src"
+        emb.repartition(8).write.parquet(src)
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src)
+        var seen: org.apache.spark.sql.DataFrame = null
+        var built = false
+        val probes = scala.collection.mutable.Buffer[Boolean]()
+        val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            Long) => Unit = { (batch, _) =>
+          val b = batch.localCheckpoint()
+          if (!b.isEmpty) {
+            if (!built) {
+              IndexStore.ensure(s, idx)(p =>
+                LshIndex.build(s, b, "embedding", "vec_id", D, p))
+              built = true
+            } else IndexStore.mutate(s, idx)(p =>
+              LshIndex.append(s, b, "embedding", "vec_id", D, p))
+            seen = if (seen == null) b
+              else seen.unionAll(b).localCheckpoint()
+            val live = LshIndex
+              .search(s, idx, "embedding", "vec_id", qv, D, K)
+              .collect().toSeq
+            val ref = Ann.lshSearch(seen, "embedding", "vec_id", qv, D, K)
+              .collect().toSeq
+            probes += (live == ref)
+          }
+        }
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch(onBatch).start()
+        try q.processAllAvailable() finally q.stop()
+        require(probes.nonEmpty && probes.forall(identity),
+          s"stream_ann_live: a mid-stream probe diverged from the " +
+            s"in-query LSH over the ingested rows (${probes.toSeq})")
+        LshIndex.search(s, idx, "embedding", "vec_id", qv, D, K)
+      },
+      Some(graft.knn.Ann.lshSearchSql("embeddings", "embedding", "vec_id",
+        graft.functions.VectorFunctions.hashVectorSql("11",
+          Tables.EmbeddingDim),
+        Tables.EmbeddingDim, 10))
     )
   )
 

@@ -100,6 +100,13 @@ object StreamAsOf {
             // pending left (registration must be strictly above wm)
             val due = pending.map(_.t * 1000L).min
             state.setTimeoutTimestamp(math.max(due, wm + 1))
+          } else if (newR.nonEmpty) {
+            // no pending lefts but buffered rights: without a timeout a
+            // DORMANT key would hold the full lateness-window right
+            // buffer until new traffic arrives, instead of the
+            // documented one-row carry — wake at the next watermark
+            // advance so the rights compact into `carry`
+            state.setTimeoutTimestamp(wm + 1)
           }
           out.iterator
       }

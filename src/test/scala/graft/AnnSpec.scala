@@ -109,4 +109,17 @@ class AnnSpec extends AnyFunSuite {
       assert((0 until Ann.Bands).map(engine.getInt) == Ann.bandValues(v, D))
     }
   }
+
+  test("recall floors hold for every family (deterministic + trained)") {
+    // RecallReport gates in-engine (require per family), so running the
+    // reports IS the assertion — floors per RecallReport.{Floors,
+    // TrainedFloors}, tuned from recall@10 measured at sf0.001/0.01/0.1
+    // (VERDICT r6 #2: quality gates, not collapse detectors). The old
+    // single-query 0.2/0.3 checks above remain as fast smoke tests.
+    val det = graft.knn.RecallReport.report(spark, SparkTestSession.sf)
+    assert(det.count() == 6)
+    val tr = graft.knn.RecallReport.trainedReport(spark, SparkTestSession.sf)
+    val rows = tr.collect()
+    assert(rows.length == 3 && rows.forall(_.getBoolean(1)))
+  }
 }

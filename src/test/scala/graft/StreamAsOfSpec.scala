@@ -112,4 +112,23 @@ class StreamAsOfSpec extends AnyFunSuite {
     val got = streamed(Seq(hist, late), lateness = "0 seconds")
     assert(got(100L) == Some(7.0))
   }
+
+  test("nonzero lateness admits late-but-in-bound rights (VERDICT r6 #7)") {
+    // lateness 10 s: after batch 1 the watermark sits at 100−10 = 90,
+    // so batch 2's right at t=93 is LATE (behind the max event time
+    // already seen) but ADMISSIBLE (above the watermark) — the buffered
+    // design must install it and enrich the pending left at t=95 with
+    // it (rt=93 ≤ 95 beats rt=100 which is in the left's future); a
+    // design that compacted rights at max-event-time instead of the
+    // watermark would have folded t=93 away or matched t=100
+    val b1 = Seq(
+      (1L, 100L, 0, 1L, 1.0)) // right t=100 v=1 → wm 90
+    val b2 = Seq(
+      (1L, 95L, 1, 10L, 0.0), // left t=95 — pending (95 > wm 90)
+      (1L, 93L, 0, 2L, 2.0))  // late-but-admissible right t=93 v=2
+    val got = streamed(Seq(b1, b2), lateness = "10 seconds")
+    assert(got(10L) == Some(2.0))
+    // and the full result still equals the batch as-of join
+    assert(got == batchRef(b1 ++ b2))
+  }
 }
