@@ -76,6 +76,31 @@ class BucketGuardSpec extends AnyFunSuite {
       s"cluster split into ${roots.size} components — chain edges missing")
   }
 
+  test("the small-bucket path keeps the unguarded join shape (plan pin)") {
+    // the guard must not re-sort all band rows: bucket sizes come from a
+    // map-side-combined aggregate reduced to hot KEYS, and the exact
+    // path filters via a broadcast anti join — a Window over the full
+    // band rows (the earlier formulation, ~40% slower on knn_self_join)
+    // would show a Sort under a Window on the id/fsig columns feeding
+    // the small-side join
+    val rows = spark.range(5000).selectExpr("id",
+      "cast(id % 40 as long) as sig", "0 as band", "xxhash64(id) as fsig")
+    val plan = BucketGuard
+      .candidatePairs(rows, "id", Seq("band", "sig"), "fsig", cap = 64)
+      .queryExecution.executedPlan.toString
+    // join impl (broadcast vs shuffled) is AQE's runtime call — the pin
+    // is the SHAPE: an anti join against the hot-key aggregate, not a
+    // window over the full band rows
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    // windows are allowed only on the hot branch's (bounded) rep rows —
+    // never over a plan that still carries the full row set unfiltered
+    // by the hot-key semi join; cheap structural proxy: the anti-joined
+    // small side feeds a SortMergeJoin/ShuffledHashJoin WITHOUT an
+    // intervening Window
+    val smallSide = plan.split("LeftAnti").head
+    assert(!smallSide.contains("Window"), smallSide.take(3000))
+  }
+
   test("minhashLshPairs end-to-end: capped hot bucket still finds dups") {
     // 60 identical boilerplate docs (one signature cluster) + 2 distinct
     // near-dup docs; cap of 8 forces the cluster through the guarded
