@@ -38,12 +38,13 @@ object RecallReport {
     * hash-vector testdata measure lower by construction (fixed PQ
     * codebooks are untrained; 64-bit hamming has k-boundary tie
     * plateaus), so their floors sit just under the measured healthy
-    * band measured across sf0.001/0.01/0.1 (sq .83-.97, lsh .33-.53,
-    * mips .43-.53, ivf .37-.50, bq .17-.27, pq .13-.23) — any
-    * probe-param regression still turns the entry red. The trained
-    * paths carry the reference-band gate in [[trainedReport]]. */
+    * band measured across sf0.001/0.01/0.1 (sq .83-.97, bq_rerank
+    * .73-.93, lsh .33-.53, mips .43-.53, ivf .37-.50, bq .17-.27,
+    * pq .13-.23) — any probe-param regression still turns the entry
+    * red. The trained paths carry the reference-band gate in
+    * [[trainedReport]]. */
   val Floors: Map[String, Double] = Map(
-    "sq" -> 0.75, "pq" -> 0.1, "bq" -> 0.1,
+    "sq" -> 0.75, "pq" -> 0.1, "bq" -> 0.1, "bq_rerank" -> 0.6,
     "lsh" -> 0.25, "ivf" -> 0.3, "mips" -> 0.35)
 
   /** (family, hits over Keys, recall) — one row per family; throws if
@@ -77,6 +78,15 @@ object RecallReport {
           qv, D, K)), exCos),
         ("bq", ids(BinaryQuant.searchHamming(emb, "embedding", "vec_id",
           qv, D, K)), exCos),
+        ("bq_rerank", {
+          val short = BinaryQuant.searchHamming(emb, "embedding", "vec_id",
+            qv, D, K * 10).select("vec_id")
+          ids(emb.join(short, "vec_id")
+            .select(col("vec_id"),
+              round(cosineDistance(col("embedding"), typedlit(qv)), 6)
+                .as("score"))
+            .orderBy("score", "vec_id").limit(K))
+        }, exCos),
         ("pq", ids(ProductQuant.searchAdc(emb, "embedding", "vec_id",
           ProductQuant.fixedCodebooks(D, 8, 16), qv, K)), exL2))
       approx.foreach { case (f, a, e) => hits(f) += a.intersect(e).size }
@@ -187,12 +197,22 @@ object RecallReport {
           "vec_id", qv, D, K)
         case "bq" => BinaryQuant.searchHammingSql("embeddings", "embedding",
           "vec_id", qv, D, K)
+        case "bq_rerank" =>
+          s"""WITH short AS (
+             |  SELECT vec_id FROM (${BinaryQuant.searchHammingSql(
+                  "embeddings", "embedding", "vec_id", qv, D, K * 10)})),
+             |q AS (SELECT $qv AS v)
+             |SELECT e.vec_id,
+             |       round(${Knn.distanceSql("cosine", "e.embedding",
+                  "q.v", D)}, 6) AS score
+             |FROM embeddings e JOIN short USING (vec_id), q
+             |ORDER BY score, vec_id LIMIT $K""".stripMargin
         case "pq" => ProductQuant.searchAdcSql("embeddings", "embedding",
           "vec_id", qv, D, 8, 16, K)
       }
     }
     val metricOf = Map("lsh" -> "cosine", "ivf" -> "cosine", "sq" -> "cosine",
-      "bq" -> "cosine", "mips" -> "ip", "pq" -> "l2")
+      "bq" -> "cosine", "bq_rerank" -> "cosine", "mips" -> "ip", "pq" -> "l2")
     val perKey = for {
       f <- Floors.keys.toSeq.sorted
       key <- Keys

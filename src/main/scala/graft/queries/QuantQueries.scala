@@ -75,6 +75,38 @@ object QuantQueries {
         hashVectorSql("7", D), D, K)),
       bench = true
     ),
+    // BQ with exact rescoring — the standard serving shape for 1-bit
+    // codes (hamming is a coarse 64-level angular proxy with big tie
+    // plateaus at the k boundary, so plain top-k recall sits ~0.2; a
+    // 10x hamming shortlist reranked by true cosine recovers ~0.8 at a
+    // 10x-smaller exact-scan cost than brute force). Shortlist and
+    // rerank are both top-k plans; at scale the shortlist reads packed
+    // words only (16 B/vector), vectors are touched for k*10 rows.
+    Q(
+      "bq_search_reranked",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = hashVectorValues(7L, D)
+        val short = BinaryQuant.searchHamming(emb, "embedding", "vec_id",
+          qv, D, K * 10).select("vec_id")
+        emb.join(short, "vec_id")
+          .select(col("vec_id"),
+            round(cosineDistance(col("embedding"), typedlit(qv)), 6)
+              .as("score"))
+          .orderBy("score", "vec_id")
+          .limit(K)
+      },
+      Some(
+        s"""WITH short AS (
+           |  SELECT vec_id FROM (${BinaryQuant.searchHammingSql("embeddings",
+                "embedding", "vec_id", hashVectorSql("7", D), D, K * 10)})),
+           |q AS (SELECT ${hashVectorSql("7", D)} AS v)
+           |SELECT e.vec_id,
+           |       round(${graft.knn.Knn.distanceSql("cosine", "e.embedding",
+                "q.v", D)}, 6) AS score
+           |FROM embeddings e JOIN short USING (vec_id), q
+           |ORDER BY score, vec_id LIMIT $K""".stripMargin)
+    ),
     // memory accounting (reference quantization.py:183-194, 396-407,
     // 599-615): bytes per vector raw vs quantized, compression ratios
     Q(
