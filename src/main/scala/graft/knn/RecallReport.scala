@@ -39,13 +39,13 @@ object RecallReport {
     * codebooks are untrained; 64-bit hamming has k-boundary tie
     * plateaus), so their floors sit just under the measured healthy
     * band measured across sf0.001/0.01/0.1 (sq .83-.97, bq_rerank
-    * .73-.93, lsh .33-.53, mips .43-.53, ivf .37-.50, bq .17-.27,
-    * pq .13-.23) — any probe-param regression still turns the entry
-    * red. The trained paths carry the reference-band gate in
-    * [[trainedReport]]. */
+    * .73-.93, pq_rerank .47-.77, lsh .33-.53, mips .43-.53,
+    * ivf .37-.50, bq .17-.27, pq .13-.23) — any probe-param regression
+    * still turns the entry red. The trained paths carry the
+    * reference-band gate in [[trainedReport]]. */
   val Floors: Map[String, Double] = Map(
     "sq" -> 0.75, "pq" -> 0.1, "bq" -> 0.1, "bq_rerank" -> 0.6,
-    "lsh" -> 0.25, "ivf" -> 0.3, "mips" -> 0.35)
+    "pq_rerank" -> 0.4, "lsh" -> 0.25, "ivf" -> 0.3, "mips" -> 0.35)
 
   /** (family, hits over Keys, recall) — one row per family; throws if
     * any family is under its floor (set GRAFT_RECALL_GATE=off to
@@ -88,7 +88,17 @@ object RecallReport {
             .orderBy("score", "vec_id").limit(K))
         }, exCos),
         ("pq", ids(ProductQuant.searchAdc(emb, "embedding", "vec_id",
-          ProductQuant.fixedCodebooks(D, 8, 16), qv, K)), exL2))
+          ProductQuant.fixedCodebooks(D, 8, 16), qv, K)), exL2),
+        ("pq_rerank", {
+          val short = ProductQuant.searchAdc(emb, "embedding", "vec_id",
+            ProductQuant.fixedCodebooks(D, 8, 16), qv, K * 10)
+            .select("vec_id")
+          ids(emb.join(short, "vec_id")
+            .select(col("vec_id"),
+              round(l2Distance(col("embedding"), typedlit(qv)), 6)
+                .as("score"))
+            .orderBy("score", "vec_id").limit(K))
+        }, exL2))
       approx.foreach { case (f, a, e) => hits(f) += a.intersect(e).size }
     }
 
@@ -209,10 +219,22 @@ object RecallReport {
              |ORDER BY score, vec_id LIMIT $K""".stripMargin
         case "pq" => ProductQuant.searchAdcSql("embeddings", "embedding",
           "vec_id", qv, D, 8, 16, K)
+        case "pq_rerank" =>
+          s"""WITH short AS (
+             |  SELECT vec_id FROM (${ProductQuant.searchAdcSql(
+                  "embeddings", "embedding", "vec_id", qv, D, 8, 16,
+                  K * 10)})),
+             |q AS (SELECT $qv AS v)
+             |SELECT e.vec_id,
+             |       round(${Knn.distanceSql("l2", "e.embedding",
+                  "q.v", D)}, 6) AS score
+             |FROM embeddings e JOIN short USING (vec_id), q
+             |ORDER BY score, vec_id LIMIT $K""".stripMargin
       }
     }
     val metricOf = Map("lsh" -> "cosine", "ivf" -> "cosine", "sq" -> "cosine",
-      "bq" -> "cosine", "bq_rerank" -> "cosine", "mips" -> "ip", "pq" -> "l2")
+      "bq" -> "cosine", "bq_rerank" -> "cosine", "mips" -> "ip",
+      "pq" -> "l2", "pq_rerank" -> "l2")
     val perKey = for {
       f <- Floors.keys.toSeq.sorted
       key <- Keys

@@ -185,6 +185,36 @@ object QuantQueries {
       },
       Some(ProductQuant.searchAdcSql("embeddings", "embedding", "vec_id",
         hashVectorSql("7", D), D, 8, 16, K))
+    ),
+    // PQ with exact rescoring — ADC distance is quantized (codebook
+    // distortion dominates on clusterless data), so like bq_search_
+    // reranked the serving shape is a 10x ADC shortlist (codes column
+    // only, m bytes/vector) reranked by true l2 over k*10 vectors
+    Q(
+      "pq_search_reranked",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cb = ProductQuant.fixedCodebooks(D, 8, 16)
+        val qv = hashVectorValues(7L, D)
+        val short = ProductQuant.searchAdc(emb, "embedding", "vec_id", cb,
+          qv, K * 10).select("vec_id")
+        emb.join(short, "vec_id")
+          .select(col("vec_id"),
+            round(l2Distance(col("embedding"), typedlit(qv)), 6).as("score"))
+          .orderBy("score", "vec_id")
+          .limit(K)
+      },
+      Some(
+        s"""WITH short AS (
+           |  SELECT vec_id FROM (${ProductQuant.searchAdcSql("embeddings",
+                "embedding", "vec_id", hashVectorSql("7", D), D, 8, 16,
+                K * 10)})),
+           |q AS (SELECT ${hashVectorSql("7", D)} AS v)
+           |SELECT e.vec_id,
+           |       round(${graft.knn.Knn.distanceSql("l2", "e.embedding",
+                "q.v", D)}, 6) AS score
+           |FROM embeddings e JOIN short USING (vec_id), q
+           |ORDER BY score, vec_id LIMIT $K""".stripMargin)
     )
   )
 }
