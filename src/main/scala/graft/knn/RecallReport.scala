@@ -38,14 +38,15 @@ object RecallReport {
     * hash-vector testdata measure lower by construction (fixed PQ
     * codebooks are untrained; 64-bit hamming has k-boundary tie
     * plateaus), so their floors sit just under the measured healthy
-    * band measured across sf0.001/0.01/0.1 (sq .83-.97, bq_rerank
-    * .73-.93, pq_rerank .47-.77, lsh .33-.53, mips .43-.53,
-    * ivf .37-.50, bq .17-.27, pq .13-.23) — any probe-param regression
-    * still turns the entry red. The trained paths carry the
-    * reference-band gate in [[trainedReport]]. */
+    * band measured across sf0.001/0.01/0.1 (lsh_multiprobe .93-1.0,
+    * sq .83-.97, bq_rerank .73-.93, pq_rerank .47-.77, lsh .33-.53,
+    * mips .43-.53, ivf .37-.50, bq .17-.27, pq .13-.23) — any
+    * probe-param regression still turns the entry red. The trained
+    * paths carry the reference-band gate in [[trainedReport]]. */
   val Floors: Map[String, Double] = Map(
     "sq" -> 0.75, "pq" -> 0.1, "bq" -> 0.1, "bq_rerank" -> 0.6,
-    "pq_rerank" -> 0.4, "lsh" -> 0.25, "ivf" -> 0.3, "mips" -> 0.35)
+    "pq_rerank" -> 0.4, "lsh" -> 0.25, "lsh_multiprobe" -> 0.75,
+    "ivf" -> 0.3, "mips" -> 0.35)
 
   /** (family, hits over Keys, recall) — one row per family; throws if
     * any family is under its floor (set GRAFT_RECALL_GATE=off to
@@ -70,6 +71,11 @@ object RecallReport {
       val exIp = exact("ip")
       val approx: Seq[(String, Set[Long], Set[Long])] = Seq(
         ("lsh", ids(Ann.lshSearch(emb, "embedding", "vec_id", qv, D, K)), exCos),
+        // the recall knob: 1-bit-flip multi-probe (20/64 buckets instead
+        // of 4) over the persistent index — must dominate plain lsh
+        ("lsh_multiprobe", ids(graft.index.LshIndex.search(s,
+          Indexes.lshEmb(s, dir), "embedding", "vec_id", qv, D, K,
+          multiProbe = true)), exCos),
         ("ivf", ids(Ann.ivfSearch(emb, "embedding", "vec_id",
           Ann.fixedIvfModel(Indexes.IvfCells, D), qv, nprobe = 4, K)), exCos),
         ("mips", ids(Ann.mipsIvfSearch(emb, "embedding", "vec_id",
@@ -199,6 +205,8 @@ object RecallReport {
       val qv = hashVectorSql(key.toString, D)
       family match {
         case "lsh" => Ann.lshSearchSql("embeddings", "embedding", "vec_id", qv, D, K)
+        case "lsh_multiprobe" => Ann.lshSearchSql("embeddings", "embedding",
+          "vec_id", qv, D, K, multiProbe = true)
         case "ivf" => Ann.ivfSearchSql("embeddings", "embedding", "vec_id",
           qv, D, Indexes.IvfCells, nprobe = 4, K, floorRounding = true)
         case "mips" => Ann.mipsIvfSearchSql("embeddings", "embedding", "vec_id",
@@ -232,8 +240,9 @@ object RecallReport {
              |ORDER BY score, vec_id LIMIT $K""".stripMargin
       }
     }
-    val metricOf = Map("lsh" -> "cosine", "ivf" -> "cosine", "sq" -> "cosine",
-      "bq" -> "cosine", "bq_rerank" -> "cosine", "mips" -> "ip",
+    val metricOf = Map("lsh" -> "cosine", "lsh_multiprobe" -> "cosine",
+      "ivf" -> "cosine", "sq" -> "cosine", "bq" -> "cosine",
+      "bq_rerank" -> "cosine", "mips" -> "ip",
       "pq" -> "l2", "pq_rerank" -> "l2")
     val perKey = for {
       f <- Floors.keys.toSeq.sorted
