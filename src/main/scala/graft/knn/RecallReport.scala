@@ -39,14 +39,18 @@ object RecallReport {
     * codebooks are untrained; 64-bit hamming has k-boundary tie
     * plateaus), so their floors sit just under the measured healthy
     * band measured across sf0.001/0.01/0.1 (lsh_multiprobe .93-1.0,
-    * sq .83-.97, bq_rerank .73-.93, pq_rerank .47-.77, lsh .33-.53,
-    * mips .43-.53, ivf .37-.50, bq .17-.27, pq .13-.23) — any
-    * probe-param regression still turns the entry red. The trained
-    * paths carry the reference-band gate in [[trainedReport]]. */
+    * sq .83-.97, bq_rerank .73-.93, ivf_nprobe8 .63-.77, mips_nprobe8
+    * .63-.77, pq_rerank .47-.77, lsh .33-.53, mips .43-.53,
+    * ivf .37-.50, bq .17-.27, pq .13-.23) — any probe-param regression
+    * still turns the entry red. Every family has a measured quality
+    * knob: lsh→multiprobe, bq/pq→exact rescoring, ivf/mips→nprobe
+    * widening. The trained paths carry the reference-band gate in
+    * [[trainedReport]]. */
   val Floors: Map[String, Double] = Map(
     "sq" -> 0.75, "pq" -> 0.1, "bq" -> 0.1, "bq_rerank" -> 0.6,
     "pq_rerank" -> 0.4, "lsh" -> 0.25, "lsh_multiprobe" -> 0.75,
-    "ivf" -> 0.3, "mips" -> 0.35)
+    "ivf" -> 0.3, "ivf_nprobe8" -> 0.5, "mips" -> 0.35,
+    "mips_nprobe8" -> 0.5)
 
   /** (family, hits over Keys, recall) — one row per family; throws if
     * any family is under its floor (set GRAFT_RECALL_GATE=off to
@@ -78,8 +82,14 @@ object RecallReport {
           multiProbe = true)), exCos),
         ("ivf", ids(Ann.ivfSearch(emb, "embedding", "vec_id",
           Ann.fixedIvfModel(Indexes.IvfCells, D), qv, nprobe = 4, K)), exCos),
+        // IVF's recall loss is pure cell pruning (survivors rerank
+        // exactly) — widening nprobe 4→8 is its quality knob
+        ("ivf_nprobe8", ids(Ann.ivfSearch(emb, "embedding", "vec_id",
+          Ann.fixedIvfModel(Indexes.IvfCells, D), qv, nprobe = 8, K)), exCos),
         ("mips", ids(Ann.mipsIvfSearch(emb, "embedding", "vec_id",
           cells = Indexes.IvfCells, qv, nprobe = 4, K)), exIp),
+        ("mips_nprobe8", ids(Ann.mipsIvfSearch(emb, "embedding", "vec_id",
+          cells = Indexes.IvfCells, qv, nprobe = 8, K)), exIp),
         ("sq", ids(ScalarQuant.searchCosine(emb, "embedding", "vec_id",
           qv, D, K)), exCos),
         ("bq", ids(BinaryQuant.searchHamming(emb, "embedding", "vec_id",
@@ -209,8 +219,13 @@ object RecallReport {
           "vec_id", qv, D, K, multiProbe = true)
         case "ivf" => Ann.ivfSearchSql("embeddings", "embedding", "vec_id",
           qv, D, Indexes.IvfCells, nprobe = 4, K, floorRounding = true)
+        case "ivf_nprobe8" => Ann.ivfSearchSql("embeddings", "embedding",
+          "vec_id", qv, D, Indexes.IvfCells, nprobe = 8, K,
+          floorRounding = true)
         case "mips" => Ann.mipsIvfSearchSql("embeddings", "embedding", "vec_id",
           qv, D, Indexes.IvfCells, nprobe = 4, K)
+        case "mips_nprobe8" => Ann.mipsIvfSearchSql("embeddings", "embedding",
+          "vec_id", qv, D, Indexes.IvfCells, nprobe = 8, K)
         case "sq" => ScalarQuant.searchCosineSql("embeddings", "embedding",
           "vec_id", qv, D, K)
         case "bq" => BinaryQuant.searchHammingSql("embeddings", "embedding",
@@ -241,8 +256,9 @@ object RecallReport {
       }
     }
     val metricOf = Map("lsh" -> "cosine", "lsh_multiprobe" -> "cosine",
-      "ivf" -> "cosine", "sq" -> "cosine", "bq" -> "cosine",
-      "bq_rerank" -> "cosine", "mips" -> "ip",
+      "ivf" -> "cosine", "ivf_nprobe8" -> "cosine", "sq" -> "cosine",
+      "bq" -> "cosine", "bq_rerank" -> "cosine",
+      "mips" -> "ip", "mips_nprobe8" -> "ip",
       "pq" -> "l2", "pq_rerank" -> "l2")
     val perKey = for {
       f <- Floors.keys.toSeq.sorted
