@@ -46,7 +46,13 @@ object Bench {
     // recorded in `failed` and excluded from the totals instead of
     // contributing a bogus near-zero duration.
     val WarmReps = 3
-    val results = Catalog.all.filter(_.bench).map { q =>
+    // Dev-only focus filter (comma-separated names): lets a builder time
+    // one regressed query with the exact driver discipline (cold, settle,
+    // 3-rep median) without the full catalog sweep. Unset on the driver.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = Catalog.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch {
@@ -114,6 +120,10 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         }
         rep() // cold at the small scale (index ensure, codegen) — untimed
+        // untimed settle rep, same discipline as the main loop: async C2
+        // compilation of the small-scale plans lands during this rep
+        // instead of inflating the first timed one (ADVICE r7)
+        rep()
         val reps = Seq.fill(WarmReps)(rep()).flatten
         if (reps.size == WarmReps) {
           val wSmall = reps.sorted.apply(WarmReps / 2)

@@ -42,10 +42,14 @@ import org.apache.spark.sql.functions._
   * Scale: with B band rows total, output ≤ Σ_small n_b·cap +
   * Σ_hot 2·n_b ≤ (cap+2)·B — linear in the corpus for a constant cap.
   * The bucket-size pass is a map-side-combined aggregate reduced to the
-  * HOT KEYS ONLY (≤ B/cap keys), so the small-bucket path keeps the
-  * unguarded join's exchange shape plus one broadcast anti-join filter
-  * (measured: the earlier window-count formulation re-sorted every band
-  * row once per consuming branch and cost ~40% on knn_self_join).
+  * HOT KEYS ONLY (≤ B/cap keys), materialized once and shared by every
+  * consuming branch; when it comes back EMPTY — every oracle scale, and
+  * any corpus without a boilerplate cluster — the guard short-circuits
+  * to the plain unguarded self-join, zero added operators. Otherwise
+  * the small-bucket path keeps the unguarded join's exchange shape plus
+  * one broadcast anti-join filter (measured: the earlier window-count
+  * formulation re-sorted every band row once per consuming branch and
+  * cost ~40% on knn_self_join).
   *
   * Reference context: jcolano/fastpyvectordb has no banded near-dup
   * sweep (its dedup surface is exact-hash only); this family is the
@@ -72,20 +76,39 @@ object BucketGuard {
       fsigCol: String, cap: Int = DefaultCap): DataFrame = {
     val kc = keyCols.map(col)
     val slim = rows.select((Seq(col(idCol), col(fsigCol)) ++ kc): _*)
+    val bucketEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     // Hot-bucket KEYS via an ordinary aggregate (map-side-combined —
     // far cheaper than a window count, which would re-sort ALL band
     // rows once per consuming branch below). The hot-key set is tiny by
-    // construction (≤ |rows|/cap keys), so the anti/semi joins against
-    // it broadcast (AQE falls back to a key shuffle if a pathological
-    // corpus ever makes it big — still the right plan).
+    // construction (≤ |rows|/cap keys); it is MATERIALIZED here
+    // (localCheckpoint, eager) so the probe + both guarded branches pay
+    // for ONE upstream scan instead of three lazy recomputes, and so
+    // the no-hot-bucket common case can short-circuit. All callers are
+    // batch (the streaming families build their indexes incrementally,
+    // not through this sweep), so the eager job is safe.
     val hotKeys = slim.groupBy(kc: _*).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > cap)
       .select(kc: _*)
-    val bucketEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+      .localCheckpoint()
+
+    // Short-circuit: no bucket above the cap (every oracle scale, and
+    // any corpus without a boilerplate cluster) ⇒ the guard is a no-op
+    // by construction — return the EXACT unguarded ordered self-join
+    // with no anti-join filter, no chain windows, no union, no distinct
+    // (pairs are already unique when each (a,b) collides in one bucket;
+    // multi-band callers get the same distinct they always needed from
+    // the final distinct below — so keep it for parity).
+    if (hotKeys.isEmpty) {
+      return slim.as("a").join(slim.as("b"),
+          bucketEq && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+        .distinct()
+    }
 
     // exact path — the unguarded ordered self-join, minus hot buckets:
     // the join's exchange shape is IDENTICAL to the unguarded code (the
-    // anti join adds a broadcast filter, not a new shuffle)
+    // anti join adds a broadcast filter, not a new shuffle; the hot-key
+    // side is the materialized checkpoint above, so AQE broadcasts it)
     val small = slim.join(hotKeys, keyCols, "left_anti")
     val pairsSmall = small.as("a").join(small.as("b"),
         bucketEq && col(s"a.$idCol") < col(s"b.$idCol"))
