@@ -110,22 +110,14 @@ object IndexedTables {
     * serves candidates for the PREVIOUS generation; IndexStore would
     * rebuild at a new path, but the registry can't know the rebuild
     * happened). Freshness checks are driver-side filesystem metadata —
-    * no Spark job. */
-  /** Withdraw one kind's registration for a table (the others stay).
-    * Needed when a caller wants the FALLBACK serving for a metric — e.g.
-    * l2 from the IVF-PQ pool — while an exact-kind registration from an
-    * earlier query is still armed and would win the lookup. */
-  /** Returns the withdrawn registration (if any) so a caller that
-    * scopes the withdrawal can [[reinstate]] it exactly as found. */
-  def unregister(spark: SparkSession, dataPath: String, kind: String)
-      : Option[Reg] =
-    Option(regs.remove(s"${uuid(spark)}|${qualify(spark, dataPath)}|$kind"))
-
-  /** Put back a registration previously removed by [[unregister]]. */
-  def reinstate(spark: SparkSession, dataPath: String, kind: String,
-      reg: Reg): Unit =
-    regs.put(s"${uuid(spark)}|${qualify(spark, dataPath)}|$kind", reg)
-
+    * no Spark job.
+    *
+    * There is deliberately NO withdraw/restore surface: a caller that
+    * wants a non-default serving path for one query scopes it with a
+    * child session (`spark.newSession()` — registrations are keyed by
+    * session UUID), never by mutating a shared session's registry
+    * (order-dependence between concurrently-planned queries; the former
+    * unregister/reinstate API is gone). */
   def lookup(spark: SparkSession, rootPaths: Seq[Path], kind: String)
       : Option[Reg] =
     rootPaths match {

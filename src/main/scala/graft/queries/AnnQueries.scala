@@ -330,43 +330,35 @@ object AnnQueries {
     // sort/limit (the SQL surface reaching the IVFADC layout)
     Q(
       "sql_ann_topk_pq",
-      (s, dir) => {
+      (s0, dir) => {
         import org.apache.spark.sql.functions.{col, round, typedlit}
-        graft.plans.AnnTopK.install(s)
-        // this entry pins the IVF-PQ serving of an l2 sort: the exact
+        // this entry pins the IVF-PQ serving of an l2 sort; the exact
         // IVF registration (armed by sql_ann_topk_l2 on the same
-        // session) would win the kind-scoped lookup, so withdraw it —
-        // SCOPED: the plan is forced eagerly below and the IVF entry
-        // restored, so the session registry leaves this run as it was
-        // found (ADVICE r6: catalog entries must not be order-dependent)
-        val prevIvf = graft.plans.IndexedTables.unregister(s,
-          s"$dir/embeddings.parquet", "ivf")
+        // session) would win the kind-scoped lookup. Scope the serving
+        // choice with a CHILD session (shared SparkContext, isolated
+        // session state — registrations are keyed by session UUID):
+        // only the IVF-PQ entry exists in the child, so every planning
+        // of this DataFrame — including the fresh QueryExecutions that
+        // downstream write/coalesce derive — resolves to the IVFADC
+        // probe, the parent session's registry is never touched, and
+        // the result stays a LAZY plan (the former unregister/execute/
+        // reinstate dance and its k-row collect-and-reparallelize
+        // pinning are gone; catalog entries are order-independent —
+        // SqlAnnOrderSpec runs the family shuffled).
+        val s = s0.newSession()
+        graft.plans.AnnTopK.install(s)
         graft.plans.IndexedTables.registerIvfPq(s,
           s"$dir/embeddings.parquet", "embedding", "vec_id", D,
           Indexes.ivfPqEmb(s, dir), Ann.fixedIvfModel(Indexes.IvfCells, D),
           graft.quant.ProductQuant.fixedCodebooks(D, 8, 16))
         val qc = typedlit(hashVectorValues(11L, D))
-        val df = Tables.embeddings(s, dir)
+        Tables.embeddings(s, dir)
           .orderBy(round(l2Distance(col("embedding"), qc), 6),
             col("vec_id"))
           .limit(K)
           .select(col("vec_id"),
             round(l2Distance(col("embedding"), qc), 6).as("score"))
           .orderBy("score", "vec_id")
-        try {
-          // EXECUTE under the scoped registration (downstream consumers
-          // derive fresh QueryExecutions — write/coalesce would re-plan
-          // against whatever is registered then, so lazy restoration
-          // would change the serving path): the k-row result is bounded,
-          // and returning it as a local frame pins the IVF-PQ-served
-          // answer regardless of later registry state
-          val rows = df.collect().toSeq
-          s.createDataFrame(
-            s.sparkContext.parallelize(rows, 1), df.schema)
-        } finally
-          // … then put back whatever IVF entry was armed before
-          prevIvf.foreach(graft.plans.IndexedTables.reinstate(s,
-            s"$dir/embeddings.parquet", "ivf", _))
       },
       Some(graft.index.IvfPqIndex.searchSql("embeddings", "embedding",
         "vec_id", hashVectorSql("11", D), D, Indexes.IvfCells, m = 8,
