@@ -129,20 +129,7 @@ object AsOfJoin {
     // `left`/`right` before calling.
     val bucketed = asDouble(col("__t"), all.schema("__t").dataType) match {
       case Some(td) if numBuckets > 1 =>
-        val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
-        val ts = all.select(td.as("__td"))
-        val sampled = ts
-          .sample(withReplacement = false, fraction = 0.05, seed = 42L)
-          .stat.approxQuantile("__td", probs, 0.01)
-          .distinct.sorted.toSeq
-        // a small input can leave the 5% sample empty (or one row →
-        // a single boundary), collapsing to one bucket and quietly
-        // reinstating the hot-key serialization: fall back to the
-        // unsampled scan — cheap exactly when the sample was starved
-        val bounds =
-          if (sampled.size >= 2) sampled
-          else ts.stat.approxQuantile("__td", probs, 0.01)
-            .distinct.sorted.toSeq
+        val bounds = bucketBounds(all.select(td.as("__td")), numBuckets)
         if (bounds.isEmpty) all.withColumn("__b", lit(0))
         else all.withColumn("__b",
           bounds.map(b => when(td >= lit(b), 1).otherwise(0))
@@ -188,5 +175,23 @@ object AsOfJoin {
       .unionByName(unmatchedLeft)
       .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
         payloadCols.map(c => col(s"__rp.$c").as(prefix + c)): _*)
+  }
+
+  /** Quantile boundaries for the pass-1 bucketing, estimated from a
+    * fixed-seed 5% sample. A small input can leave the sample empty (or
+    * one row → a single boundary), collapsing to one bucket and quietly
+    * reinstating the hot-key serialization the bucketing exists to kill:
+    * fewer than two sampled boundaries falls back to the unsampled scan
+    * — cheap exactly when the sample was starved. `private[graft]` so
+    * AsOfPropSpec can pin bucket count > 1 at tiny scale. */
+  private[graft] def bucketBounds(ts: DataFrame, numBuckets: Int)
+      : Seq[Double] = {
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    val sampled = ts
+      .sample(withReplacement = false, fraction = 0.05, seed = 42L)
+      .stat.approxQuantile("__td", probs, 0.01)
+      .distinct.sorted.toSeq
+    if (sampled.size >= 2) sampled
+    else ts.stat.approxQuantile("__td", probs, 0.01).distinct.sorted.toSeq
   }
 }

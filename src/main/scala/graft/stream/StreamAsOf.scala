@@ -64,51 +64,56 @@ object StreamAsOf {
       .as[EvT]
       .groupByKey(_.k)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (k: Long, rows: Iterator[EvT], state: GroupState[Buf]) =>
-          val wm = state.getCurrentWatermarkMs()
-          val prev = state.getOption.getOrElse(Buf(Nil, Nil, None))
-          // defensive late filter, matching the engine's own INCLUSIVE
-          // drop (rows with ts <= wm are discarded before a stateful op
-          // under event-time timeout — verified empirically: a t=0 row
-          // dies at the initial watermark 0): correctness here must not
-          // depend on that plan detail, because a late row reaching the
-          // buffer could emit against compacted (hence wrong) state
-          val incoming = rows.filter(_.t * 1000L > wm).toSeq
-          val rights = prev.rights ++ incoming.filter(_.side == 0)
-            .map(e => Carry(e.t, e.eid, e.v))
-          val lefts = prev.lefts ++ incoming.filter(_.side == 1)
-            .map(e => Ev(e.k, e.t, e.side, e.eid, e.v))
-          // a left AT the watermark is safe to emit: any future right has
-          // rt·1000 > wm ≥ lt·1000, so it cannot tie or precede the left
-          val (ready, pending) = lefts.partition(_.t * 1000L <= wm)
-          val out = ready.sortBy(e => (e.t, e.eid)).map { e =>
-            // prev.carry needs no time filter: it folds rights already at
-            // or below an older watermark, and every ready left was
-            // admitted strictly above that watermark
-            val cands = prev.carry.iterator ++
-              rights.iterator.filter(_.t <= e.t)
-            val best = cands.reduceOption(better)
-            Enriched(e.eid, k, e.t, best.map(_.v))
-          }
-          val (oldR, newR) = rights.partition(_.t * 1000L <= wm)
-          val carry = (prev.carry.iterator ++ oldR.iterator)
-            .reduceOption(better)
-          state.update(Buf(pending, newR, carry))
-          if (pending.nonEmpty) {
-            // wake this key once the watermark can clear its earliest
-            // pending left (registration must be strictly above wm)
-            val due = pending.map(_.t * 1000L).min
-            state.setTimeoutTimestamp(math.max(due, wm + 1))
-          } else if (newR.nonEmpty) {
-            // no pending lefts but buffered rights: without a timeout a
-            // DORMANT key would hold the full lateness-window right
-            // buffer until new traffic arrives, instead of the
-            // documented one-row carry — wake at the next watermark
-            // advance so the rights compact into `carry`
-            state.setTimeoutTimestamp(wm + 1)
-          }
-          out.iterator
-      }
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step _)
+  }
+
+  /** One micro-batch step for one key — named (not an inline lambda) so
+    * StreamAsOfSpec can drive it with a TestGroupState and pin the state
+    * bound directly (dormant-key compaction, VERDICT r7 #3). */
+  private[graft] def step(k: Long, rows: Iterator[EvT],
+      state: GroupState[Buf]): Iterator[Enriched] = {
+    val wm = state.getCurrentWatermarkMs()
+    val prev = state.getOption.getOrElse(Buf(Nil, Nil, None))
+    // defensive late filter, matching the engine's own INCLUSIVE
+    // drop (rows with ts <= wm are discarded before a stateful op
+    // under event-time timeout — verified empirically: a t=0 row
+    // dies at the initial watermark 0): correctness here must not
+    // depend on that plan detail, because a late row reaching the
+    // buffer could emit against compacted (hence wrong) state
+    val incoming = rows.filter(_.t * 1000L > wm).toSeq
+    val rights = prev.rights ++ incoming.filter(_.side == 0)
+      .map(e => Carry(e.t, e.eid, e.v))
+    val lefts = prev.lefts ++ incoming.filter(_.side == 1)
+      .map(e => Ev(e.k, e.t, e.side, e.eid, e.v))
+    // a left AT the watermark is safe to emit: any future right has
+    // rt·1000 > wm ≥ lt·1000, so it cannot tie or precede the left
+    val (ready, pending) = lefts.partition(_.t * 1000L <= wm)
+    val out = ready.sortBy(e => (e.t, e.eid)).map { e =>
+      // prev.carry needs no time filter: it folds rights already at
+      // or below an older watermark, and every ready left was
+      // admitted strictly above that watermark
+      val cands = prev.carry.iterator ++
+        rights.iterator.filter(_.t <= e.t)
+      val best = cands.reduceOption(better)
+      Enriched(e.eid, k, e.t, best.map(_.v))
+    }
+    val (oldR, newR) = rights.partition(_.t * 1000L <= wm)
+    val carry = (prev.carry.iterator ++ oldR.iterator)
+      .reduceOption(better)
+    state.update(Buf(pending, newR, carry))
+    if (pending.nonEmpty) {
+      // wake this key once the watermark can clear its earliest
+      // pending left (registration must be strictly above wm)
+      val due = pending.map(_.t * 1000L).min
+      state.setTimeoutTimestamp(math.max(due, wm + 1))
+    } else if (newR.nonEmpty) {
+      // no pending lefts but buffered rights: without a timeout a
+      // DORMANT key would hold the full lateness-window right
+      // buffer until new traffic arrives, instead of the
+      // documented one-row carry — wake at the next watermark
+      // advance so the rights compact into `carry`
+      state.setTimeoutTimestamp(wm + 1)
+    }
+    out.iterator
   }
 }

@@ -86,4 +86,29 @@ class AsOfPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tiny hot-key input still splits into >1 bucket (sample fallback, VERDICT r7 #4)") {
+    import spark.implicits._
+    // 20 events, ALL on one key: a fixed-seed 5% sample of 20 rows
+    // yields at most a boundary or two — without the unsampled fallback
+    // the bucketing collapses to one bucket and the hot key serializes
+    // (answer unchanged, parallelism gone). The fallback must produce
+    // full quantile boundaries from the unsampled scan.
+    val ts = (1 to 20).map(_.toDouble).toDF("__td")
+    val bounds = AsOfJoin.bucketBounds(ts, numBuckets = 8)
+    assert(bounds.size >= 2,
+      s"tiny input collapsed to ${bounds.size + 1} bucket(s): $bounds")
+    // and the operator's answer on that input is unaffected by the
+    // bucketing (monotone-bucketing invariance at default numBuckets)
+    val left = (1 to 20).map(i => (i.toLong, 1L, i.toLong))
+      .toDF("eid", "k", "t")
+    val right = (1 to 20).map(i => (100L + i, 1L, i.toLong, i.toDouble))
+      .toDF("eid", "k", "t", "v")
+    val got = AsOfJoin.asof(left, right, "k", "t", tieBreak = "eid",
+        payloadCols = Seq("v"))
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("eid")) ->
+        r.getDouble(r.fieldIndex("asof_v"))).toMap
+    assert(got == (1 to 20).map(i => i.toLong -> i.toDouble).toMap)
+  }
 }

@@ -131,4 +131,49 @@ class StreamAsOfSpec extends AnyFunSuite {
     // and the full result still equals the batch as-of join
     assert(got == batchRef(b1 ++ b2))
   }
+
+  test("a key that goes quiet mid-stream compacts rights to the one-row carry (VERDICT r7 #3)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.stream.StreamAsOf
+    import graft.stream.StreamAsOf.{Buf, Carry, EvT}
+    def ev(t: Long, eid: Long, v: Double) =
+      EvT(1L, t, 0, eid, v, new java.sql.Timestamp(t * 1000L))
+    // batch 1 (watermark 5 s): two admissible rights, no lefts — then
+    // the key goes QUIET. The step must still register an event-time
+    // timeout so a later watermark advance can compact the buffer
+    // without waiting for new traffic on this key.
+    val s1 = TestGroupState.create[Buf](Optional.empty[Buf](),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(5000L), false)
+    val out1 = StreamAsOf.step(1L,
+      Iterator(ev(10L, 1L, 5.0), ev(20L, 2L, 7.0)), s1).toSeq
+    assert(out1.isEmpty)
+    assert(s1.get.rights.size == 2 && s1.get.carry.isEmpty)
+    assert(s1.getTimeoutTimestampMs.isPresent,
+      "dormant key must arm a wake-up timeout")
+    // the timeout fires at watermark 25 s with NO rows for the key: the
+    // full rights buffer must fold into the single winning carry row —
+    // the documented per-key state bound for dormant keys
+    val s2 = TestGroupState.create[Buf](Optional.of(s1.get),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(25000L), true)
+    val out2 = StreamAsOf.step(1L, Iterator.empty, s2).toSeq
+    assert(out2.isEmpty)
+    assert(s2.get.rights.isEmpty && s2.get.lefts.isEmpty,
+      s"state not compacted: ${s2.get}")
+    assert(s2.get.carry == Some(Carry(20L, 2L, 7.0)))
+    // compacted and no pending work: no further timeout is armed
+    assert(!s2.getTimeoutTimestampMs.isPresent)
+    // and a left arriving AFTER the quiet stretch buffers above the
+    // watermark, then flushes from the carry once the watermark clears it
+    val s3 = TestGroupState.create[Buf](Optional.of(s2.get),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(25000L), false)
+    assert(StreamAsOf.step(1L,
+      Iterator(EvT(1L, 30L, 1, 100L, 0.0,
+        new java.sql.Timestamp(30000L))), s3).toSeq.isEmpty)
+    assert(s3.get.lefts.size == 1)
+    val s4 = TestGroupState.create[Buf](Optional.of(s3.get),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(40000L), true)
+    val out4 = StreamAsOf.step(1L, Iterator.empty, s4).toSeq
+    assert(out4 == Seq(StreamAsOf.Enriched(100L, 1L, 30L, Some(7.0))))
+  }
 }
