@@ -298,6 +298,16 @@ object GraphOps {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint()
     val teleport = Seq((seed, 150000L)).toDF("id", "r6")
+    // one-hop frontier growth is bounded by the maximum out-degree (each
+    // reached node fans out to at most this many new dsts) — one cheap
+    // aggregate over the checkpointed degree table, used to make the
+    // STALE-count broadcast gate sound below (ADVICE r7: a fixed 4×
+    // headroom under-estimated what a high-out-degree hub can do in one
+    // hop)
+    val maxOd = outdeg.agg(max(col("od"))).head match {
+      case row if row.isNullAt(0) => 1L
+      case row                    => math.max(row.getLong(0), 1L)
+    }
     var r = Seq((seed, 1000000L)).toDF("id", "r6").localCheckpoint()
     var rRows = 1L
     var counted = true
@@ -307,12 +317,15 @@ object GraphOps {
       // ceiling it falls back to a shuffle join, the right plan at that
       // size. Checkpoint + count every SECOND hop (pagerank's r6
       // cadence — each localCheckpoint is a full stage round-trip and a
-      // two-hop lineage re-plans fine); on the uncounted hop the gate
-      // runs on the stale count against a 4× tighter ceiling, bounding
-      // the one-hop growth a stale measurement could hide
+      // two-hop lineage re-plans fine); on the uncounted hop the stale
+      // count is admitted only with max-out-degree headroom: the reached
+      // set after one hop holds ≤ rRows·maxOd rows, so this bound — not
+      // a fixed divisor — is what guarantees the broadcast side fits
+      // (a hub graph with maxOd > ceiling simply never broadcasts on
+      // uncounted hops, the conservative right call)
       def maybeBc(df: DataFrame) =
-        if (rRows <= (if (counted) FrontierHintRows
-                      else FrontierHintRows / 4)) broadcast(df)
+        if (counted && rRows <= FrontierHintRows) broadcast(df)
+        else if (!counted && rRows <= FrontierHintRows / maxOd) broadcast(df)
         else df
       val perSrc = outdeg.join(r, col("src") === col("id"))
         .select(col("src"), expr("r6 div od").as("c"))

@@ -453,13 +453,23 @@ object StreamQueries {
             probes += (live == ref)
           }
         }
-        val q = stream.writeStream.outputMode("append")
-          .foreachBatch(onBatch).start()
-        try q.processAllAvailable() finally q.stop()
-        require(probes.nonEmpty && probes.forall(identity),
-          s"stream_ann_live: a mid-stream probe diverged from the " +
-            s"in-query LSH over the ingested rows (${probes.toSeq})")
-        LshIndex.search(s, idx, "embedding", "vec_id", qv, D, K)
+        try {
+          val q = stream.writeStream.outputMode("append")
+            .foreachBatch(onBatch).start()
+          try q.processAllAvailable() finally q.stop()
+          require(probes.nonEmpty && probes.forall(identity),
+            s"stream_ann_live: a mid-stream probe diverged from the " +
+              s"in-query LSH over the ingested rows (${probes.toSeq})")
+          // pin the k-row final probe (eager localCheckpoint) so the
+          // scratch stream copy + index can be deleted NOW instead of
+          // accumulating one full embeddings copy per run in the temp
+          // dir (ADVICE r7) — downstream re-plans read the checkpoint
+          LshIndex.search(s, idx, "embedding", "vec_id", qv, D, K)
+            .localCheckpoint()
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(tmp)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
       },
       Some(graft.knn.Ann.lshSearchSql("embeddings", "embedding", "vec_id",
         graft.functions.VectorFunctions.hashVectorSql("11",

@@ -46,10 +46,18 @@ object ChangeFeed {
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one footer read (driver-side, no data scan) to learn this
-    // generation's physical ts type — the stream schema must match it
-    val tsType = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .schema("ts").dataType
+    // generation's physical ts type — the stream schema must match it.
+    // A define-before-data caller (stream declared on an empty dir, files
+    // arrive later) has no footer to probe: fall back to the raw-nanos
+    // LongType the generator historically wrote — the pre-probe static
+    // schema — instead of throwing at stream-definition time (ADVICE r7)
+    val tsType =
+      try spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .schema("ts").dataType
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => LongType
+      }
     graft.core.Tables.normalizeTs(
       spark.readStream
         .schema(rawSchema(tsType))
