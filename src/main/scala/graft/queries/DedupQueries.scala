@@ -37,6 +37,15 @@ object DedupQueries {
       Some(Dedup.minhashLshPairsSql(TopN)),
       bench = true
     ),
+    // BucketGuard thinning recall gate (VERDICT r7 #5): guarded vs
+    // unguarded near-dup components on a corpus with a deliberately hot
+    // MIXED-signature bucket; floors throw in-engine, the oracle pins
+    // the booleans (see NearDupRecall scaladoc)
+    Q(
+      "near_dup_recall",
+      (s, dir) => graft.dedup.NearDupRecall.report(s, dir),
+      Some(graft.dedup.NearDupRecall.reportSql)
+    ),
     Q(
       "dedup_components",
       (s, dir) =>
