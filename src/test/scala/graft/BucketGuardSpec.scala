@@ -101,6 +101,27 @@ class BucketGuardSpec extends AnyFunSuite {
     assert(!smallSide.contains("Window"), smallSide.take(3000))
   }
 
+  test("no hot bucket: the guard short-circuits to the bare self-join (plan pin)") {
+    // when the hot-key probe comes back empty (every oracle scale), the
+    // returned plan must be the UNGUARDED ordered self-join — no anti
+    // join, no chain windows, no union of guarded branches (the r7
+    // regression: the full guarded plan ran even with zero hot buckets,
+    // 5x on knn_self_join's driver-measured warm)
+    val rows = spark.range(5000).selectExpr("id",
+      "cast(id % 400 as long) as sig", "0 as band", "xxhash64(id) as fsig")
+    val df = BucketGuard
+      .candidatePairs(rows, "id", Seq("band", "sig"), "fsig", cap = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Union"), plan.take(3000))
+    // and it still computes the exact pair set
+    val guarded = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = naivePairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == naive && naive.nonEmpty)
+  }
+
   test("minhashLshPairs end-to-end: capped hot bucket still finds dups") {
     // 60 identical boilerplate docs (one signature cluster) + 2 distinct
     // near-dup docs; cap of 8 forces the cluster through the guarded
