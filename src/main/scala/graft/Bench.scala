@@ -51,8 +51,19 @@ object Bench {
     // 3-rep median) without the full catalog sweep. Unset on the driver.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = Catalog.all.filter(_.bench)
-      .filter(q => only.forall(_.contains(q.name))).map { q =>
+    val benched = Catalog.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
+    // a filter that matches nothing (typo, or a bench=false entry) must
+    // fail loudly, not report a 0.0-total run and clobber bench_full.json
+    only.foreach { names =>
+      require(benched.nonEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY matched no benched query: $names " +
+          s"(benched catalog: ${Catalog.all.filter(_.bench).map(_.name).sorted.mkString(", ")})")
+      val unknown = names -- Catalog.all.filter(_.bench).map(_.name).toSet
+      if (unknown.nonEmpty) System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names not in the benched catalog: $unknown")
+    }
+    val results = benched.map { q =>
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch {
@@ -150,10 +161,13 @@ object Bench {
       scalingJson.map("," + _).getOrElse("") +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // full dump path is explicit (env) rather than whatever CWD the
-    // launcher picked; default stays the repo root the judge reads.
+    // launcher picked; default stays the repo root the judge reads —
+    // EXCEPT under a dev-only filter, where the default is diverted so a
+    // focused run can never clobber the committed full-run artifact.
     // NonFatal only — an OOM/StackOverflow in the write path must
     // surface, not be logged away (ADVICE r6).
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "bench_only.json" else "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -71,6 +71,15 @@ object BucketGuard {
     * `fsigCol` — a full-signature hash that is EQUAL for rows whose
     * payloads collide in every band (hash collisions are harmless:
     * they only add chain edges that exact verification rejects).
+    *
+    * CONTRACT: this is NOT a pure plan constructor — it runs one eager
+    * aggregate job over `rows` at call time (the hot-key probe) and
+    * freezes the guarded/short-circuit decision on the data as of that
+    * moment. Callers must treat the result as query-scoped: build,
+    * execute, drop (every engine caller does — and checkpoints any
+    * expensive upstream first, since the probe scans it once). Holding
+    * the returned frame across a source mutation would re-execute
+    * against new data under a stale hot-key decision.
     */
   def candidatePairs(rows: DataFrame, idCol: String, keyCols: Seq[String],
       fsigCol: String, cap: Int = DefaultCap): DataFrame = {

@@ -56,7 +56,8 @@ object NearDupRecall {
       .select(col("doc_id").cast("long"), col("text"))
     val base = docs
       .orderBy(size(split(col("text"), "\\s+")).desc, col("doc_id"))
-      .limit(1).collect()(0)
+      .limit(1).collect().headOption.getOrElse(throw new IllegalStateException(
+        s"near_dup_recall: documents table at $dir is empty"))
     val toks0 = Dedup.tokensOf(base.getString(1)).take(BaseTokens)
     require(toks0.length >= 10,
       s"near_dup_recall: richest doc has only ${toks0.length} tokens")
@@ -82,7 +83,9 @@ object NearDupRecall {
     val hottest = Dedup.bandRows(Dedup.docSignatures(docs))
       .groupBy("band", "sig")
       .agg(count(lit(1)).as("n"), countDistinct("fsig").as("nf"))
-      .orderBy(col("n").desc).limit(1).collect()(0)
+      .orderBy(col("n").desc).limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        "near_dup_recall: corpus produced no band rows"))
     require(hottest.getLong(hottest.fieldIndex("n")) > EvalCap,
       s"near_dup_recall corpus: hottest bucket ${hottest} not above cap $EvalCap")
     require(hottest.getLong(hottest.fieldIndex("nf")) > 1,

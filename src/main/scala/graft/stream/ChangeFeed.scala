@@ -47,17 +47,24 @@ object ChangeFeed {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one footer read (driver-side, no data scan) to learn this
     // generation's physical ts type — the stream schema must match it.
-    // A define-before-data caller (stream declared on an empty dir, files
-    // arrive later) has no footer to probe: fall back to the raw-nanos
-    // LongType the generator historically wrote — the pre-probe static
-    // schema — instead of throwing at stream-definition time (ADVICE r7)
+    // A define-before-data caller (stream declared on an EXISTING but
+    // still-empty dir, files arrive later) has no footer to probe: fall
+    // back to the raw-nanos LongType the generator historically wrote —
+    // the pre-probe static schema (ADVICE r7). The check is an explicit
+    // file-existence probe, NOT a broad AnalysisException catch: a
+    // nonexistent/misspelled dir must keep failing fast at definition
+    // time, where the configuration error is, not at query start.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eventsFile = new org.apache.hadoop.fs.Path(dir, "events.parquet")
     val tsType =
-      try spark.read
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .schema("ts").dataType
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => LongType
-      }
+      if (fs.exists(eventsFile))
+        spark.read
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .schema("ts").dataType
+      else if (fs.exists(dirPath)) LongType // define-before-data
+      else throw new IllegalArgumentException(
+        s"ChangeFeed.readStream: directory does not exist: $dir")
     graft.core.Tables.normalizeTs(
       spark.readStream
         .schema(rawSchema(tsType))

@@ -98,4 +98,19 @@ class StreamSpec extends AnyFunSuite {
     val n = ChangeFeed.matched(Tables.events(spark, sf), sub).count()
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("readStream: define-before-data falls back, missing dir fails fast (ADVICE r7)") {
+    // an EXISTING but still-empty directory (files arrive later) must
+    // define a stream (legacy LongType footer fallback) …
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_stream_empty").toString
+    val s = ChangeFeed.readStream(spark, empty)
+    assert(s.isStreaming && s.columns.contains("ts"))
+    // … while a nonexistent/misspelled directory is a configuration
+    // error and must keep throwing AT DEFINITION TIME, not at query start
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeed.readStream(spark, s"$empty/does_not_exist")
+    }
+    assert(ex.getMessage.contains("does not exist"))
+  }
 }
