@@ -468,10 +468,20 @@ object TextQueries {
           .localCheckpoint()
         val tot = c.groupBy("source").agg(
           sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1)).as("v"))
+        // the probabilities MUST be double arithmetic: a bare `1.0` in a
+        // Spark SQL string parses as DECIMAL, making (cb + 1.0)/(tb + v)
+        // a decimal division whose scale-rounded quotient feeds ln() —
+        // ~3e-7 off DuckDB's pure-double quotient, which shifted per-term
+        // nano-nats by ~±10 and (at sf0.1) walked one source's sum onto
+        // the 6-decimal display boundary. CAST(1.0 AS DOUBLE) puts both
+        // engines on identical IEEE doubles end-to-end; the 1e9 grid then
+        // differs only on a sub-ulp ln() boundary, which the three-scale
+        // oracle sweep shows never fires.
         c.join(tot, "source")
           .select(col("source"), col("ta"), col("tb"), col("v"),
-            expr("cast(round((cb + 1.0) / (tb + v) * " +
-              "ln(((cb + 1.0) / (tb + v)) / ((ca + 1.0) / (ta + v))) * 1e9)" +
+            expr("cast(round((cb + cast(1.0 as double)) / (tb + v) * " +
+              "ln(((cb + cast(1.0 as double)) / (tb + v)) / " +
+              "((ca + cast(1.0 as double)) / (ta + v))) * 1e9)" +
               " as bigint)").as("t9"))
           .groupBy("source")
           .agg(min("ta").as("n_tokens_a"), min("tb").as("n_tokens_b"),

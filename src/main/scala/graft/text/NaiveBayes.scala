@@ -65,8 +65,12 @@ object NaiveBayes {
       .crossJoin(broadcast(ts.crossJoin(v)))
       .join(cw, Seq("w", labelCol), "left")
       .select(col("w"), col(labelCol),
-        expr(s"cast(round(ln((coalesce(c, 0) + $Alpha) / (t + $Alpha * v))" +
-          " * 1e6) as bigint)").as("lp6"))
+        // CAST(alpha AS DOUBLE): a bare decimal literal is DECIMAL in
+        // Spark SQL and the decimal division would round the quotient
+        // before ln() — see NgramLm.logPSql
+        expr(s"cast(round(ln((coalesce(c, 0) + cast($Alpha as double)) /" +
+          s" (t + cast($Alpha as double) * v)) * 1e6) as bigint)")
+          .as("lp6"))
     val scores = sw.join(lp, "w")
       .groupBy(col(idCol), col("actual"), col(labelCol))
       .agg(sum("lp6").as("s6"))

@@ -67,9 +67,17 @@ object NgramLm {
   }
 
   /** Natural log of the smoothed conditional probability (identical
-    * formula text evaluates in both engines — Spark and DuckDB `ln`). */
+    * formula text evaluates in both engines — Spark and DuckDB `ln`).
+    * The smoothing constant is spelled CAST($Alpha AS DOUBLE): a bare
+    * decimal literal parses as DECIMAL in Spark SQL (DOUBLE in DuckDB),
+    * and Spark's decimal division rounds the quotient to its result
+    * scale before ln() sees it — a cross-engine drift of ~5e-14 per
+    * term that a micro-nat boundary can amplify into a red row (the
+    * text_drift_kl sf0.1 incident, round 8). The cast is a semantic
+    * no-op in DuckDB and forces IEEE doubles end-to-end in Spark. */
   def logPSql(c12: String, c1: String, v: String): String =
-    s"ln(($c12 + $Alpha) / ($c1 + $Alpha * $v))"
+    s"ln(($c12 + CAST($Alpha AS DOUBLE)) / " +
+      s"($c1 + CAST($Alpha AS DOUBLE) * $v))"
 
   /** Per-document scoring: (doc_id, n_bigrams, nll, ppl). `nll` is the
     * mean negative log-prob in nats (micro-nat-exact), `ppl = exp(nll)`.
