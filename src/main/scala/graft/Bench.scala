@@ -22,7 +22,7 @@ object Bench {
     try {
       spark.range(1 << 18).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // ---- build phase, timed separately: persistent retrieval indexes
     // (force-rebuilt so the cost is real, not a cache hit from a prior
     // run) and the derived graph with BOTH relations materialized.
@@ -34,7 +34,7 @@ object Bench {
         val g = graph.TpchGraph.build(spark, sfDir)
         g.edges.count(); g.nodes.count()
         false
-      } catch { case t: Throwable =>
+      } catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] build phase failed: $t"); true
       }
     val buildSec = (System.nanoTime() - tb) / 1e9
@@ -67,7 +67,7 @@ object Bench {
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch {
-          case t: Throwable =>
+          case scala.util.control.NonFatal(t) =>
             System.err.println(s"[bench] ${q.name} failed: $t"); return None
         }
         Some((System.nanoTime() - t0) / 1e9)
