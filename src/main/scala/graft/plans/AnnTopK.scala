@@ -135,6 +135,10 @@ object IndexedTables {
     }
 
   def clear(): Unit = regs.clear()
+
+  /** Test-only observability: current registration count (SqlAnnOrderSpec
+    * pins that repeated child-session queries don't grow the registry). */
+  private[graft] def size: Int = regs.size
 }
 
 /** Index-aware top-k-by-distance: rewrites

@@ -122,6 +122,55 @@ class BucketGuardSpec extends AnyFunSuite {
     assert(guarded == naive && naive.nonEmpty)
   }
 
+  test("random corpora: subset, below-cap equality, linear bound, bucket connectivity") {
+    // seeded differential trials over skewed random bucketings — the
+    // invariants that hold for EVERY input, hot or not:
+    //   (1) guarded pairs ⊆ naive pairs (thinning never invents a pair)
+    //   (2) no bucket above cap ⇒ guarded == naive exactly
+    //   (3) output ≤ (cap+2)·|rows| (the linear bound)
+    //   (4) within every bucket, the emitted pairs CONNECT all its ids
+    //       (chains span each fsig group, representatives link groups)
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 4) {
+      val n = 300 + rnd.nextInt(300)
+      val cap = Seq(8, 32, 1024)(rnd.nextInt(3))
+      val nBuckets = 1 + rnd.nextInt(8)
+      val data = (0 until n).map { i =>
+        // Zipf-ish: bucket 0 takes ~half the rows; fsig groups id ranges
+        val b = if (rnd.nextDouble() < 0.5) 0L else rnd.nextInt(nBuckets).toLong
+        (i.toLong, b, rnd.nextInt(2), (i / (1 + rnd.nextInt(40))).toLong)
+      }
+      import spark.implicits._
+      val rows = data.toDF("id", "sig", "band", "fsig")
+      val guarded = BucketGuard
+        .candidatePairs(rows, "id", Seq("band", "sig"), "fsig", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = naivePairs(rows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(guarded.subsetOf(naive), s"trial $trial: invented pairs")
+      val maxBucket = data.groupBy(d => (d._3, d._2)).values.map(_.size).max
+      if (maxBucket <= cap)
+        assert(guarded == naive, s"trial $trial: below-cap inequality")
+      assert(guarded.size <= (cap + 2) * n, s"trial $trial: bound broken")
+      // (4) per-bucket connectivity over the guarded candidate graph
+      data.groupBy(d => (d._3, d._2)).values.filter(_.size > 1).foreach { bs =>
+        val ids = bs.map(_._1)
+        val inB = ids.toSet
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        ids.foreach(i => parent(i) = i)
+        guarded.foreach { case (a, b) =>
+          if (inB(a) && inB(b)) parent(find(a)) = find(b)
+        }
+        assert(ids.map(find).distinct.size == 1,
+          s"trial $trial: bucket of ${ids.size} ids not connected")
+      }
+    }
+  }
+
   test("minhashLshPairs end-to-end: capped hot bucket still finds dups") {
     // 60 identical boilerplate docs (one signature cluster) + 2 distinct
     // near-dup docs; cap of 8 forces the cluster through the guarded

@@ -63,4 +63,17 @@ class SqlAnnOrderSpec extends AnyFunSuite {
       .toString.contains("pq_adc_score"))
     assert(pq.collect().nonEmpty && l2.collect().nonEmpty)
   }
+
+  test("repeated _pq invocations reuse ONE child session (no registry growth)") {
+    // the child session is memoized per (parent session, dir): bench
+    // reps and long-lived serving sessions must not leak one session
+    // UUID + registration per call (post-review fix, round 8)
+    Catalog.byName("sql_ann_topk_pq").run(spark, sf).collect()
+    val after1 = graft.plans.IndexedTables.size
+    (1 to 3).foreach { _ =>
+      Catalog.byName("sql_ann_topk_pq").run(spark, sf).collect()
+    }
+    assert(graft.plans.IndexedTables.size == after1,
+      "each _pq invocation grew the shared registry — child session not memoized")
+  }
 }
