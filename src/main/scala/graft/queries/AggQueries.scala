@@ -105,6 +105,40 @@ object AggQueries {
           |FROM e JOIN s USING (skew_key)
           |WHERE e.value > s.avg_value
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    // partition-level pruning DEMONSTRATED with a throwing plan gate:
+    // events re-laid-out partitioned by event_type; the 'click' filter
+    // must land in PartitionFilters (directory pruning — non-matching
+    // partitions never opened) and must NOT appear as a data filter.
+    // The oracle is the unpartitioned scan: layout changes the PLAN,
+    // never the answer. sum(value) rounded (parallel vs sequential
+    // double accumulation).
+    Q(
+      "partition_pruning",
+      (s, dir) => graft.core.PartitionedLayout.clickRollup(s, dir),
+      Some(
+        """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+          |       count(*) AS n_events,
+          |       round(sum(value), 4) AS total_value
+          |FROM events
+          |WHERE event_type = 'click'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    // co-located bucketed join DEMONSTRATED with a throwing plan gate:
+    // both fact tables bucketed by the join key at write time, the join
+    // plans with NO Exchange under the SortMergeJoin (the layout paid
+    // the shuffle once — graft.core.BucketedLayout). The oracle is the
+    // plain shuffled join: the layout must change the PLAN, never the
+    // answer. sum(l_quantity) is integer-valued — exact in double.
+    Q(
+      "bucketed_join",
+      (s, dir) => graft.core.BucketedLayout.customerQuantities(s, dir),
+      Some(
+        """SELECT o_custkey, sum(l_quantity) AS qty,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_custkey""".stripMargin)
     )
   )
 }

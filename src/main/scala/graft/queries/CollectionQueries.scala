@@ -93,6 +93,65 @@ object CollectionQueries {
           |  ('doc', 'search', 'text:k=10'))
           |  t(collection, event_type, id)
           |ORDER BY id""".stripMargin)
+    ),
+    // small-file compaction (the 100 TB mutation-hygiene operator): a
+    // scratch collection built by three generation-advancing inserts
+    // carries the accumulated write-partition fan-out of its mutation
+    // history; compact() rewrites it range-partitioned on id through the
+    // same crash-safe generation swap. Gates THROW in-engine (file count
+    // must shrink to the target; rows and an id checksum must survive
+    // bit-identically); the oracle pins the surviving row count.
+    Q(
+      "collection_compact",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{count => fcount, expr => fexpr, lit => flit}
+        val root = java.nio.file.Files.createTempDirectory("graft_cc").toString
+        try {
+          val vdb = new VectorDb(s, root)
+          val coll = vdb.createCollection("cc", D, "cosine")
+          val src = Tables.documents(s, dir)
+            .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+            .select(col("doc_id").cast("string").as("id"), col("text"),
+              col("embedding").as("vector"), col("lang"))
+          // 4-way repartition per batch ⇒ the final generation's union
+          // write carries >1 file, the layout compact() exists to fix
+          (0 until 3).foreach(i => coll.insertBatch(
+            src.filter(col("id").cast("long") % 3 === i).repartition(4)))
+          def dataFiles: Int = {
+            val p = new org.apache.hadoop.fs.Path(s"$root/cc/data")
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+          }
+          def checksum: (Long, Long) = {
+            // bit_xor: order-insensitive, cannot overflow under ANSI
+            val r = coll.df
+              .agg(fcount(flit(1)), fexpr("bit_xor(xxhash64(id))")).head
+            (r.getLong(0), r.getLong(1))
+          }
+          val filesBefore = dataFiles
+          val before = checksum
+          require(filesBefore > 1,
+            s"collection_compact: mutation history left only $filesBefore " +
+              "file(s); the compaction demo needs a fragmented layout")
+          coll.compact(targetFiles = 1)
+          val filesAfter = dataFiles
+          val after = checksum
+          require(filesAfter == 1 && filesAfter < filesBefore,
+            s"collection_compact: expected 1 file after compact, " +
+              s"got $filesAfter (before: $filesBefore)")
+          require(before == after,
+            s"collection_compact: content changed across compact: " +
+              s"$before -> $after")
+          import s.implicits._
+          Seq((before._1, true)).toDF("n_docs", "files_merged")
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      },
+      Some(
+        """SELECT count(*) AS n_docs, TRUE AS files_merged
+          |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin)
     )
   )
 }

@@ -212,6 +212,18 @@ object KnnQueries {
            |  FROM scored) WHERE rn <= $K
            |ORDER BY query_id, score, vec_id""".stripMargin),
       bench = true
+    ),
+    // MMR-diversified top-k (beyond the reference): distributed exact
+    // top-50 relevance head + Catalyst-computed candidate sim matrix +
+    // k-step greedy on the bounded head; the oracle unrolls the greedy
+    // loop into k chained argmax CTEs — see graft.knn.Mmr
+    Q(
+      "mmr_rerank",
+      (s, dir) =>
+        graft.knn.Mmr.rerank(Tables.embeddings(s, dir), "embedding",
+          hashVectorLit(7, D)),
+      Some(graft.knn.Mmr.rerankSql("embeddings", "embedding", "vec_id",
+        queryKey = 7L, dim = D))
     )
   )
 }

@@ -55,4 +55,48 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("BucketedLayout memoizes per session: second ensure() reuses the files") {
+    import org.apache.hadoop.fs.Path
+    val (ot, _) = core.BucketedLayout.ensure(spark, sf)
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $ot")
+      .filter(col("col_name") === "Location").head.getString(1)
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newest: Long = fs.listStatus(new Path(loc))
+      .map(_.getModificationTime).max
+    val t1 = newest
+    core.BucketedLayout.ensure(spark, sf) // must be a catalog hit, no rewrite
+    assert(newest == t1, "second ensure() rewrote the bucketed layout")
+    // and the gated query returns the plain join's answer
+    val got = core.BucketedLayout.customerQuantities(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val exp = core.Tables.lineitem(spark, sf)
+      .join(core.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("PartitionedLayout prunes at the partition level and matches the flat scan") {
+    val got = core.PartitionedLayout.clickRollup(spark, sf) // gate throws inside
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exp = core.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      .orderBy("user_bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp && got.nonEmpty)
+    // second call reuses the fingerprint-keyed layout (no rewrite)
+    val path = core.PartitionedLayout.ensure(spark, sf)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newest: Long = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getModificationTime).max
+    val t1 = newest
+    core.PartitionedLayout.ensure(spark, sf)
+    assert(newest == t1, "second ensure() rewrote the partitioned layout")
+  }
 }
