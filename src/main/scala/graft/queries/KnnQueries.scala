@@ -224,6 +224,90 @@ object KnnQueries {
           hashVectorLit(7, D)),
       Some(graft.knn.Mmr.rerankSql("embeddings", "embedding", "vec_id",
         queryKey = 7L, dim = D))
+    ),
+    // "more like this" (beyond the reference — its query() always takes
+    // an external vector): the query IS a stored row's vector, looked up
+    // by id IN-PLAN (broadcast 1-row crossJoin, no driver round-trip),
+    // the anchor row excluded from its own neighbors
+    Q(
+      "knn_by_id",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val qv = e.filter(col("vec_id") === 42)
+          .select(col("embedding").as("qvec"))
+        e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 42)
+          .withColumn("score",
+            round(cosineDistance(col("embedding"), col("qvec")), 6))
+          .orderBy("score", "vec_id").limit(K)
+          .select("vec_id", "label", "score")
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 42)
+           |SELECT vec_id, label,
+           |       round(${Knn.distanceSql("cosine", "embedding", "q.v", D)}, 6) AS score
+           |FROM embeddings, q
+           |WHERE vec_id <> 42
+           |ORDER BY score, vec_id LIMIT $K""".stripMargin)
+    ),
+    // radius search (beyond the reference): ALL rows within a distance
+    // threshold rather than a fixed k — the dedup/clustering primitive
+    // top-k can't express. The threshold compares the ROUNDED score in
+    // both engines (same set either side of the display grid).
+    Q(
+      "knn_range",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .withColumn("score",
+            round(cosineDistance(col("embedding"), hashVectorLit(4, D)), 6))
+          .filter(col("score") <= 0.85)
+          .select("vec_id", "label", "score")
+          .orderBy("score", "vec_id"),
+      Some(
+        s"""WITH q AS (SELECT ${qvecSql(4)} AS v)
+           |SELECT vec_id, label, score FROM (
+           |  SELECT vec_id, label,
+           |         round(${Knn.distanceSql("cosine", "embedding", "q.v", D)}, 6) AS score
+           |  FROM embeddings, q)
+           |WHERE score <= CAST(0.85 AS DOUBLE)
+           |ORDER BY score, vec_id""".stripMargin)
+    ),
+    // recommend-by-examples (beyond the reference; the qdrant-style
+    // surface): query vector = avg(positives) − negative, examples
+    // excluded from the results. The 3 example vectors are a bounded
+    // driver collect; the combination arithmetic (float→double, add,
+    // halve, subtract) is replayed verbatim by the oracle's CTE.
+    Q(
+      "knn_recommend",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val ex = e.filter(col("vec_id").isin(42, 77, 13))
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        require(ex.size == 3, s"knn_recommend: example ids missing: ${ex.keySet}")
+        val q = (0 until D).map(i =>
+          (ex(42L)(i).toDouble + ex(77L)(i).toDouble) / 2.0 -
+            ex(13L)(i).toDouble)
+        e.filter(!col("vec_id").isin(42, 77, 13))
+          .withColumn("score",
+            round(cosineDistance(col("embedding"),
+              org.apache.spark.sql.functions.typedlit(q)), 6))
+          .orderBy("score", "vec_id").limit(K)
+          .select("vec_id", "label", "score")
+      },
+      Some(
+        s"""WITH p1 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 42),
+           |p2 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 77),
+           |n1 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 13),
+           |q AS (SELECT list_transform(range($D), i ->
+           |        ((p1.e)[i+1]::DOUBLE + (p2.e)[i+1]::DOUBLE) / 2 -
+           |        (n1.e)[i+1]::DOUBLE) AS v
+           |      FROM p1, p2, n1)
+           |SELECT vec_id, label,
+           |       round(${Knn.distanceSql("cosine", "embedding", "q.v", D)}, 6) AS score
+           |FROM embeddings, q
+           |WHERE vec_id NOT IN (42, 77, 13)
+           |ORDER BY score, vec_id LIMIT $K""".stripMargin)
     )
   )
 }
