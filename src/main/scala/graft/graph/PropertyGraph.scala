@@ -235,38 +235,46 @@ object GraphOps {
     * (id, r6 BIGINT micro-units). */
   def pagerank(g: Graph, iters: Int): DataFrame = {
     require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
-    // The edge list is the big side: it is never checkpointed, never
-    // exchanged (callers pass an already-materialized graph — TpchGraph
-    // persists nodes/edges). Rank/contribution tables are O(nodes)
-    // scalars: when the MEASURED node count is bounded they're hinted
-    // broadcast, so each iteration is one map-side-combined groupBy
-    // shuffle of per-dst partial sums; past the ceiling the joins fall
-    // back to shuffles on src/dst — the right plan at that size.
+    // The edge list is the big side: materialized ONCE with its per-src
+    // out-degree attached (edgesOd below), then each iteration joins it
+    // against the O(nodes) rank table. When the MEASURED node count is
+    // bounded the rank side is hinted broadcast, so each iteration is
+    // one broadcast join + one map-side-combined groupBy shuffle of
+    // per-dst partial sums; past the ceiling the joins fall back to
+    // shuffles on src/dst — the right plan at that size.
     val nodes = g.nodes.select(col("id")).localCheckpoint()
     val edges = g.edges.select(col("src"), col("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-      .localCheckpoint()
     val hint = nodes.count() <= FrontierHintRows
     def maybeBc(df: DataFrame) = if (hint) broadcast(df) else df
+    // Materialized adjacency: the per-src out-degree joined into the
+    // edge list ONCE (the GraphX trade — edge storage carries od so the
+    // loop never rebuilds per-src contributions). This removes the
+    // node-sized outdeg⋈rank join from every iteration: the loop below
+    // is ONE broadcast-gated join + one map-side-combined groupBy per
+    // hop, and the first hop (uniform base rank) needs no join at all.
+    val edgesOd = edges.join(maybeBc(outdeg), "src")
+      .select(col("src"), col("dst"), col("od")).localCheckpoint()
     // Sparse rank representation: `r` holds only nodes that RECEIVE
     // rank (contrib keys); every absent node implicitly sits at the
     // base value — 1e6 micro-units before the first iteration, the
     // 0.15 floor afterwards (a node with no in-edges lands on the floor
-    // after one step and never moves). This keeps the per-iteration
-    // loop to ONE bounded broadcast + one map-side-combined groupBy —
-    // no full-node-set join or second broadcast per hop; the dense
-    // (id, r6) view is reconstituted once at the end.
+    // after one step and never moves). The dense (id, r6) view is
+    // reconstituted once at the end.
     var r: Option[DataFrame] = None
     for (k <- 1 to iters) {
       val base = if (k == 1) 1000000L else 150000L
-      val perSrc = r match {
-        case Some(rr) => outdeg.join(rr, col("src") === col("id"), "left")
-          .select(col("src"),
-            expr(s"coalesce(r6, ${base}L) div od").as("c"))
-        case None => outdeg.select(col("src"), expr(s"${base}L div od").as("c"))
+      // contribution per EDGE is coalesce(rank(src), base) div od(src) —
+      // a function of src only, so the per-edge division sums to exactly
+      // the same integers as the former per-src precomputation
+      val contrib = r match {
+        case Some(rr) => edgesOd
+          .join(maybeBc(rr), col("src") === col("id"), "left")
+          .select(col("dst"), expr(s"coalesce(r6, ${base}L) div od").as("c"))
+        case None => edgesOd
+          .select(col("dst"), expr(s"${base}L div od").as("c"))
       }
-      val next = edges.join(maybeBc(perSrc), "src")
-        .select(col("dst"), col("c"))
+      val next = contrib
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("id"),
           (lit(150000L) + expr("sc * 17 div 20")).as("r6"))
