@@ -26,40 +26,60 @@ import org.apache.spark.sql.functions._
 object BucketedLayout {
   val Buckets = 8
 
-  private def tableName(base: String, dir: String): String =
-    s"graft_bj_${base}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def dirSlug(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  private def tablePath(base: String, dir: String): String =
+  private def tableName(base: String, dir: String, fp: String): String =
+    s"graft_bj_${base}_${dirSlug(dir)}_$fp"
+
+  private def layoutRoot(dir: String): String =
     s"${graft.index.IndexStore.root}/_bucketed/" +
-      s"${graft.index.IndexStore.slug(dir)}/$base"
+      graft.index.IndexStore.slug(dir)
 
   /** Ensure the bucketed `orders`/`lineitem` copies for `dir` exist and
     * are registered in this session's catalog; returns their table
-    * names. Synchronized: parallel suites sharing one session must not
-    * race the write. */
+    * names. Table name and path are keyed by the SOURCE FINGERPRINT
+    * (same auto-fresh contract as [[graft.index.IndexStore]] and
+    * [[PartitionedLayout]]): a regenerated source changes the
+    * fingerprint, so the memo misses and the layout rebuilds — stale
+    * same-base registrations are dropped and their files deleted.
+    * The source frames are by-name so the memoized hit never pays the
+    * parquet footer reads. Synchronized: parallel suites sharing one
+    * session must not race the write. */
   def ensure(spark: SparkSession, dir: String): (String, String) =
     synchronized {
-      val ot = tableName("orders", dir)
-      val lt = tableName("lineitem", dir)
-      def build(name: String, df: DataFrame, key: String, path: String): Unit =
+      val fp = graft.index.IndexStore.fingerprint(spark,
+        Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"))
+      val ot = tableName("orders", dir, fp)
+      val lt = tableName("lineitem", dir, fp)
+      def build(name: String, df: => DataFrame, key: String,
+          base: String): Unit =
         if (!spark.catalog.tableExists(name)) {
-          // external table: re-registering in a fresh session rewrites
-          // the files (simplest correct freshness story — the write is
-          // the cost being amortized, and it happens once per session)
-          val p = new Path(path)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(p, true)
+          // drop stale same-base layouts (older fingerprints): catalog
+          // registrations first, then their files under the layout root
+          spark.catalog.listTables().collect()
+            .map(_.name)
+            .filter(n => n.startsWith(s"graft_bj_${base}_${dirSlug(dir)}_")
+              && n != name)
+            .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+          val rootP = new Path(layoutRoot(dir))
+          val fs = rootP.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(rootP))
+            fs.listStatus(rootP)
+              .filter(_.getPath.getName.startsWith(s"${base}_"))
+              .foreach(st => fs.delete(st.getPath, true))
           df.write.mode("overwrite")
             .bucketBy(Buckets, key).sortBy(key)
-            .option("path", path)
+            .option("path", s"${layoutRoot(dir)}/${base}_$fp")
             .saveAsTable(name)
         }
       build(ot, Tables.orders(spark, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice"),
-        "o_orderkey", tablePath("orders", dir))
+        "o_orderkey", "orders")
       build(lt, Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_quantity", "l_extendedprice"),
-        "l_orderkey", tablePath("lineitem", dir))
+        "l_orderkey", "lineitem")
       (ot, lt)
     }
 

@@ -34,7 +34,14 @@ object PartitionedLayout {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path, "_SUCCESS"))) {
-      fs.delete(p, true) // partial layout (crash mid-write): redo
+      // a regenerated source changes the fingerprint — delete stale
+      // sibling events_* layouts (this dir is owned by the layout) so
+      // regens don't accumulate orphaned full copies of the table
+      val parent = p.getParent
+      if (fs.exists(parent))
+        fs.listStatus(parent)
+          .filter(_.getPath.getName.startsWith("events_"))
+          .foreach(st => fs.delete(st.getPath, true))
       Tables.events(spark, dir)
         .write.partitionBy("event_type").parquet(path)
     }

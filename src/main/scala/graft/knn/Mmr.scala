@@ -63,17 +63,24 @@ object Mmr {
       .orderBy(col("rel").desc, col("id"))
       .limit(n)
       .localCheckpoint() // n rows; feeds the self-join twice below
-    // n×n candidate sim matrix, kernels in Catalyst (oracle-twin math);
-    // bounded crossJoin: both sides are the n-row checkpointed head
+    // candidate sim matrix, kernels in Catalyst (oracle-twin math);
+    // bounded crossJoin: both sides are the n-row checkpointed head.
+    // Cosine is exactly symmetric (per-element products commute, norms
+    // swap in a multiplication), so compute each unordered pair ONCE
+    // (ia < ib) and mirror it into the map — halves the kernel work and
+    // the collect vs the full n·(n−1) matrix.
     val sims = cand.select(col("id").as("ia"), col("v").as("va"))
       .crossJoin(broadcast(cand.select(col("id").as("ib"), col("v").as("vb"))))
-      .filter(col("ia") =!= col("ib"))
+      .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         (lit(1.0) - cosineDistance(col("va"), col("vb"))).as("s"))
     val cands = cand.select("id", "rel").collect()
       .map(r => Cand(r.getLong(0), r.getDouble(1))).toSeq
     val simMap: Map[(Long, Long), Double] = sims.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .flatMap { r =>
+        val (a, b, v) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> v, (b, a) -> v)
+      }.toMap
     // greedy head: k sequential argmaxes over ≤ n candidates
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
@@ -133,6 +140,13 @@ object Mmr {
     val out = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rnk, $idCol, round(sc, 6) AS mmr FROM s$i")
       .mkString("\nUNION ALL\n")
+    val s1 =
+      s"""s1 AS MATERIALIZED (
+         |  SELECT $idCol, $lam * rel AS sc
+         |  FROM cand ORDER BY rel DESC, $idCol LIMIT 1)""".stripMargin
+    // join ALL step CTEs with one mkString — k=1 has no s2.. steps and
+    // must not leave a dangling comma before the final SELECT
+    val allSteps = (s1 +: steps).mkString(",\n")
     s"""WITH q AS (SELECT ${hashVectorSql(queryKey.toString, dim)} AS v),
        |cand AS MATERIALIZED (
        |  SELECT $idCol, $relExpr AS rel, $vectorCol
@@ -141,10 +155,7 @@ object Mmr {
        |sims AS MATERIALIZED (
        |  SELECT a.$idCol AS ia, b.$idCol AS ib, $simExpr AS s
        |  FROM cand a JOIN cand b ON a.$idCol <> b.$idCol),
-       |s1 AS MATERIALIZED (
-       |  SELECT $idCol, $lam * rel AS sc
-       |  FROM cand ORDER BY rel DESC, $idCol LIMIT 1),
-       |${steps.mkString(",\n")}
+       |$allSteps
        |$out
        |ORDER BY rnk""".stripMargin
   }

@@ -28,17 +28,22 @@ object CollectionQueries {
     "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.text, e.embedding, d.lang " +
       "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
 
+  /** documents⋈embeddings as collection rows (string id, text, vector,
+    * lang) — the ONE corpus definition every collection_* entry builds
+    * its scratch collection from. */
+  private def docCorpus(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id").cast("string").as("id"), col("text"),
+        col("embedding").as("vector"), col("lang"))
+
   private def collectionDoc(s: SparkSession, dir: String): VectorCollection = {
     val fp = IndexStore.fingerprint(s,
       Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet"))
     val vdb = new VectorDb(s,
       s"${IndexStore.root}/_collections/${IndexStore.slug(dir)}_doc_$fp")
     val coll = vdb.getOrCreateCollection("doc", D, "cosine")
-    if (coll.isEmpty)
-      coll.insertBatch(Tables.documents(s, dir)
-        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-        .select(col("doc_id").cast("string").as("id"), col("text"),
-          col("embedding").as("vector"), col("lang")))
+    if (coll.isEmpty) coll.insertBatch(docCorpus(s, dir))
     coll
   }
 
@@ -109,10 +114,7 @@ object CollectionQueries {
         try {
           val vdb = new VectorDb(s, root)
           val coll = vdb.createCollection("cc", D, "cosine")
-          val src = Tables.documents(s, dir)
-            .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-            .select(col("doc_id").cast("string").as("id"), col("text"),
-              col("embedding").as("vector"), col("lang"))
+          val src = docCorpus(s, dir)
           // 4-way repartition per batch ⇒ the final generation's union
           // write carries >1 file, the layout compact() exists to fix
           (0 until 3).foreach(i => coll.insertBatch(

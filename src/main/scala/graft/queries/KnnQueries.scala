@@ -235,11 +235,9 @@ object KnnQueries {
         val e = Tables.embeddings(s, dir)
         val qv = e.filter(col("vec_id") === 42)
           .select(col("embedding").as("qvec"))
-        e.crossJoin(broadcast(qv))
-          .filter(col("vec_id") =!= 42)
-          .withColumn("score",
-            round(cosineDistance(col("embedding"), col("qvec")), 6))
-          .orderBy("score", "vec_id").limit(K)
+        Knn.search(e.crossJoin(broadcast(qv)), col("embedding"),
+            col("qvec"), "cosine", K,
+            filter = Some(col("vec_id") =!= 42))
           .select("vec_id", "label", "score")
       },
       Some(
@@ -288,11 +286,9 @@ object KnnQueries {
         val q = (0 until D).map(i =>
           (ex(42L)(i).toDouble + ex(77L)(i).toDouble) / 2.0 -
             ex(13L)(i).toDouble)
-        e.filter(!col("vec_id").isin(42, 77, 13))
-          .withColumn("score",
-            round(cosineDistance(col("embedding"),
-              org.apache.spark.sql.functions.typedlit(q)), 6))
-          .orderBy("score", "vec_id").limit(K)
+        Knn.search(e, col("embedding"),
+            org.apache.spark.sql.functions.typedlit(q), "cosine", K,
+            filter = Some(!col("vec_id").isin(42, 77, 13)))
           .select("vec_id", "label", "score")
       },
       Some(
