@@ -475,6 +475,119 @@ object StreamQueries {
         graft.functions.VectorFunctions.hashVectorSql("11",
           Tables.EmbeddingDim),
         Tables.EmbeddingDim, 10))
+    ),
+    // [[graft.stream.StreamAsOf]] driven as a REAL multi-micro-batch
+    // stream and oracled (promoting it from spec-only): clicks enriched
+    // with the same user's latest prior purchase value. The operator is
+    // watermark-driven and out-of-order safe, so with a lateness bound
+    // covering the replay's full event-time disorder (the stream dir is
+    // hash-partitioned, same reasoning as stream_interval_join_live) the
+    // appended output is invariant to HOW the files split into batches —
+    // which is exactly what makes a DuckDB oracle possible. A far-future
+    // sentinel right row on an unused key advances the global watermark
+    // past every buffered left so the event-time timeouts flush them
+    // (a live feed would use its true lateness bound and drain
+    // continuously; the sentinel stands in for the clock advancing).
+    Q(
+      "stream_asof_live",
+      (s, dir) => {
+        import graft.stream.StreamAsOf
+        val ev = Tables.events(s, dir)
+        // the operator's input relation: rights = purchases carrying
+        // `value`, lefts = clicks; event time in epoch seconds (the
+        // second-resolution ties this creates are resolved by eid in
+        // both engines)
+        val rel = ev.filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id").as("k"), col("ts").cast("long").as("t"),
+            when(col("event_type") === "click", 1).otherwise(0).as("side"),
+            col("event_id").as("eid"), col("value").as("v"))
+        val maxT = rel.agg(max("t")).head.getLong(0) // 1-row bounded action
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_asof_live").toString
+        try {
+          rel.repartition(6).write.parquet(s"$tmp/d0")
+          val stream = s.readStream.schema(rel.schema)
+            .option("maxFilesPerTrigger", 2).parquet(s"$tmp/d*")
+          val sink = "stream_asof_live_sink"
+          val q = StreamAsOf.enrich(stream, "31 days")
+            .toDF()
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try {
+            q.processAllAvailable()
+            // sentinel: wm after this batch = t − 31d ≥ maxT + 10 s, so
+            // every buffered left is cleared for emission; the unused
+            // key −1 itself never emits (no left rows carry it)
+            import s.implicits._
+            Seq((-1L, maxT + 32L * 86400, 0, 0L, 0.0))
+              .toDF("k", "t", "side", "eid", "v")
+              .coalesce(1).write.parquet(s"$tmp/dz")
+            q.processAllAvailable()
+          } finally q.stop()
+          s.table(sink)
+            .select(col("eid"), col("k"), col("t"),
+              round(col("asof_v"), 4).as("asof_v"))
+            .orderBy("eid").localCheckpoint()
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(tmp)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT event_id AS eid, user_id AS k,
+          |         floor(epoch(ts))::BIGINT AS t
+          |  FROM events WHERE event_type = 'click'),
+          |r AS (
+          |  SELECT user_id AS k, floor(epoch(ts))::BIGINT AS t,
+          |         event_id AS eid, value AS v
+          |  FROM events WHERE event_type = 'purchase'),
+          |m AS (
+          |  SELECT l.eid, l.k, l.t, r.v,
+          |         row_number() OVER (PARTITION BY l.eid
+          |                            ORDER BY r.t DESC, r.eid DESC) AS rn
+          |  FROM l LEFT JOIN r ON r.k = l.k AND r.t <= l.t)
+          |SELECT eid, k, t, round(v, 4) AS asof_v
+          |FROM m WHERE rn = 1 ORDER BY eid""".stripMargin)
+    ),
+    // [[graft.stream.StatefulDedup]] driven as a real stream and oracled
+    // (promoting the custom-state dedup from spec-only): first event per
+    // user across micro-batches. First-seen-batch-wins is batch-order
+    // DEPENDENT in general, so the source copy is hash-repartitioned ON
+    // THE KEY — every key's rows land in one file, hence in one batch,
+    // and the emitted row is that key's global min event_id whatever
+    // order the batches run. (A live at-scale feed has no such layout
+    // guarantee; there the operator's contract is genuinely
+    // first-arrival-wins — the layout here pins determinism for the
+    // oracle, the same way the interval-join entry pins its lateness.)
+    Q(
+      "stream_dedup_live",
+      (s, dir) => {
+        import graft.stream.StatefulDedup
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_dedup_live").toString
+        try {
+          ev.repartition(6, col("user_id")).write.parquet(s"$tmp/src")
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2).parquet(s"$tmp/src")
+          val sink = "stream_dedup_live_sink"
+          val q = StatefulDedup.firstSeenByKey(stream, "user_id")
+            .toDF()
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+          s.table(sink).orderBy("key").localCheckpoint()
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(tmp)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      },
+      Some(
+        """SELECT user_id AS key, min(event_id) AS event_id,
+          |       arg_min(event_type, event_id) AS event_type
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 
