@@ -154,6 +154,74 @@ object CollectionQueries {
       Some(
         """SELECT count(*) AS n_docs, TRUE AS files_merged
           |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin)
+    ),
+    // full client lifecycle through the REAL stateful collection, oracled
+    // (promoting the §2.1/§2.2 save/load + update + count/list_ids rows
+    // from spec-only): create → insertBatch → upsert (delete-then-insert
+    // re-tagging every 7th doc) → deleteWhere (metadata filter) →
+    // deleteIds (point deletes) → REOPEN through a fresh VectorDb handle
+    // (catalog discovery + persistence round-trip — the "save/load" the
+    // reference's client journey exercises) → count / listIds / content
+    // probe. Every mutation is replayed relationally by the oracle, so
+    // the crash-safe generation chain is pinned against SQL, not just
+    // specs. Scratch root per invocation, deleted in finally.
+    Q(
+      "collection_lifecycle",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{concat, lit}
+        val root = java.nio.file.Files.createTempDirectory("graft_lc").toString
+        try {
+          val vdb = new VectorDb(s, root)
+          val coll = vdb.createCollection("lc", D, "cosine")
+          val src = docCorpus(s, dir)
+          coll.insertBatch(src)
+          coll.upsert(src.filter(col("id").cast("long") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" [v2]"))))
+          val nDeleted = coll.deleteWhere(graft.filter.Eq("lang", "de"))
+          val nPointDeleted = coll.deleteIds(Seq("11", "13"))
+          // reopen: fresh handle, catalog discovery, same on-disk state
+          val vdb2 = new VectorDb(s, root)
+          require(vdb2.listCollections() == Seq("lc"),
+            s"collection_lifecycle: catalog lost the collection: " +
+              s"${vdb2.listCollections()}")
+          val re = vdb2.getCollection("lc").getOrElse(
+            throw new IllegalStateException(
+              "collection_lifecycle: reopen failed"))
+          val nDocs = re.count()
+          val firstIds = re.listIds(limit = 5, offset = 0).mkString(",")
+          val nUpdated = re.df.filter(col("text").endsWith(" [v2]")).count()
+          import s.implicits._
+          Seq((nDocs, nDeleted, nPointDeleted, nUpdated, firstIds))
+            .toDF("n_docs", "n_deleted", "n_point_deleted", "n_updated",
+              "first_ids")
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      },
+      Some(
+        """WITH corpus AS (
+          |  SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text, d.lang
+          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          |upd AS (
+          |  SELECT id, text || ' [v2]' AS text, lang FROM corpus
+          |  WHERE CAST(id AS BIGINT) % 7 = 0),
+          |merged AS (
+          |  SELECT * FROM corpus WHERE id NOT IN (SELECT id FROM upd)
+          |  UNION ALL SELECT * FROM upd),
+          |kept AS (SELECT * FROM merged WHERE lang <> 'de'),
+          |final AS (SELECT * FROM kept WHERE id NOT IN ('11', '13'))
+          |SELECT
+          |  CAST((SELECT count(*) FROM final) AS BIGINT) AS n_docs,
+          |  CAST((SELECT count(*) FROM merged WHERE lang = 'de') AS BIGINT)
+          |    AS n_deleted,
+          |  CAST((SELECT count(*) FROM kept WHERE id IN ('11', '13'))
+          |    AS BIGINT) AS n_point_deleted,
+          |  CAST((SELECT count(*) FROM final WHERE text LIKE '% [v2]')
+          |    AS BIGINT) AS n_updated,
+          |  (SELECT string_agg(id, ',' ORDER BY id)
+          |   FROM (SELECT id FROM final ORDER BY id LIMIT 5) t)
+          |    AS first_ids""".stripMargin)
     )
   )
 }

@@ -173,6 +173,51 @@ object EmbedQueries {
            |FROM pm GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin
       }
+    ),
+    // cache-through embedding, oracled (promoting CachedEmbedder from
+    // spec-only — reference embeddings.py:374-448): the cache table
+    // holds vectors for the even-id docs' texts; embedWithCache joins
+    // hits by text KEY (so an odd doc whose text duplicates an even
+    // doc's is a HIT — content-addressed, like the reference's
+    // sha256-keyed disk cache), embeds only the misses, and the report
+    // pins hit/miss counts plus a micro-unit checksum of the first
+    // vector element over each branch — the hit branch's vectors come
+    // from the cache table, the miss branch's from the embed kernel, so
+    // a drift in either surfaces in v1_s6.
+    Q(
+      "embed_cached",
+      (s, dir) => {
+        import graft.embed.CachedEmbedder
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("text"))
+        val cache = Tables.documents(s, dir)
+          .filter(col("doc_id") % 2 === 0)
+          .withColumn("key", e.textKey("text"))
+          .select(col("key"), e.embedKey(col("key")).as("vector"))
+          .distinct()
+        CachedEmbedder.embedWithCache(docs, cache, e)
+          .groupBy("from_cache")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(element_at(vector, 1) * 1000000) as bigint)"))
+              .as("v1_s6"))
+          .orderBy("from_cache")
+      },
+      Some {
+        val key = TextAnalysis.charHashSql("text")
+        s"""WITH keyed AS (
+           |  SELECT doc_id AS id, ($key) AS key FROM documents),
+           |cache AS (SELECT DISTINCT key FROM keyed WHERE id % 2 = 0),
+           |r AS (SELECT id, key,
+           |             key IN (SELECT key FROM cache) AS from_cache
+           |      FROM keyed),
+           |v AS (SELECT from_cache,
+           |             (${hashVectorSql("key", D)})[1] AS v1
+           |      FROM r)
+           |SELECT from_cache, count(*) AS n,
+           |       CAST(sum(CAST(round(v1 * 1000000) AS BIGINT)) AS BIGINT)
+           |         AS v1_s6
+           |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     )
   )
 }

@@ -98,6 +98,70 @@ object GraphQueries {
            |FROM mem WHERE node IN (SELECT node FROM top2)
            |GROUP BY he ORDER BY n_matched DESC, he LIMIT 20""".stripMargin)
     ),
+    // graph DML end-to-end, oracled (promoting node/edge CRUD + cascade
+    // from spec-only): create a node + an edge to it, merge-update a
+    // property, delete one edge by its exact triple (looked up in-plan —
+    // each customer has exactly ONE IN_NATION edge, so the oracle can
+    // replay the delete relationally), then delete a supplier node with
+    // CASCADE (every incident edge goes too). The report is per-label /
+    // per-type counts plus the updated property value — each mutation
+    // shifts at least one reported number, so a silently-skipped rewrite
+    // fails the hash.
+    Q(
+      "graph_mutations",
+      (s, dir) => {
+        import graft.graph.GraphMutations
+        var g = TpchGraph.build(s, dir)
+        g = GraphMutations.createNode(g, "x:1", "Hub", "HUB_1",
+          num = Some(42.0), seg = Some("NEW"))
+        g = GraphMutations.createEdge(g, "x:1", "n:0", "LINKED")
+        g = GraphMutations.updateNode(g, "c:1", num = Some(4242.5))
+        val nDst = g.edges
+          .filter(col("src") === "c:1" && col("type") === "IN_NATION")
+          .select("dst").head.getString(0) // 1-row bounded action
+        g = GraphMutations.deleteEdge(g, "c:1", nDst, "IN_NATION")
+        g = GraphMutations.deleteNode(g, "s:1", cascade = true)
+        val nodeCounts = g.nodes
+          .groupBy(col("label").as("key"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .withColumn("kind", lit("node"))
+        val edgeCounts = g.edges
+          .groupBy(col("type").as("key"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .withColumn("kind", lit("edge"))
+        val prop = g.nodes.filter(col("id") === "c:1")
+          .select(lit("c:1").as("key"), col("num").as("n"),
+            lit("prop").as("kind"))
+        nodeCounts.unionByName(edgeCounts).unionByName(prop)
+          .select("kind", "key", "n").orderBy("kind", "key")
+      },
+      Some(
+        s"""WITH $C,
+           |nodes1 AS (
+           |  SELECT * FROM nodes UNION ALL
+           |  SELECT 'x:1', 'Hub', 'HUB_1', CAST(42.0 AS DOUBLE), 'NEW'),
+           |nodes2 AS (
+           |  SELECT id, label, name,
+           |         CASE WHEN id = 'c:1' THEN CAST(4242.5 AS DOUBLE)
+           |              ELSE num END AS num, seg
+           |  FROM nodes1),
+           |nodes3 AS (SELECT * FROM nodes2 WHERE id <> 's:1'),
+           |edges1 AS (
+           |  SELECT * FROM edges UNION ALL SELECT 'x:1', 'n:0', 'LINKED'),
+           |edges2 AS (
+           |  SELECT * FROM edges1
+           |  WHERE NOT (src = 'c:1' AND type = 'IN_NATION')),
+           |edges3 AS (
+           |  SELECT * FROM edges2 WHERE src <> 's:1' AND dst <> 's:1')
+           |SELECT 'node' AS kind, label AS key, CAST(count(*) AS DOUBLE) AS n
+           |FROM nodes3 GROUP BY 2
+           |UNION ALL
+           |SELECT 'edge', type, CAST(count(*) AS DOUBLE)
+           |FROM edges3 GROUP BY 2
+           |UNION ALL
+           |SELECT 'prop', 'c:1', num FROM nodes3 WHERE id = 'c:1'
+           |ORDER BY kind, key""".stripMargin)
+    ),
     Q(
       "graph_stats",
       (s, dir) => {
