@@ -270,6 +270,51 @@ object KnnQueries {
            |WHERE score <= CAST(0.85 AS DOUBLE)
            |ORDER BY score, vec_id""".stripMargin)
     ),
+    // hard-negative mining (beyond the reference; the contrastive-
+    // training primitive): for each ANCHOR row, the k nearest stored
+    // vectors with a DIFFERENT label — the "close but wrong" examples a
+    // contrastive trainer pairs against the anchor. Three broadcast
+    // anchor rows scored against the corpus in one scan; per-anchor
+    // top-5 via one rank window (WindowGroupLimit caps per-partition
+    // rows before the anchor-key shuffle). At corpus scale the anchor
+    // set is a table, not a literal — same plan, bigger broadcast or a
+    // shuffle join past the gate.
+    Q(
+      "knn_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val anchors = e.filter(col("vec_id").isin(1, 2, 3))
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+            col("label").as("al"))
+        val w = Window.partitionBy("anchor_id").orderBy(col("score"), col("vec_id"))
+        e.crossJoin(broadcast(anchors))
+          .filter(col("label") =!= col("al") && col("vec_id") =!= col("anchor_id"))
+          .withColumn("score",
+            round(cosineDistance(col("embedding"), col("av")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("anchor_id"), col("rn").cast("int").as("rn"),
+            col("vec_id"), col("label"), col("score"))
+          .orderBy("anchor_id", "rn")
+      },
+      Some(
+        s"""WITH a AS (
+           |  SELECT vec_id AS anchor_id, embedding AS av, label AS al
+           |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+           |sc AS (
+           |  SELECT a.anchor_id, e.vec_id, e.label,
+           |         round(${Knn.distanceSql("cosine", "e.embedding", "a.av", D)}, 6)
+           |           AS score
+           |  FROM embeddings e CROSS JOIN a
+           |  WHERE e.label <> a.al AND e.vec_id <> a.anchor_id),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |                               ORDER BY score, vec_id) AS rn
+           |  FROM sc)
+           |SELECT anchor_id, CAST(rn AS INT) AS rn, vec_id, label, score
+           |FROM rk WHERE rn <= 5 ORDER BY anchor_id, rn""".stripMargin)
+    ),
     // recommend-by-examples (beyond the reference; the qdrant-style
     // surface): query vector = avg(positives) − negative, examples
     // excluded from the results. The 3 example vectors are a bounded
