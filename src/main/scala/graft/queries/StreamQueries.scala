@@ -280,9 +280,28 @@ object StreamQueries {
     // sink in complete mode — the final table equals the batch aggregate
     // whatever the batch splits, which is what the oracle pins. Bench'd,
     // so the streaming path has a perf signal beyond StreamSpec.
+    //
+    // State-partition sizing: a streaming agg creates ONE state store
+    // per shuffle partition, and every micro-batch commits every store —
+    // at the session's width of 32 that is 32 stores × 4 batches of
+    // commit/snapshot overhead wrapped around a ~hundred-group
+    // aggregate, and it dominated the measured wall (driver-discipline
+    // medians 4-6 s, wandering with tmpfs contention). The stream runs
+    // on a memoized CHILD session with shuffle width 8 — state sizing
+    // is per-query tuning, so it must not mutate the shared session
+    // (the sql_ann_topk_pq lesson). At a real deployment's volume the
+    // width goes UP for the same reason it goes down here: state
+    // partition count should track load, not the session default.
     Q(
       "stream_tumbling_live",
-      (s, dir) => {
+      (s0, dir) => {
+        val s = tumblingSessions.computeIfAbsent(
+          org.apache.spark.sql.graft.bridge.sessionUuid(s0),
+          _ => {
+            val c = s0.newSession()
+            c.conf.set("spark.sql.shuffle.partitions", "8")
+            c
+          })
         val src = eventsStreamDir(s, dir)
         val sink = "stream_tumbling_live_sink"
         val q = s.readStream
@@ -590,6 +609,14 @@ object StreamQueries {
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
+
+  /** Child sessions scoping the streaming state width for
+    * [[qs stream_tumbling_live]], memoized per parent session (same
+    * pattern as the IVF-PQ serving scope in AnnQueries — repeated bench
+    * reps reuse one child instead of leaking a session per call). */
+  private val tumblingSessions =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.SparkSession]()
 
   /** Multi-file copy of the events table under the (versioned) store
     * root, keyed by the source fingerprint — the file source then yields
