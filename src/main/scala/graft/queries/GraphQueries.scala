@@ -162,6 +162,42 @@ object GraphQueries {
            |SELECT 'prop', 'c:1', num FROM nodes3 WHERE id = 'c:1'
            |ORDER BY kind, key""".stripMargin)
     ),
+    // hyperedge CRUD end-to-end, oracled (the n-ary companion of
+    // graph_mutations): membership derived from HAS_PART edges, one
+    // hyperedge created (member-existence FK check), one deleted; the
+    // report's four aggregates each move under exactly one mutation.
+    Q(
+      "graph_hyperedge_mutations",
+      (s, dir) => {
+        import graft.graph.Hyperedges
+        val g = TpchGraph.build(s, dir)
+        val m0 = Hyperedges.fromEdges(g, "HAS_PART")
+        val m1 = Hyperedges.create(g, m0, "hx:1", Seq("p:1", "p:2", "p:3"))
+        val m2 = Hyperedges.delete(m1, "o:1")
+        val tot = m2.agg(count(lit(1)).as("n_rows"),
+          countDistinct("he_id").as("n_hyperedges"))
+        val hx = m2.filter(col("he_id") === "hx:1")
+          .agg(count(lit(1)).as("hx_members"))
+        val p1 = m2.filter(col("node") === "p:1")
+          .agg(countDistinct("he_id").as("he_with_p1"))
+        tot.crossJoin(broadcast(hx)).crossJoin(broadcast(p1))
+      },
+      Some(
+        s"""WITH $C,
+           |m0 AS (SELECT src AS he_id, dst AS node FROM edges
+           |       WHERE type = 'HAS_PART'),
+           |m1 AS (SELECT * FROM m0 UNION ALL
+           |       SELECT 'hx:1', x
+           |       FROM (VALUES ('p:1'), ('p:2'), ('p:3')) t(x)),
+           |m2 AS (SELECT * FROM m1 WHERE he_id <> 'o:1')
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(DISTINCT he_id) AS BIGINT) AS n_hyperedges,
+           |       CAST((SELECT count(*) FROM m2 WHERE he_id = 'hx:1')
+           |         AS BIGINT) AS hx_members,
+           |       CAST((SELECT count(DISTINCT he_id) FROM m2
+           |             WHERE node = 'p:1') AS BIGINT) AS he_with_p1
+           |FROM m2""".stripMargin)
+    ),
     Q(
       "graph_stats",
       (s, dir) => {
