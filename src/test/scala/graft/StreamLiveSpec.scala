@@ -45,4 +45,14 @@ class StreamLiveSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
     assert(one == expected)
   }
+
+  test("stream_tumbling_live scopes its state width to a child session") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val n = Catalog.byName("stream_tumbling_live")
+      .run(spark, SparkTestSession.sf).count()
+    assert(n > 0)
+    // the width-8 tuning must live on the memoized child only — the
+    // shared session's conf is untouched (the sql_ann_topk_pq lesson)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
