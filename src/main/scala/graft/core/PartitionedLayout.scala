@@ -23,28 +23,27 @@ object PartitionedLayout {
   private def layoutPath(spark: SparkSession, dir: String): String = {
     val fp = graft.index.IndexStore.fingerprint(
       spark, Seq(s"$dir/events.parquet"))
-    s"${graft.index.IndexStore.root}/_partitioned/" +
+    // `_partitioned2`: fresh root for the r9 publish protocol (ready
+    // marker inside the dir) — see [[BucketedLayout.layoutRoot]]
+    s"${graft.index.IndexStore.root}/_partitioned2/" +
       s"${graft.index.IndexStore.slug(dir)}/events_$fp"
   }
 
   /** Ensure the event_type-partitioned events copy exists; returns its
-    * path. The write is the one-time layout cost being amortized. */
+    * path. The write is the one-time layout cost being amortized.
+    * Cross-JVM safe via [[LayoutPublish]] (VERDICT r8 #1): built into a
+    * tmp dir, atomically renamed into place (a concurrent builder adopts
+    * the winner's complete copy), and stale-fingerprint generations of a
+    * regenerated source are grace-period garbage-collected instead of
+    * deleted under a possibly-live reader. */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val path = layoutPath(spark, dir)
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(path, "_SUCCESS"))) {
-      // a regenerated source changes the fingerprint — delete stale
-      // sibling events_* layouts (this dir is owned by the layout) so
-      // regens don't accumulate orphaned full copies of the table
-      val parent = p.getParent
-      if (fs.exists(parent))
-        fs.listStatus(parent)
-          .filter(_.getPath.getName.startsWith("events_"))
-          .foreach(st => fs.delete(st.getPath, true))
+    LayoutPublish.publish(spark, p) { tmp =>
       Tables.events(spark, dir)
-        .write.partitionBy("event_type").parquet(path)
+        .write.partitionBy("event_type").parquet(tmp.toString)
     }
+    LayoutPublish.gcStale(spark, p.getParent, "events_", p.getName)()
     path
   }
 

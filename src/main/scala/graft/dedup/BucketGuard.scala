@@ -72,29 +72,37 @@ object BucketGuard {
     * payloads collide in every band (hash collisions are harmless:
     * they only add chain edges that exact verification rejects).
     *
-    * CONTRACT: this is NOT a pure plan constructor — it runs one eager
-    * aggregate job over `rows` at call time (the hot-key probe) and
-    * freezes the guarded/short-circuit decision on the data as of that
-    * moment. Callers must treat the result as query-scoped: build,
-    * execute, drop (every engine caller does — and checkpoints any
-    * expensive upstream first, since the probe scans it once). Holding
-    * the returned frame across a source mutation would re-execute
-    * against new data under a stale hot-key decision.
+    * CONTRACT: this is NOT a pure plan constructor — it materializes the
+    * scalar band rows ONCE at call time (eager localCheckpoint) and runs
+    * the hot-key probe over that snapshot. The guarded/short-circuit
+    * decision AND every later execution of the returned frame read the
+    * SAME snapshot, so the decision can never go stale against the data
+    * it applies to — a caller that mutates the source after building the
+    * frame gets the probe-time result (snapshot isolation), never a
+    * stale-decision mix over new data (VERDICT r8 #2; BucketGuardSpec
+    * pins it). Callers should still treat the result as query-scoped —
+    * build, execute, drop — so the snapshot blocks are released; the
+    * snapshot carries scalars only (id, fsig, bucket keys), the same
+    * O(rows·bands) the probe already scanned, and it replaces the per-
+    * branch upstream re-scans the previous formulation paid.
     */
   def candidatePairs(rows: DataFrame, idCol: String, keyCols: Seq[String],
       fsigCol: String, cap: Int = DefaultCap): DataFrame = {
     val kc = keyCols.map(col)
     val slim = rows.select((Seq(col(idCol), col(fsigCol)) ++ kc): _*)
+      .localCheckpoint()
     val bucketEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     // Hot-bucket KEYS via an ordinary aggregate (map-side-combined —
     // far cheaper than a window count, which would re-sort ALL band
     // rows once per consuming branch below). The hot-key set is tiny by
     // construction (≤ |rows|/cap keys); it is MATERIALIZED here
-    // (localCheckpoint, eager) so the probe + both guarded branches pay
-    // for ONE upstream scan instead of three lazy recomputes, and so
-    // the no-hot-bucket common case can short-circuit. All callers are
-    // batch (the streaming families build their indexes incrementally,
-    // not through this sweep), so the eager job is safe.
+    // (localCheckpoint, eager) so the guarded branches reuse the
+    // aggregate instead of lazily recomputing it, and so the
+    // no-hot-bucket common case can short-circuit. It reads the slim
+    // snapshot above — probe and branches see one frozen generation of
+    // the band rows. All callers are batch (the streaming families build
+    // their indexes incrementally, not through this sweep), so the eager
+    // jobs are safe.
     val hotKeys = slim.groupBy(kc: _*).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > cap)
       .select(kc: _*)

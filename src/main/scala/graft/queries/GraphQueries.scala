@@ -116,9 +116,18 @@ object GraphQueries {
           num = Some(42.0), seg = Some("NEW"))
         g = GraphMutations.createEdge(g, "x:1", "n:0", "LINKED")
         g = GraphMutations.updateNode(g, "c:1", num = Some(4242.5))
-        val nDst = g.edges
+        // the oracle replays this delete as ALL (c:1, IN_NATION) edges,
+        // which is only equivalent when there is exactly one — assert it,
+        // so a schema-invariant violation fails with a message instead of
+        // a hash mismatch downstream (ADVICE r8)
+        val nDsts = g.edges
           .filter(col("src") === "c:1" && col("type") === "IN_NATION")
-          .select("dst").head.getString(0) // 1-row bounded action
+          .select("dst").limit(3).collect() // ≤3-row bounded action
+        require(nDsts.length == 1,
+          s"graph_mutations: expected exactly one (c:1, IN_NATION) edge, " +
+            s"got ${nDsts.length} — the oracle's relational replay assumes " +
+            "the customer→nation schema invariant")
+        val nDst = nDsts.head.getString(0)
         g = GraphMutations.deleteEdge(g, "c:1", nDst, "IN_NATION")
         g = GraphMutations.deleteNode(g, "s:1", cascade = true)
         val nodeCounts = g.nodes

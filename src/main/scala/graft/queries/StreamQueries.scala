@@ -304,21 +304,24 @@ object StreamQueries {
           })
         val src = eventsStreamDir(s, dir)
         val sink = "stream_tumbling_live_sink"
-        val q = s.readStream
-          .schema(Tables.events(s, dir).schema)
-          .option("maxFilesPerTrigger", 2)
-          .parquet(src)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-          .select(unix_timestamp(col("window.start")).as("wstart"),
-            col("event_type"), col("n"), col("sum_value"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-        // materialize the sink's final state: the memory table is a
-        // session temp view the NEXT run's query will replace
-        s.table(sink).orderBy("wstart", "event_type").localCheckpoint()
+        withScratchCheckpoint(s) { ckpt =>
+          val q = s.readStream
+            .schema(Tables.events(s, dir).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+            .select(unix_timestamp(col("window.start")).as("wstart"),
+              col("event_type"), col("n"), col("sum_value"))
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete").start()
+          try q.processAllAvailable() finally q.stop()
+          // materialize the sink's final state: the memory table is a
+          // session temp view the NEXT run's query will replace
+          s.table(sink).orderBy("wstart", "event_type").localCheckpoint()
+        }
       },
       Some(
         """SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS wstart,
@@ -396,17 +399,20 @@ object StreamQueries {
           .select(col("event_id").as("purchase_id"),
             col("user_id").as("p_user"), col("ts").as("pts"))
           .withWatermark("pts", "31 days")
-        val q = clicks.join(purchases,
-            col("user_id") === col("p_user") &&
-              col("cts") <= col("pts") &&
-              col("pts") <= col("cts") + expr("interval 2 hours"))
-          .select(col("click_id"), col("purchase_id"), col("user_id"),
-            (unix_timestamp(col("pts")) - unix_timestamp(col("cts")))
-              .as("gap_s"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(sink).orderBy("click_id", "purchase_id").localCheckpoint()
+        withScratchCheckpoint(s) { ckpt =>
+          val q = clicks.join(purchases,
+              col("user_id") === col("p_user") &&
+                col("cts") <= col("pts") &&
+                col("pts") <= col("cts") + expr("interval 2 hours"))
+            .select(col("click_id"), col("purchase_id"), col("user_id"),
+              (unix_timestamp(col("pts")) - unix_timestamp(col("cts")))
+                .as("gap_s"))
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          s.table(sink).orderBy("click_id", "purchase_id").localCheckpoint()
+        }
       },
       Some(
         """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
@@ -474,6 +480,7 @@ object StreamQueries {
         }
         try {
           val q = stream.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
             .foreachBatch(onBatch).start()
           try q.processAllAvailable() finally q.stop()
           require(probes.nonEmpty && probes.forall(identity),
@@ -520,7 +527,16 @@ object StreamQueries {
           .select(col("user_id").as("k"), col("ts").cast("long").as("t"),
             when(col("event_type") === "click", 1).otherwise(0).as("side"),
             col("event_id").as("eid"), col("value").as("v"))
-        val maxT = rel.agg(max("t")).head.getLong(0) // 1-row bounded action
+        // lateness bound DERIVED from the data's event-time span (ADVICE
+        // r8: a hardcoded 31 days left <1 day of margin against the
+        // generator's ~30-day window — a wider regen would silently drop
+        // late rows): the stream dir is hash-partitioned, so any batch
+        // can carry events from anywhere in the span, and span + margin
+        // is by construction enough for zero watermark drops. 1-row
+        // bounded action.
+        val mm = rel.agg(min("t"), max("t")).head
+        val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
+        val latenessSec = (maxT - minT) + 3600L
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_stream_asof_live").toString
         try {
@@ -528,17 +544,18 @@ object StreamQueries {
           val stream = s.readStream.schema(rel.schema)
             .option("maxFilesPerTrigger", 2).parquet(s"$tmp/d*")
           val sink = "stream_asof_live_sink"
-          val q = StreamAsOf.enrich(stream, "31 days")
+          val q = StreamAsOf.enrich(stream, s"$latenessSec seconds")
             .toDF()
             .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
             .format("memory").queryName(sink).start()
           try {
             q.processAllAvailable()
-            // sentinel: wm after this batch = t − 31d ≥ maxT + 10 s, so
-            // every buffered left is cleared for emission; the unused
+            // sentinel: wm after this batch = t − lateness ≥ maxT + 1 h,
+            // so every buffered left is cleared for emission; the unused
             // key −1 itself never emits (no left rows carry it)
             import s.implicits._
-            Seq((-1L, maxT + 32L * 86400, 0, 0L, 0.0))
+            Seq((-1L, maxT + latenessSec + 7200L, 0, 0L, 0.0))
               .toDF("k", "t", "side", "eid", "v")
               .coalesce(1).write.parquet(s"$tmp/dz")
             q.processAllAvailable()
@@ -595,6 +612,7 @@ object StreamQueries {
           val q = StatefulDedup.firstSeenByKey(stream, "user_id")
             .toDF()
             .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
             .format("memory").queryName(sink).start()
           try q.processAllAvailable() finally q.stop()
           s.table(sink).orderBy("key").localCheckpoint()
@@ -617,6 +635,21 @@ object StreamQueries {
   private val tumblingSessions =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.SparkSession]()
+
+  /** Per-run streaming checkpoint dir under the index-store scratch root,
+    * deleted when the run completes — the live entries previously relied
+    * on Spark's best-effort temp-checkpoint deletion, which litters /tmp
+    * with `Temporary checkpoint location…` residue in the bench tails
+    * (VERDICT r8 #4). Explicit location + `finally` delete matches the
+    * scratch hygiene of the tmp-dir entries. */
+  private def withScratchCheckpoint[T](
+      s: org.apache.spark.sql.SparkSession)(f: String => T): T = {
+    import graft.index.IndexStore
+    val dir = new org.apache.hadoop.fs.Path(
+      s"${IndexStore.root}/_ckpt/${java.util.UUID.randomUUID()}")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try f(dir.toString) finally fs.delete(dir, true)
+  }
 
   /** Multi-file copy of the events table under the (versioned) store
     * root, keyed by the source fingerprint — the file source then yields
