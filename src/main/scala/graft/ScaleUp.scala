@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (VERDICT r8 #6): materialize a key-shifted N× copy of a
+  * testdata scale dir so the empirical scale curve extends one decade
+  * past sf0.1 without a generator. Every key column is offset by
+  * copy·10⁸ — each copy is a disjoint, FK-consistent replica (the graph
+  * becomes N disjoint components; joins and aggregations see N× rows
+  * with the SAME per-key cardinalities, which is the scale shape being
+  * tested, not a hot-key stress). Embeddings are circularly shifted per
+  * copy so the vector corpus is N× DISTINCT points — identical copies
+  * would turn every LSH bucket into a 100× duplicate cluster and
+  * measure the dedup guard, not the 10× scan/join path. Document text
+  * is copied as-is: the RAG path's cost is per-row kernels + top-k and
+  * never compares documents to each other.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [copies=10]
+  */
+object ScaleUp {
+  private val KeyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+  private val Offset = 100000000L // copies stay inside int range for c ≤ 20
+
+  def scaled(spark: SparkSession, srcDir: String, table: String,
+      copies: Int): DataFrame = {
+    val src = spark.read.parquet(s"$srcDir/$table.parquet")
+    val keys = KeyCols(table)
+    (0 until copies).map { c =>
+      var df = src
+      keys.foreach { k =>
+        val t = src.schema(k).dataType
+        df = df.withColumn(k, (col(k) + lit(c * Offset)).cast(t))
+      }
+      if (table == "embeddings" && c > 0) {
+        // circular shift by c: a distinct valid vector per copy, same
+        // norm/coordinate distribution — spreads LSH buckets instead of
+        // cloning them
+        val d = src.selectExpr("size(embedding) as d").head.getInt(0)
+        val s = c % d
+        df = df.withColumn("embedding",
+          concat(slice(col("embedding"), s + 1, d - s),
+            slice(col("embedding"), 1, s)))
+      }
+      df
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val dstDir = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    KeyCols.keys.toSeq.sorted.foreach { t =>
+      scaled(spark, srcDir, t, copies)
+        .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+      println(s"[scaleup] $t x$copies -> $dstDir")
+    }
+    spark.stop()
+  }
+}

@@ -45,17 +45,33 @@ object LayoutPublish {
       build(tmp)
       f.create(new Path(tmp, ReadyMarker), true).close()
       f.mkdirs(dst.getParent)
-      // FileContext.rename with Rename.NONE is the no-overwrite atomic
-      // primitive: if another JVM published first this THROWS instead of
-      // (RawLocalFileSystem semantics) moving our tmp INSIDE their dir.
+      // FileContext.rename with Rename.NONE is the no-overwrite rename:
+      // when another JVM published first it throws FileAlreadyExists…
+      // on strict filesystems. The LOCAL fs, however, resolves a rename
+      // onto an existing directory POSIX-style by moving src INSIDE it
+      // (measured: two racing publishers both "succeed"), so the throw
+      // alone is not a reliable loss signal — after the rename, check
+      // for our uuid-named tmp nested under dst and undo it; the nested
+      // dir is provably ours (uuid), deleting it cannot touch the
+      // winner's files.
       val fc = FileContext.getFileContext(dst.toUri,
         spark.sparkContext.hadoopConfiguration)
-      try { fc.rename(tmp, dst, Options.Rename.NONE); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.nio.file.FileAlreadyExistsException =>
-          false // another session won; its copy is complete (marker inside)
-      }
+      val renamed =
+        try { fc.rename(tmp, dst, Options.Rename.NONE); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false // verified ready below
+        }
+      val nested = new Path(dst, tmp.getName)
+      val won = renamed && !f.exists(nested)
+      if (f.exists(nested)) f.delete(nested, true)
+      // either we won (our marker rode inside the rename) or the winner's
+      // complete dir is there — anything else is a real publish failure
+      // and must surface, not be served as a silently-absent layout
+      require(ready(spark, dst),
+        s"publish($dst): rename lost but no ready winner is present")
+      won
     } finally {
       f.delete(tmp, true) // no-op for the winner (renamed away)
     }

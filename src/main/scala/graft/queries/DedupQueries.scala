@@ -46,6 +46,16 @@ object DedupQueries {
       (s, dir) => graft.dedup.NearDupRecall.report(s, dir),
       Some(graft.dedup.NearDupRecall.reportSql)
     ),
+    // BucketGuard's GUARDED path under wall-clock (VERDICT r8 #2): the
+    // full near-dup component sweep over a corpus with a deliberate
+    // 10k-row boilerplate cluster — cluster intactness + guarded-path
+    // gates throw in-engine, the oracle pins the booleans (see
+    // HotBucket scaladoc). Timed by the extended bench series.
+    Q(
+      "dedup_hot_bucket",
+      (s, dir) => graft.dedup.HotBucket.report(s, dir),
+      Some(graft.dedup.HotBucket.reportSql)
+    ),
     Q(
       "dedup_components",
       (s, dir) =>

@@ -256,6 +256,25 @@ object GraphQueries {
            |WHERE label = 'Nation' AND name <= 'NATION_3'
            |ORDER BY n_id""".stripMargin)
     ),
+    // WHERE-op breadth (VERDICT r8 #8): the reference parser accepts all
+    // six comparison ops (graph.py:1061-1092) — this entry exercises the
+    // three no other cypher entry covers (`<>`, `>=`, `<`) in one AND
+    // chain, plus a multi-property RETURN; CypherBreadthSpec pins the
+    // full ×6 table. `<>` requires presence (null seg never matches),
+    // mirrored by IS NOT NULL in the oracle.
+    Q(
+      "cypher_where_ops",
+      (s, dir) =>
+        CypherLite.query(TpchGraph.build(s, dir),
+          "MATCH (c:Customer) WHERE c.seg <> 'BUILDING' AND c.num >= 2000 " +
+            "AND c.num < 6000 RETURN c.id, c.seg, c.num ORDER BY c.id LIMIT 20"),
+      Some(
+        s"""WITH $C
+           |SELECT id AS c_id, seg AS c_seg, num AS c_num FROM nodes
+           |WHERE label = 'Customer' AND seg IS NOT NULL
+           |  AND seg <> 'BUILDING' AND num >= 2000 AND num < 6000
+           |ORDER BY c_id LIMIT 20""".stripMargin)
+    ),
     Q(
       "cypher_edge",
       (s, dir) =>

@@ -201,4 +201,34 @@ class BucketGuardSpec extends AnyFunSuite {
     val clusterPairs = ones.count { case (a, b) => a <= 60 && b <= 60 }
     assert(clusterPairs < 1770, s"cluster emitted all-pairs ($clusterPairs)")
   }
+
+  test("snapshot isolation: a source mutation after build never reaches the frame") {
+    // VERDICT r8 #2: the probe runs at plan-construction time and
+    // freezes the guarded/short-circuit decision; candidatePairs now
+    // materializes the band rows it decided over, so EVERY later
+    // execution reads that snapshot — a caller that overwrites the
+    // source between build and execute gets the probe-time pairs, never
+    // a stale-decision plan over new data
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_guard_snap").toString
+    spark.range(100).selectExpr("id", "cast(id % 10 as long) as sig",
+        "0 as band", "xxhash64(id) as fsig")
+      .write.mode("overwrite").parquet(dir)
+    def src = spark.read.parquet(dir)
+    val atBuild = naivePairs(src).collect().length
+    val frame = BucketGuard
+      .candidatePairs(src, "id", Seq("band", "sig"), "fsig", cap = 64)
+    val firstRun = frame.count()
+    assert(firstRun == atBuild.toLong)
+    // mutate the source: fewer rows, different buckets — a re-planned
+    // read would yield a different pair count (or fail on missing files)
+    spark.range(10).selectExpr("id", "cast(0 as long) as sig",
+        "0 as band", "xxhash64(id) as fsig")
+      .write.mode("overwrite").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+    assert(frame.count() == firstRun,
+      "re-execution after source overwrite must serve the snapshot")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }
