@@ -31,7 +31,10 @@ object Bench {
     val probeSec = {
       def one(): Double = {
         val t0 = System.nanoTime()
-        spark.range(1L << 24).selectExpr("sum(id * id)").collect()
+        // modded products keep the ANSI sum far inside Long range
+        // (≈ 2^24 · 2^32 ≪ 2^63) while staying CPU-bound
+        spark.range(1L << 24)
+          .selectExpr("sum((id % 65536) * (id % 65537))").collect()
         (System.nanoTime() - t0) / 1e9
       }
       try { val xs = Seq.fill(3)(one()).sorted; xs(1) }

@@ -30,7 +30,9 @@ object ScaleUp {
     "events" -> Seq("event_id", "user_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
-  private val Offset = 100000000L // copies stay inside int range for c ≤ 20
+  // far above every base key (max ≈ 1.5M at sf0.1) and inside int32
+  // range for c ≤ 42 — the INT key columns cast back without overflow
+  private val Offset = 50000000L
 
   def scaled(spark: SparkSession, srcDir: String, table: String,
       copies: Int): DataFrame = {

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   *    Each fsig sub-group emits a CHAIN of adjacent-id pairs (n−1 edges
   *    connecting the whole group transitively, in place of n(n−1)/2),
   *    and cross-group links come from one representative (min id) per
-  *    sub-group — pairwise if the bucket holds ≤ `cap` distinct
-  *    signatures, chained likewise above that.
+  *    sub-group — pairwise if the bucket holds ≤ min(cap, RepChainCap)
+  *    distinct signatures, chained likewise above that.
   *
   * Downstream semantics: every emitted pair still goes through the
   * caller's EXACT verification (Jaccard / cosine / Hamming), so the
@@ -63,6 +63,19 @@ object BucketGuard {
     * take the exact path, while a real boilerplate cluster (10⁴⁺ docs)
     * is firmly inside the guarded path. */
   val DefaultCap = 1024
+
+  /** Representative-count threshold above which a hot bucket's
+    * cross-signature links CHAIN instead of pairing. Measured (10×
+    * key-shifted sf0.1, r9): buckets in the TRANSITION zone — rows just
+    * above the cap, distinct signatures just under it — made the
+    * pairwise branch emit reps²/2 ≈ 500k candidates per bucket (13.2M
+    * total, ~9 s of exact scoring for one self-join); chaining above
+    * this threshold keeps per-bucket output ≤ 2·n_b at a constant ≤
+    * RepChainCap²/2 pairwise floor. The chain geometry's recall is
+    * floor-gated by [[NearDupRecall]] (its EvalCap of 64 puts its
+    * 200-signature clusters through the CHAIN branch in both signature
+    * families — measured 1.0). */
+  val RepChainCap = 256
 
   /** Candidate id pairs (id_a < id_b, distinct) from banded signature
     * rows, hot buckets thinned to O(n_b) as described above.
@@ -139,15 +152,19 @@ object BucketGuard {
       .select(col(idCol).as("id_a"), col("__nxt").as("id_b"))
     // … plus one representative per signature group for cross-group
     // links (reps is bounded by the distinct signatures inside hot
-    // buckets — small, so its window count is cheap)
+    // buckets — small, so its window count is cheap). Pairwise linking
+    // is capped at min(cap, RepChainCap): the min keeps small eval caps
+    // (NearDupRecall's 64) routing their clusters through the CHAIN
+    // branch, so the thinner geometry stays recall-gated.
+    val repPairCap = math.min(cap, RepChainCap)
     val reps = hot.groupBy((kc :+ col(fsigCol)): _*)
       .agg(min(col(idCol)).as("__rid"))
       .withColumn("__rn", count(lit(1)).over(Window.partitionBy(kc: _*)))
-    val repsSmall = reps.filter(col("__rn") <= cap)
+    val repsSmall = reps.filter(col("__rn") <= repPairCap)
     val pairsRep = repsSmall.as("a").join(repsSmall.as("b"),
         bucketEq && col("a.__rid") < col("b.__rid"))
       .select(col("a.__rid").as("id_a"), col("b.__rid").as("id_b"))
-    val repsHot = reps.filter(col("__rn") > cap)
+    val repsHot = reps.filter(col("__rn") > repPairCap)
     val chainRep = repsHot
       .withColumn("__nxt",
         lead(col("__rid"), 1).over(Window.partitionBy(kc: _*).orderBy(col("__rid"))))

@@ -155,6 +155,66 @@ object CollectionQueries {
         """SELECT count(*) AS n_docs, TRUE AS files_merged
           |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin)
     ),
+    // bulk save/load payload integrity, oracled (promoting the §2.1
+    // binary-bulk row from spec-only — the reference bulk-dumps the
+    // whole DB's vectors+metadata to one binary artifact and reloads it,
+    // binary_persistence.py save_to_binary/load_from_binary; Parquet
+    // generations supersede the format, the CONTRACT being pinned is
+    // exact payload round-trip): bulk-insert the corpus, reopen through
+    // a fresh handle, and checksum the reloaded VECTOR PAYLOAD itself —
+    // row count, id sum, element count, and a position-weighted
+    // micro-unit sum over every element of every vector (order-exact
+    // integer arithmetic, the EmbedQueries pattern). Any row loss,
+    // element truncation, or element reordering across the round-trip
+    // moves a checksum; the oracle recomputes all four from the source
+    // tables.
+    Q(
+      "collection_bulk_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{expr => fexpr, posexplode}
+        val root = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+        try {
+          val vdb = new VectorDb(s, root)
+          val coll = vdb.createCollection("bulk", D, "cosine")
+          coll.insertBatch(docCorpus(s, dir)) // the bulk save
+          // bulk load: fresh handle, no lineage to the writer
+          val re = new VectorDb(s, root).getCollection("bulk").getOrElse(
+            throw new IllegalStateException(
+              "collection_bulk_roundtrip: reopen failed"))
+          re.df
+            .select(col("id"), posexplode(col("vector")).as(Seq("pos", "el")))
+            .agg(
+              fexpr("CAST(count(DISTINCT id) AS BIGINT)").as("n_docs"),
+              fexpr("CAST(sum(DISTINCT CAST(id AS BIGINT)) AS BIGINT)")
+                .as("id_sum"),
+              fexpr("CAST(count(1) AS BIGINT)").as("n_elements"),
+              fexpr("CAST(sum(CAST(round(CAST(el AS DOUBLE) * 1e6) AS BIGINT)" +
+                " * (pos + 1)) AS BIGINT)").as("vec_checksum"))
+            .localCheckpoint() // pin the 1 row so the scratch root can go
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      },
+      Some(
+        // element indexing via list_transform(range(D), …) — the proven
+        // VectorFunctions oracle idiom (DuckDB has no WITH ORDINALITY);
+        // weight i+1 matches the Spark side's pos+1
+        s"""WITH corpus AS (
+           |  SELECT e.vec_id AS id, e.embedding
+           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+           |per_row AS (
+           |  SELECT id, len(embedding) AS n_el,
+           |         list_reduce(list_transform(range($D), i ->
+           |           CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6)
+           |             AS BIGINT) * (i + 1)), (a, b) -> a + b) AS ck
+           |  FROM corpus)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(id) AS BIGINT) AS id_sum,
+           |       CAST(sum(n_el) AS BIGINT) AS n_elements,
+           |       CAST(sum(ck) AS BIGINT) AS vec_checksum
+           |FROM per_row""".stripMargin)
+    ),
     // full client lifecycle through the REAL stateful collection, oracled
     // (promoting the §2.1/§2.2 save/load + update + count/list_ids rows
     // from spec-only): create → insertBatch → upsert (delete-then-insert

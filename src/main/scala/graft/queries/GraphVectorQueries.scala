@@ -33,6 +33,39 @@ object GraphVectorQueries {
       Some(GraphVector.semanticGraphSearchSql(C, 9L, D, K, vw = 0.7, gw = 0.3)),
       bench = true
     ),
+    // graph+vector store persistence, oracled (promoting the §2.8
+    // save/load row from spec-only — the reference persists the hybrid
+    // DB's graph and vector sides together and reloads them,
+    // hybrid_graph_vector.py save/load): nodes, edges, and the node
+    // embeddings are saved to a scratch store path, reloaded through
+    // FRESH reads (no lineage to the originals), and the SAME semantic
+    // search is served from the reloaded artifacts. The round-trip is
+    // lossless, so the oracle is the live search's SQL unchanged — any
+    // save/load corruption (schema drift, float truncation, lost rows)
+    // breaks the hash.
+    Q(
+      "gv_persistence",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_gv_store").toString
+        try {
+          val g = TpchGraph.build(s, dir)
+          g.nodes.write.parquet(s"$tmp/nodes")
+          g.edges.write.parquet(s"$tmp/edges")
+          custEmb(s, dir).write.parquet(s"$tmp/emb")
+          val g2 = graft.graph.Graph(
+            s.read.parquet(s"$tmp/nodes"), s.read.parquet(s"$tmp/edges"))
+          GraphVector.semanticGraphSearch(
+              g2, s.read.parquet(s"$tmp/emb"),
+              hashVectorValues(9L, D), K, expandHops = 2, vw = 0.7, gw = 0.3)
+            .localCheckpoint() // pin the k rows so the store can be deleted
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(tmp)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      },
+      Some(GraphVector.semanticGraphSearchSql(C, 9L, D, K, vw = 0.7, gw = 0.3))
+    ),
     // edge-type-scoped expansion (the reference's edge_types argument,
     // hybrid_graph_vector.py semantic_graph_search): hops traverse ONLY
     // the named relation — here PLACED_BY, so expansion stays inside the
