@@ -43,9 +43,16 @@ final case class HashEmbedder(dimensions: Int) extends Embedder {
   def embedKey(key: Column): Column =
     VectorFunctions.hashVector(key, dimensions)
 
-  /** The text→key hash as a Column. */
+  /** The text→key hash as a Column — the one-pass codegen kernel
+    * ([[graft.expr.CharHash]]; the SQL-expression fold re-sliced the
+    * string per character, O(n²) per doc on the interpreted
+    * higher-order path — embed_cached at sf0.1 measured 7.6 s warm on
+    * it, 3 keyings per run). Value-identical to
+    * [[TextAnalysis.charHash]] and the DuckDB twin. */
   def textKey(textExpr: String): Column =
-    expr(TextAnalysis.charHash(textExpr))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expr.CharHash(
+        org.apache.spark.sql.graft.bridge.expression(expr(textExpr))))
 
   /** Driver-side embedding of one string (same arithmetic). */
   def embedValue(text: String): Seq[Double] =
