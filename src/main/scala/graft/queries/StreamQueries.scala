@@ -295,13 +295,7 @@ object StreamQueries {
     Q(
       "stream_tumbling_live",
       (s0, dir) => {
-        val s = tumblingSessions.computeIfAbsent(
-          org.apache.spark.sql.graft.bridge.sessionUuid(s0),
-          _ => {
-            val c = s0.newSession()
-            c.conf.set("spark.sql.shuffle.partitions", "8")
-            c
-          })
+        val s = streamChild(s0)
         val src = eventsStreamDir(s, dir)
         val sink = "stream_tumbling_live_sink"
         withScratchCheckpoint(s) { ckpt =>
@@ -385,7 +379,13 @@ object StreamQueries {
     // constant).
     Q(
       "stream_interval_join_live",
-      (s, dir) => {
+      (s0, dir) => {
+        // TWO state stores per partition (one per side) — width 4 halves
+        // the per-batch commit count vs the width-8 aggs child (measured
+        // 10.0 → 6.5 → 4.8 s warm at widths 32/8/4; width 2 gains ~0.3 s
+        // more but strands parallelism, the rest is fixed micro-batch
+        // machinery)
+        val s = streamChild(s0, 4)
         val src = eventsStreamDir(s, dir)
         val sink = "stream_interval_join_live_sink"
         val schema = Tables.events(s, dir).schema
@@ -516,8 +516,9 @@ object StreamQueries {
     // continuously; the sentinel stands in for the clock advancing).
     Q(
       "stream_asof_live",
-      (s, dir) => {
+      (s0, dir) => {
         import graft.stream.StreamAsOf
+        val s = streamChild(s0) // keyed state stores — width 8
         val ev = Tables.events(s, dir)
         // the operator's input relation: rights = purchases carrying
         // `value`, lefts = clicks; event time in epoch seconds (the
@@ -598,8 +599,9 @@ object StreamQueries {
     // oracle, the same way the interval-join entry pins its lateness.)
     Q(
       "stream_dedup_live",
-      (s, dir) => {
+      (s0, dir) => {
         import graft.stream.StatefulDedup
+        val s = streamChild(s0) // keyed state stores — width 8
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"))
         val tmp = java.nio.file.Files
@@ -628,13 +630,31 @@ object StreamQueries {
     )
   )
 
-  /** Child sessions scoping the streaming state width for
-    * [[qs stream_tumbling_live]], memoized per parent session (same
-    * pattern as the IVF-PQ serving scope in AnnQueries — repeated bench
-    * reps reuse one child instead of leaking a session per call). */
+  /** Child sessions scoping the streaming state width for the live
+    * entries, memoized per parent session (same pattern as the IVF-PQ
+    * serving scope in AnnQueries — repeated bench reps reuse one child
+    * instead of leaking a session per call). A streaming stateful op
+    * creates one state store per shuffle partition and EVERY micro-batch
+    * commits every store; at the shared session's width of 32 that
+    * commit overhead dominated the measured wall (tumbling r8: 3.9 →
+    * 1.8 s at width 8; the interval join keeps TWO stores per partition,
+    * so it gains even more). Width tuning is per-query serving state —
+    * it must never touch the shared session (the sql_ann_topk_pq
+    * lesson; StreamWidthSpec pins the isolation). */
   private val tumblingSessions =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.SparkSession]()
+
+  /** The memoized width-`w` child for a parent session. */
+  private def streamChild(s0: org.apache.spark.sql.SparkSession,
+      w: Int = 8): org.apache.spark.sql.SparkSession =
+    tumblingSessions.computeIfAbsent(
+      org.apache.spark.sql.graft.bridge.sessionUuid(s0) + s"#$w",
+      _ => {
+        val c = s0.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", w.toString)
+        c
+      })
 
   /** Per-run streaming checkpoint dir under the index-store scratch root,
     * deleted when the run completes — the live entries previously relied
