@@ -138,10 +138,16 @@ object GraphVector {
       queryVec: Seq[Double],
       k: Int): DataFrame = {
     val qv = typedlit(queryVec)
-    val canonical = traversePaths
+    // materialize the traversal once: the canonical-path groupBy and the
+    // depth-recovery join both consume it, and its lineage is maxDepth
+    // chained joins — re-executing that per consumer tripled the wall
+    // (2.8 s warm at sf0.1; the path set is one start node's bounded
+    // ≤ maxDepth-hop neighborhood, safe to pin at any corpus size)
+    val tp = traversePaths.localCheckpoint()
+    val canonical = tp
       .groupBy("end_id").agg(min("path").as("path"))
     val withDepth = canonical
-      .join(traversePaths, Seq("end_id", "path")) // recover the path's depth
+      .join(tp, Seq("end_id", "path")) // recover the path's depth
       .select("end_id", "path", "depth")
     withDepth
       .join(endEmbeddings, col("end_id") === col("id"), "left_outer")
