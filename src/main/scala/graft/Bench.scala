@@ -115,12 +115,13 @@ object Bench {
     }
     // ---- extended series (VERDICT r8 #1): every oracled catalog entry
     // NOT in the frozen 57-query headline set, timed with a lighter
-    // discipline (cold + settle + min-of-2 warm — a regression tripwire,
-    // not the round-comparable headline; min is the steady-state floor,
-    // robust to a one-off GC spike where a 2-sample median isn't).
-    // Reported as a SEPARATE total so the headline series stays
-    // comparable across rounds. Skipped under a dev focus filter and by
-    // SPARK_GRAFT_BENCH_EXT=off.
+    // discipline (cold + min-of-2 warm — a regression tripwire, not the
+    // round-comparable headline; min is the steady-state floor, robust
+    // both to a one-off GC spike and to async C2 compilation landing in
+    // the first warm rep, so no separate settle rep — at 136 entries
+    // each extra exec is ~2 min of driver wall). Reported as a SEPARATE
+    // total so the headline series stays comparable across rounds.
+    // Skipped under a dev focus filter and by SPARK_GRAFT_BENCH_EXT=off.
     val ExtWarmReps = 2
     val extended =
       if (only.isDefined || sys.env.get("SPARK_GRAFT_BENCH_EXT").contains("off"))
@@ -136,7 +137,6 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         }
         val cold = rep()
-        if (cold.isDefined) rep() // untimed settle (async C2, same as main)
         val warmReps = Seq.fill(ExtWarmReps)(rep()).flatten
         val warm =
           if (cold.isDefined && warmReps.size == ExtWarmReps)
