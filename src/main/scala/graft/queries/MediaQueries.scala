@@ -383,8 +383,14 @@ object MediaQueries {
             when(col("id") % 10 === 7, expr("substring(payload, 1, 10)"))
               .otherwise(col("payload")))
         val docs = Tables.documents(s, dir)
+        // checkpoint: the decoded-hash frame feeds BOTH the near-dup
+        // pair branch and the decode-failure aggregate — without the
+        // barrier the PNG encode+decode+phash pipeline runs twice
+        // (phashNearDupPairs checkpoints internally; this covers the
+        // imgRow branch). Scalars only, one row per blob.
         val img = Multimodal.imagePhash(
           corrupt(Multimodal.syntheticPhashImages(docs))).toDF()
+          .localCheckpoint()
         val imgOk = img.filter(col("phash_lo") =!= -1L ||
           col("phash_hi") =!= -1L)
         val pairs = Multimodal.phashNearDupPairs(imgOk, maxHamming = 8)

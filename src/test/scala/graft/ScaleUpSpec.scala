@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The decade-scale measurements (SURVEY §6.4/§6.6) rest on [[ScaleUp]]
+  * producing replicas with the SAME per-key cardinalities as the base —
+  * N disjoint FK-consistent copies, not a hot-key stress or a
+  * duplicate-vector cluster. Pin that: row counts scale by N, no join
+  * orphans appear, join cardinality scales by exactly N (copies never
+  * cross-join), and embedding copies are DISTINCT vectors with the same
+  * element multiset (circular shift).
+  */
+class ScaleUpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  private val N = 3
+
+  test("key-shifted copies keep FK joins intact and disjoint") {
+    val orders = ScaleUp.scaled(spark, sf, "orders", N)
+    val cust = ScaleUp.scaled(spark, sf, "customer", N)
+    val baseOrders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(orders.count() == N * baseOrders.count())
+    val joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
+    val baseJoined = baseOrders.join(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      col("o_custkey") === col("c_custkey"))
+    // every order still finds its customer (no orphans), and exactly N×
+    // the base matches (copies never match each other's keys)
+    assert(joined.count() == N * baseJoined.count())
+    assert(orders.join(cust, col("o_custkey") === col("c_custkey"),
+      "left_anti").isEmpty, "scaled orders must keep their customer FK")
+  }
+
+  test("embedding copies are distinct vectors with the base's element multiset") {
+    val emb = ScaleUp.scaled(spark, sf, "embeddings", N)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(emb.count() == N * base.count())
+    val first = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id").cast("long"), col("embedding")).head
+    val baseVec = first.getSeq[Float](1)
+    val copies = emb
+      .filter(col("vec_id").cast("long") % 50000000L === first.getLong(0) &&
+        col("vec_id").cast("long") >= 50000000L)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    assert(copies.length == N - 1)
+    copies.foreach { v =>
+      assert(v != baseVec, "copy must be a DIFFERENT vector (LSH spread)")
+      assert(v.sorted == baseVec.sorted,
+        "circular shift preserves the element multiset")
+    }
+  }
+}
