@@ -13,10 +13,16 @@ import org.apache.spark.sql.SparkSession
   * is either absent or COMPLETE (the marker rides inside the renamed
   * dir, so there is no publish-then-mark window). Nothing ever deletes a
   * fingerprint-addressed dir another live session may be scanning —
-  * stale generations are garbage-collected only once they are provably
-  * cold (different fingerprint than the CURRENT source AND untouched for
-  * a grace period, default 1 h; `graft.layout.gc.grace.ms` system
-  * property tightens it for tests).
+  * stale generations are garbage-collected only once they are presumed
+  * cold: a different fingerprint than the CURRENT source AND untouched
+  * for a grace period (default 1 h; `graft.layout.gc.grace.ms` system
+  * property tightens it for tests). The grace is a heuristic, not a
+  * proof — a session that registered a generation and then idled past
+  * the grace while the source regenerated could still lose it; closing
+  * that fully needs reader leases (a table format's transaction log),
+  * out of scope per the [[graft.index.IndexStore]] single-writer regime.
+  * Fingerprint keying bounds the damage either way: nobody ever serves
+  * wrong DATA, a racer's scan fails loudly.
   */
 object LayoutPublish {
   val ReadyMarker = "_GRAFT_READY"
