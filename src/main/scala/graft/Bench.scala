@@ -80,6 +80,21 @@ object Bench {
       if (unknown.nonEmpty) System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names not in the benched catalog: $unknown")
     }
+    // Per-REP GC, outside the timed window (VERDICT r9 #1): the former
+    // per-QUERY GC released dead localCheckpoint blocks only after all 5
+    // reps, so a checkpoint-heavy query (pagerank: ~5 checkpointed
+    // tables per rep) accumulates dead blocks ACROSS ITS OWN REPS and
+    // any resulting storage-eviction pressure bills to the later, TIMED
+    // reps. This was the leading hypothesis for r9's pagerank anomaly
+    // (warm median 12.4 s above cold 5.6 s on a steady box); an r10 A/B
+    // with per-rep timings did NOT reproduce the anomaly under either
+    // GC mode (flat ~3 s reps), so the per-rep GC stands as structural
+    // insurance, and the per-rep arrays below make any recurrence
+    // adjudicable from the artifact alone. LIVE state (built graph,
+    // index readers) is object-held and survives — do NOT clearCache()
+    // here, that would unpersist the build phase's materializations.
+    // `off` keeps the old behavior for A/B diagnosis.
+    val repGc = !sys.env.get("SPARK_GRAFT_REP_GC").contains("off")
     val results = benched.map { q =>
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -87,31 +102,26 @@ object Bench {
           case scala.util.control.NonFatal(t) =>
             System.err.println(s"[bench] ${q.name} failed: $t"); return None
         }
-        Some((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (repGc) System.gc()
+        Some(dt)
       }
       val cold = rep()
-      // one UNTIMED settle rep between cold and the warm medians: the
-      // cold rep pays Janino codegen, but HotSpot C2 compilation of the
-      // generated classes lands asynchronously during the next run —
-      // without the settle rep it bleeds into the first warm rep and
-      // moves driver-measured medians ~18% between JVMs (VERDICT r6 #4)
-      if (cold.isDefined) rep()
+      // one settle rep between cold and the warm medians, TIMED but
+      // excluded from every total: the cold rep pays Janino codegen, but
+      // HotSpot C2 compilation of the generated classes lands
+      // asynchronously during the next run — without the settle rep it
+      // bleeds into the first warm rep and moves driver-measured medians
+      // ~18% between JVMs (VERDICT r6 #4). Recording it (r10) makes the
+      // artifact show the C2 tail instead of asserting it.
+      val settle = if (cold.isDefined) rep() else None
       val warmReps = Seq.fill(WarmReps)(rep()).flatten
       val warm =
         if (cold.isDefined && warmReps.size == WarmReps)
           Some(warmReps.sorted.apply(WarmReps / 2))
         else None
-      // Release the query's dead GC-scoped state before the next one is
-      // timed: localCheckpoint blocks are freed by the ContextCleaner only
-      // after the owning DataFrames are collected, so without an explicit
-      // GC a long catalog accumulates dead blocks and later queries get
-      // billed for the resulting memory pressure. LIVE state (the built
-      // graph's persisted nodes/edges, index readers) is object-held and
-      // survives — do NOT clearCache() here, that would unpersist the
-      // build phase's materializations and re-bill them to every
-      // subsequent graph query.
-      System.gc()
-      (q.name, cold, warm)
+      if (!repGc) System.gc() // the pre-r10 per-query release point
+      (q.name, cold, settle, warmReps, warm)
     }
     // ---- extended series (VERDICT r8 #1): every oracled catalog entry
     // NOT in the frozen 57-query headline set, timed with a lighter
@@ -158,8 +168,20 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val good = results.collect { case (n, c, Some(w)) => (n, c.getOrElse(w), w) }
-    val failed = results.collect { case (n, _, None) => "\"" + n + "\"" }
+    val good = results.collect { case (n, c, _, _, Some(w)) => (n, c.getOrElse(w), w) }
+    val failed = results.collect { case (n, _, _, _, None) => "\"" + n + "\"" }
+    // per-rep evidence (VERDICT r9 #2): every headline entry's raw rep
+    // sequence — cold, settle, and ALL warm reps in execution order — so
+    // a warm-median anomaly is adjudicable from the artifact alone
+    // (rising reps = state accumulating inside the JVM; one spike =
+    // noise; flat-but-slow = the plan) without burning a judge session
+    // reproducing it.
+    val repsJson = results.collect { case (n, c, st, ws, Some(_)) =>
+      "\"" + n + "\":{" +
+        c.map(v => s""""cold":${r3(v)},""").getOrElse("") +
+        st.map(v => s""""settle":${r3(v)},""").getOrElse("") +
+        s""""warm_reps":[${ws.map(r3).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
     val warmTotal = good.map(_._3).sum
     val coldTotal = good.map(_._2).sum
     // ---- scale curve (VERDICT r6 #3): rerun the slowest-10 warm
@@ -206,6 +228,76 @@ object Bench {
         }.mkString(",")}}""" +
         s""","superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
+    // ---- decade curve (VERDICT r9 #5): re-run the slowest-10 (union of
+    // headline + extended series) on a key-shifted 10× copy of sfDir and
+    // report warm-vs-warm ratios, so drift one decade PAST the test
+    // scale is tracked per-round like the sf0.01→sf0.1 curve already is,
+    // instead of living in SURVEY prose. The 10× corpus is
+    // fingerprint-keyed and published atomically under the index store
+    // root — built once per source generation, adopted thereafter (and
+    // by concurrent JVMs). Rows grow 10×, so the superlinear rule is the
+    // same as bench_scaling's: ratio > 10 on a non-noise base. Entries
+    // whose corpus is a FIXED-SIZE synthetic built in-query (not read
+    // from the dir) are exempt — their ratio would measure the corpus
+    // generator, not data scaling.
+    val DecadeExempt = Set("dedup_hot_bucket", "near_dup_recall")
+    val decadeJson =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_DECADE").contains("off"))
+        None
+      else try {
+        val copies = 10
+        val fp = index.IndexStore.fingerprint(spark,
+          ScaleUp.tables.map(t => s"$sfDir/$t.parquet"))
+        val dDir = s"${index.IndexStore.root}/_scale10x/" +
+          s"${index.IndexStore.slug(sfDir)}/x${copies}_$fp"
+        val dPath = new org.apache.hadoop.fs.Path(dDir)
+        core.LayoutPublish.publish(spark, dPath) { tmp =>
+          ScaleUp.tables.foreach { t =>
+            ScaleUp.scaled(spark, sfDir, t, copies)
+              .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+          }
+        }
+        core.LayoutPublish.gcStale(spark, dPath.getParent,
+          s"x${copies}_", dPath.getName)()
+        val slow = (good ++ extGood).sortBy(-_._3)
+          .filterNot(e => DecadeExempt(e._1)).take(10)
+        var decFailed = List.empty[String]
+        val entries = slow.flatMap { case (n, _, warmBig) =>
+          val q = Catalog.byName(n)
+          def rep(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try { q.run(spark, dDir).count() } catch {
+              case scala.util.control.NonFatal(t) =>
+                System.err.println(s"[bench] decade $n failed: $t")
+                return None
+            }
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (repGc) System.gc()
+            Some(dt)
+          }
+          // cold (pays the 10×-scale index/layout/graph builds) + settle,
+          // both untimed; warm = min-of-2 (the extended series' floor
+          // discipline — robust to a one-off GC spike at half the reps)
+          rep(); rep()
+          val reps = Seq.fill(2)(rep()).flatten
+          if (reps.size == 2)
+            Some((n, reps.min, warmBig, reps.min / math.max(warmBig, 1e-3)))
+          else { decFailed = n :: decFailed; None }
+        }
+        val superlinear = entries
+          .collect { case (n, _, wb, ratio) if wb >= 0.05 && ratio > 10.0 => n }
+        Some((s""""scale_decade":{"dir":"$dDir","fingerprint":"$fp"""" +
+          s""","rows_factor":$copies""" +
+          s""","queries":{${entries.map { case (n, wd, wb, r) =>
+            "\"" + n +
+              s"""\":{"warm_10x":${r3(wd)},"warm":${r3(wb)},"ratio":${r3(r)}}"""
+          }.mkString(",")}}""" +
+          s""","superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+          s""","failed":${decFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""",
+          superlinear, decFailed))
+      } catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[bench] decade probe failed: $t"); None
+      }
     // The driver captures only a fixed-size tail of stdout, so the final
     // line must stay compact: totals + the 10 slowest warm queries. The
     // complete per-query cold/warm maps go to bench_full.json alongside
@@ -221,10 +313,12 @@ object Bench {
     val fullJson = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
       s""","queries":${jmap(good.map(r => r._1 -> r._3))}""" +
       s""","queries_cold":${jmap(good.map(r => r._1 -> r._2))}""" +
+      s""","queries_reps":$repsJson,"rep_gc":$repGc""" +
       s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
       s""","build_failed":$buildFailed,"probe_sec":${r3(probeSec)}""" +
       extendedJson +
       scalingJson.map("," + _).getOrElse("") +
+      decadeJson.map("," + _._1).getOrElse("") +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // full dump path is explicit (env) rather than whatever CWD the
     // launcher picked; default stays the repo root the judge reads —
@@ -250,11 +344,17 @@ object Bench {
           extColdTotal)},"ext_n":${extGood.size}""" +
         s""","ext_slowest":${jmap(extSlow.map(r => r._1 -> r._3))}""" +
         s""","ext_failed":${extFailed.mkString("[", ",", "]")}"""
+    // decade status in the compact line too (full per-query map in
+    // bench_full.json only): empty lists = probe ran and found nothing
+    val decCompact = decadeJson.map { case (_, sup, dFailed) =>
+      s""","decade_superlinear":${sup.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","decade_failed":${dFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }.getOrElse("")
     val json = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
       s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +
       s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
       s""","build_failed":$buildFailed,"n_queries":${good.size}""" +
-      s""","probe_sec":${r3(probeSec)}""" + extCompact +
+      s""","probe_sec":${r3(probeSec)}""" + extCompact + decCompact +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     spark.stop()
     println(json)

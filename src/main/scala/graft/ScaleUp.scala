@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Dev tool (VERDICT r8 #6): materialize a key-shifted N× copy of a
   * testdata scale dir so the empirical scale curve extends one decade
   * past sf0.1 without a generator. Every key column is offset by
-  * copy·10⁸ — each copy is a disjoint, FK-consistent replica (the graph
+  * copy·5·10⁷ — each copy is a disjoint, FK-consistent replica (the graph
   * becomes N disjoint components; joins and aggregations see N× rows
   * with the SAME per-key cardinalities, which is the scale shape being
   * tested, not a hot-key stress). Embeddings are circularly shifted per
@@ -34,8 +34,17 @@ object ScaleUp {
   // range for c ≤ 42 — the INT key columns cast back without overflow
   private val Offset = 50000000L
 
+  /** The tables a scale dir consists of, in stable order — the bench's
+    * per-round decade probe materializes all of them. */
+  def tables: Seq[String] = KeyCols.keys.toSeq.sorted
+
   def scaled(spark: SparkSession, srcDir: String, table: String,
       copies: Int): DataFrame = {
+    // copies ≥ 43 would push 42·5·10⁷ past Int.MaxValue and the non-ANSI
+    // cast back to the INT key columns silently wraps → corrupt FKs in
+    // the generated corpus (ADVICE r9). Enforce the documented bound.
+    require(copies >= 1 && copies <= 42,
+      s"copies must be in [1, 42] (int32 key headroom at offset $Offset), got $copies")
     val src = spark.read.parquet(s"$srcDir/$table.parquet")
     val keys = KeyCols(table)
     (0 until copies).map { c =>
@@ -49,7 +58,11 @@ object ScaleUp {
         // norm/coordinate distribution — spreads LSH buckets instead of
         // cloning them
         val d = src.selectExpr("size(embedding) as d").head.getInt(0)
-        val s = c % d
+        // 1 + (c-1) % (d-1) keeps the shift in [1, d-1] for EVERY copy —
+        // a plain c % d degenerates to 0 (identical vectors, violating
+        // the LSH-spread invariant above) whenever c is a multiple of
+        // the embedding dim (ADVICE r9)
+        val s = 1 + (c - 1) % (d - 1)
         df = df.withColumn("embedding",
           concat(slice(col("embedding"), s + 1, d - s),
             slice(col("embedding"), 1, s)))

@@ -59,6 +59,7 @@ object BucketedLayout {
     * in-JVM callers (parallel suites sharing one session). */
   def ensure(spark: SparkSession, dir: String): (String, String) =
     synchronized {
+      graft.index.IndexStore.gcLegacyRoots(spark)
       val fp = graft.index.IndexStore.fingerprint(spark,
         Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"))
       val ot = tableName("orders", dir, fp)

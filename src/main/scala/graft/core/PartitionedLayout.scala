@@ -37,6 +37,7 @@ object PartitionedLayout {
     * regenerated source are grace-period garbage-collected instead of
     * deleted under a possibly-live reader. */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
+    graft.index.IndexStore.gcLegacyRoots(spark)
     val path = layoutPath(spark, dir)
     val p = new Path(path)
     LayoutPublish.publish(spark, p) { tmp =>

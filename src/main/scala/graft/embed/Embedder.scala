@@ -58,8 +58,17 @@ final case class HashEmbedder(dimensions: Int) extends Embedder {
   def embedValue(text: String): Seq[Double] =
     VectorFunctions.hashVectorValues(keyValue(text), dimensions)
 
-  def keyValue(text: String): Long =
-    text.foldLeft(0L)((a, c) => (a * TextAnalysis.CharB + c.toInt) % TextAnalysis.HashM)
+  /** Folds Unicode CODE POINTS, not UTF-16 code units, so it agrees with
+    * the [[graft.expr.CharHash]] kernel (and the DuckDB `ascii(substr)`
+    * twin) on supplementary-plane text — a surrogate-pair fold would
+    * diverge from the engine for any astral character (ADVICE r9). */
+  def keyValue(text: String): Long = {
+    var acc = 0L
+    val it = text.codePoints().iterator()
+    while (it.hasNext)
+      acc = (acc * TextAnalysis.CharB + it.nextInt()) % TextAnalysis.HashM
+    acc
+  }
 
   /** DuckDB twins. */
   def embedSql(textExpr: String): String =

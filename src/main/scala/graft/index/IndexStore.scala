@@ -28,8 +28,12 @@ object IndexStore extends org.apache.spark.internal.Logging {
     * a previous code version must not be read.
     * v2: BM25 postings rows carry dl.
     * v3: LSH bucket rows may carry metadata columns (filtered ANN).
-    * v4: IVF cell rows may carry metadata columns (filtered ANN). */
-  val FormatVersion = 4
+    * v4: IVF cell rows may carry metadata columns (filtered ANN).
+    * v5: text keys fold Unicode code points (CharHash kernel replaced the
+    *     signed-byte `ascii()` SQL fold, r9) — vectors/keys persisted by
+    *     the old fold differ on any non-ASCII text, so pre-v5 indexes
+    *     must not be served against kernel-computed query keys. */
+  val FormatVersion = 5
 
   def root: String = sys.env.getOrElse("GRAFT_INDEX_ROOT",
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes/v$FormatVersion")
@@ -116,7 +120,38 @@ object IndexStore extends org.apache.spark.internal.Logging {
     * belongs to a table format's transaction log, out of scope here);
     * concurrent READERS of a ready index are always safe because a build
     * never touches a marked directory. */
+  private val legacyGcDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-time (per JVM) cleanup of orphaned store roots (ADVICE r9): a
+    * FormatVersion bump orphans the whole previous `graft_indexes/v{k}`
+    * root, and the pre-r9 `_bucketed`/`_partitioned` layout roots
+    * (superseded by `_bucketed2`/`_partitioned2`) held full bucketed/
+    * partitioned copies of orders/lineitem/events per source generation
+    * with no deleting code path. Grace-period guarded like every other
+    * GC in the store — old-version roots can only be touched by
+    * old-version code, which no longer runs from this checkout, so an
+    * untouched-past-grace root is provably cold. */
+  def gcLegacyRoots(spark: SparkSession): Unit =
+    if (legacyGcDone.compareAndSet(false, true)) {
+      val cutoff = System.currentTimeMillis() - graft.core.LayoutPublish.graceMs
+      def graceDelete(p: Path): Unit = try {
+        val f = fs(spark, p.toString)
+        if (f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff)
+          f.delete(p, true)
+      } catch { case scala.util.control.NonFatal(t) =>
+        logWarning(s"legacy-root gc of $p failed (non-fatal): $t")
+      }
+      // prior-version roots are siblings only under the DEFAULT versioned
+      // tmpdir layout; a user-set GRAFT_INDEX_ROOT has no version siblings
+      if (!sys.env.contains("GRAFT_INDEX_ROOT"))
+        (1 until FormatVersion).foreach(v =>
+          graceDelete(new Path(new Path(root).getParent, s"v$v")))
+      Seq("_bucketed", "_partitioned").foreach(n =>
+        graceDelete(new Path(s"$root/$n")))
+    }
+
   def ensure(spark: SparkSession, path: String)(build: String => Unit): String = {
+    gcLegacyRoots(spark)
     if (!built.contains(path)) {
       locks.computeIfAbsent(path, _ => new Object).synchronized {
         if (!built.contains(path)) {

@@ -388,17 +388,30 @@ object StreamQueries {
         val s = streamChild(s0, 4)
         val src = eventsStreamDir(s, dir)
         val sink = "stream_interval_join_live_sink"
-        val schema = Tables.events(s, dir).schema
+        val ev = Tables.events(s, dir)
+        val schema = ev.schema
+        // lateness bound DERIVED from the data's event-time span, same
+        // reasoning as stream_asof_live below (VERDICT r9 #3: the
+        // hardcoded `31 days` had <1 day of margin against the ~30-day
+        // generator window — a wider regen would silently evict rows and
+        // break the oracle gate confusingly): the stream dir is
+        // hash-partitioned, so any batch can carry events from anywhere
+        // in the span, and span + margin is by construction enough for
+        // zero watermark drops. 1-row bounded action.
+        val mm = ev.agg(min(col("ts").cast("long")),
+          max(col("ts").cast("long"))).head
+        val latenessSec = (mm.getLong(1) - mm.getLong(0)) + 24L * 3600
+        val lateness = s"$latenessSec seconds"
         def side() = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 2).parquet(src)
         val clicks = side().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("cts"))
-          .withWatermark("cts", "31 days")
+          .withWatermark("cts", lateness)
         val purchases = side().filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
             col("user_id").as("p_user"), col("ts").as("pts"))
-          .withWatermark("pts", "31 days")
+          .withWatermark("pts", lateness)
         withScratchCheckpoint(s) { ckpt =>
           val q = clicks.join(purchases,
               col("user_id") === col("p_user") &&
@@ -457,7 +470,16 @@ object StreamQueries {
           .option("maxFilesPerTrigger", 2).parquet(src)
         var seen: org.apache.spark.sql.DataFrame = null
         var built = false
+        var nonEmptyBatches = 0
         val probes = scala.collection.mutable.Buffer[Boolean]()
+        def probe(): Unit = {
+          val live = LshIndex
+            .search(s, idx, "embedding", "vec_id", qv, D, K)
+            .collect().toSeq
+          val ref = Ann.lshSearch(seen, "embedding", "vec_id", qv, D, K)
+            .collect().toSeq
+          probes += (live == ref)
+        }
         val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             Long) => Unit = { (batch, _) =>
           val b = batch.localCheckpoint()
@@ -470,12 +492,14 @@ object StreamQueries {
               LshIndex.append(s, b, "embedding", "vec_id", D, p))
             seen = if (seen == null) b
               else seen.unionAll(b).localCheckpoint()
-            val live = LshIndex
-              .search(s, idx, "embedding", "vec_id", qv, D, K)
-              .collect().toSeq
-            val ref = Ann.lshSearch(seen, "embedding", "vec_id", qv, D, K)
-              .collect().toSeq
-            probes += (live == ref)
+            // the mid-stream differential gate used to run EVERY batch —
+            // O(batches × corpus) paid by the gate, not the operator
+            // (VERDICT r9 #7). Probe the first batch (catches an
+            // immediately-divergent build) and then every 3rd; the final
+            // full-table differential below plus the DuckDB oracle keep
+            // the end-state guarantee exactly as strong.
+            if (nonEmptyBatches % 3 == 0) probe()
+            nonEmptyBatches += 1
           }
         }
         try {
@@ -483,8 +507,12 @@ object StreamQueries {
             .option("checkpointLocation", s"$tmp/ckpt")
             .foreachBatch(onBatch).start()
           try q.processAllAvailable() finally q.stop()
+          // final full-table differential: the stream-built index must
+          // equal the in-query LSH over EVERYTHING ingested (the sampled
+          // mid-stream probes only bound divergence earlier)
+          probe()
           require(probes.nonEmpty && probes.forall(identity),
-            s"stream_ann_live: a mid-stream probe diverged from the " +
+            s"stream_ann_live: a probe diverged from the " +
               s"in-query LSH over the ingested rows (${probes.toSeq})")
           // pin the k-row final probe (eager localCheckpoint) so the
           // scratch stream copy + index can be deleted NOW instead of

@@ -117,7 +117,7 @@ class AnnSpec extends AnyFunSuite {
     // (VERDICT r6 #2: quality gates, not collapse detectors). The old
     // single-query 0.2/0.3 checks above remain as fast smoke tests.
     val det = graft.knn.RecallReport.report(spark, SparkTestSession.sf)
-    assert(det.count() == 11)
+    assert(det.count() == 15) // 11 unfiltered + 4 filtered-serving rows (r10)
     val tr = graft.knn.RecallReport.trainedReport(spark, SparkTestSession.sf)
     val rows = tr.collect()
     assert(rows.length == 3 && rows.forall(_.getBoolean(1)))

@@ -38,13 +38,21 @@ class CharHashSpec extends AnyFunSuite {
   }
 
   test("kernel folds code points on multi-byte text (DuckDB ascii semantics)") {
-    // é U+00E9 (2 bytes), 中 U+4E2D (3 bytes): fold the code points
+    // é U+00E9 (2 bytes), 中 U+4E2D (3 bytes), 😀 U+1F600 (4 bytes —
+    // a SUPPLEMENTARY-plane char, i.e. a surrogate PAIR in UTF-16; a
+    // code-unit fold would hash 0xD83D,0xDE00 instead of 0x1F600):
+    // fold the code points
     val cases = Seq("é" -> Seq(0xe9), "café" -> Seq(0x63, 0x61, 0x66, 0xe9),
-      "中文ab" -> Seq(0x4e2d, 0x6587, 0x61, 0x62))
+      "中文ab" -> Seq(0x4e2d, 0x6587, 0x61, 0x62),
+      "a😀b" -> Seq(0x61, 0x1f600, 0x62),
+      "😀😀" -> Seq(0x1f600, 0x1f600))
     import TextAnalysis.{CharB, HashM}
     cases.foreach { case (s, cps) =>
       val expect = cps.foldLeft(0L)((a, c) => (a * CharB + c) % HashM)
       assert(kernel(s) == expect, s"codepoint fold for $s")
+      // driver-side fold must agree with the kernel beyond the BMP too
+      // (ADVICE r9: keyValue used to fold UTF-16 code units)
+      assert(e.keyValue(s) == expect, s"driver codepoint fold for $s")
     }
   }
 
