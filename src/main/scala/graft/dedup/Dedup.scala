@@ -28,6 +28,20 @@ object Dedup {
   val Bands = 4 // r = 2 rows per band
   val Knuth = 2654435761L
 
+  // memoized narrow children for the component-propagation loop, keyed
+  // (parent session, width) — the streamChild / sql_ann_topk precedent
+  private val componentSessions = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.SparkSession]()
+  private def componentChild(s0: org.apache.spark.sql.SparkSession,
+      w: Int): org.apache.spark.sql.SparkSession =
+    componentSessions.computeIfAbsent(
+      org.apache.spark.sql.graft.bridge.sessionUuid(s0) + s"#$w",
+      _ => {
+        val c = s0.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", w.toString)
+        c
+      })
+
   /** Affine permutation constants for minhash i (deterministic, odd a). */
   def hashA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % P | 1L
   def hashB(i: Int): Long = (12345L * (i + 1) + 6789L) % P
@@ -362,41 +376,69 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("ni")) >= ComponentJaccard)
       .select("x", "y")
       .localCheckpoint() // reused every propagation round
-    val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+    val sym0 = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint() // joined every round
-    var labels = pairs.select(col("x").as("node"))
+    val labels0 = pairs.select(col("x").as("node"))
       .union(pairs.select(col("y").as("node")))
       .distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // The loop below is bound by per-round stage latency, not data: each
+    // round is a fixed number of tiny jobs over the (already-thinned)
+    // candidate graph, and running them at the session's full shuffle
+    // width schedules mostly-empty tasks (measured on the hot-bucket
+    // cluster at width 32: ~0.5 s/round of pure overhead × ~13 rounds).
+    // Size the width to the MEASURED graph instead — bounded counts,
+    // both frames are checkpointed — and run the loop on the memoized
+    // child session at that width (the stream/sql-ann child-session
+    // precedent). At cluster scale the measured width saturates at the
+    // session width and this is the identity.
+    val spark0 = docs.sparkSession
+    val sessW = spark0.sessionState.conf.numShufflePartitions
+    val graphRows = labels0.count() + 2 * pairs.count()
+    val w = math.max(2L, math.min(sessW.toLong, graphRows / 50000L + 1L)).toInt
+    val loopS = if (w < sessW) componentChild(spark0, w) else spark0
+    def reroot(df: DataFrame): DataFrame =
+      if (loopS eq spark0) df
+      else loopS.createDataFrame(df.rdd, df.schema) // shared context: the
+      // checkpoint blocks re-root into the child's narrower planner as-is
+    val sym = reroot(sym0)
+    var labels = reroot(labels0)
     var converged = false
     var it = 0
     while (!converged && it < MaxComponentIters) {
       val prop = labels
-        .select(col("node"), col("lbl"))
+        .select(col("node"), col("lbl"), lit(1).as("own"))
         .union(sym.join(labels, col("y") === col("node"))
-          .select(col("x").as("node"), col("lbl")))
-        .groupBy("node").agg(min("lbl").as("lbl"))
+          .select(col("x").as("node"), col("lbl"), lit(0).as("own")))
+        // min over {own label} ∪ {neighbor labels} steps the propagation;
+        // the own label rides along as `prev` so the fixed-point test
+        // below needs no second join against the previous round
+        .groupBy("node").agg(min("lbl").as("lbl"),
+          max(when(col("own") === 1, col("lbl"))).as("prev"))
         // materialize before the self-join below: a union-derived plan
         // self-joined trips Catalyst's constraint rewrite (key-not-found
         // on the union's attribute map), and the checkpoint also cuts the
         // doubling lineage
         .localCheckpoint()
-      // pointer jumping: also adopt the current label OF the label (lbl
+      // pointer jumping: adopt the current label OF the label (lbl
       // values are themselves nodes, so this is sound transitivity) —
-      // chains contract geometrically instead of one hop per round
-      val next = prop.as("xx")
-        .join(prop.select(col("node").as("jn"), col("lbl").as("jl")).as("yy"),
-          col("xx.lbl") === col("jn"), "left")
-        .select(col("xx.node").as("node"),
-          least(col("xx.lbl"), coalesce(col("jl"), col("xx.lbl"))).as("lbl"))
+      // applied TWICE per round, so chains contract ~4× per round
+      // instead of 2× (the hot-bucket rep chain has diameter ~780:
+      // single jumps converged in 13 rounds, double jumps in 7, and a
+      // round's dominant cost is the fixed edge-scan, not the jump)
+      val propIdx = prop.select(col("node").as("jn"), col("lbl").as("jl"))
+      def jump(cur: DataFrame): DataFrame = cur
+        .join(propIdx, col("lbl") === col("jn"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"),
+          col("prev"))
+      val next = jump(jump(prop.select(col("node"), col("lbl"), col("prev"))))
       // labels are monotone non-increasing, so "no label decreased" is
-      // the fixed point; the check is one aggregate over the round's join
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.lbl") < col("p.lbl"))
-        .isEmpty
-      labels = next
+      // the fixed point; prev was carried through the aggregate, so this
+      // is one filter over the round's own join — NOT an extra join
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      labels = next.select("node", "lbl")
       it += 1
     }
     require(converged,

@@ -42,8 +42,30 @@ object HotBucket {
     * multi-row fsig groups — both the within-fsig chain edges and the
     * representative cross-links run, over representative sets big
     * enough to be real work. Same construction family as
-    * [[NearDupRecall.corpus]], scaled 50×. */
+    * [[NearDupRecall.corpus]], scaled 50×.
+    *
+    * Cached fingerprint-keyed under the index store (VERDICT r9 #6) —
+    * the base-doc scan + 10k-variant generation (~4.6 s cold at sf0.1)
+    * is paid once per source generation instead of per execution; every
+    * gate still runs on the sweep itself, which profiling shows is the
+    * entry's real cost (see SURVEY §6.6 r10 notes). `_v1` tags the
+    * generator version — bump it if the construction changes, the
+    * fingerprint only tracks the source. */
   def corpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.IndexStore
+    val fp = IndexStore.fingerprint(s, Seq(s"$dir/documents.parquet"))
+    val parent = new org.apache.hadoop.fs.Path(
+      s"${IndexStore.root}/_gatecorpus/${IndexStore.slug(dir)}")
+    val dst = new org.apache.hadoop.fs.Path(parent, s"hotbucket_v1_$fp")
+    graft.core.LayoutPublish.publish(s, dst) { tmp =>
+      buildCorpus(s, dir).write.parquet(tmp.toString)
+    }
+    graft.core.LayoutPublish.gcStale(s, parent, "hotbucket_v1_",
+      dst.getName)()
+    s.read.parquet(dst.toString)
+  }
+
+  private def buildCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = graft.core.Tables.documents(s, dir)
       .select(col("doc_id").cast("long"), col("text"))
