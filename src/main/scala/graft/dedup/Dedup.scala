@@ -423,17 +423,20 @@ object Dedup {
         .localCheckpoint()
       // pointer jumping: adopt the current label OF the label (lbl
       // values are themselves nodes, so this is sound transitivity) —
-      // applied TWICE per round, so chains contract ~4× per round
-      // instead of 2× (the hot-bucket rep chain has diameter ~780:
-      // single jumps converged in 13 rounds, double jumps in 7, and a
-      // round's dominant cost is the fixed edge-scan, not the jump)
+      // applied TWICE per round on LARGE graphs, where a round's
+      // dominant cost is the fixed edge-scan and halving the round
+      // count wins (the hot-bucket rep chain, diameter ~780: single
+      // jumps converged in 13 rounds, double in 9). On small graphs a
+      // round is already sub-0.1 s and the second join costs more than
+      // the rounds it saves, so it stays single.
       val propIdx = prop.select(col("node").as("jn"), col("lbl").as("jl"))
       def jump(cur: DataFrame): DataFrame = cur
         .join(propIdx, col("lbl") === col("jn"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"),
           col("prev"))
-      val next = jump(jump(prop.select(col("node"), col("lbl"), col("prev"))))
+      val jumped = jump(prop.select(col("node"), col("lbl"), col("prev")))
+      val next = if (graphRows > 200000L) jump(jumped) else jumped
       // labels are monotone non-increasing, so "no label decreased" is
       // the fixed point; prev was carried through the aggregate, so this
       // is one filter over the round's own join — NOT an extra join
