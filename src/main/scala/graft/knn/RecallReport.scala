@@ -73,85 +73,118 @@ object RecallReport {
   def report(s: SparkSession, dir: String): DataFrame = {
     val gate = !sys.env.get("GRAFT_RECALL_GATE").contains("off")
     import s.implicits._
-    // localCheckpoint: ~20 probe plans share the scan; the checkpoint is
+    // localCheckpoint: ~60 probe plans share the scan; the checkpoint is
     // query-local and GC-released (see Dedup.minhashLshPairs note)
     val emb = Tables.embeddings(s, dir).localCheckpoint()
     def ids(df: DataFrame, idCol: String = "vec_id"): Set[Long] =
       df.select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
 
-    val hits = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
-    for (key <- Keys) {
-      val qv = hashVectorValues(key, D)
-      def exact(metric: String): Set[Long] =
-        ids(Knn.search(emb, col("embedding"), typedlit(qv), metric, K,
-          idCol = "vec_id"))
-      val exCos = exact("cosine")
-      val exL2 = exact("l2")
-      val exIp = exact("ip")
-      // filtered baselines: exact top-K over the rows satisfying the
-      // predicate — the truth a filtered index probe is graded against
-      val fpred = col("label") === 3
-      def exactFiltered(metric: String): Set[Long] =
-        ids(Knn.search(emb.filter(fpred), col("embedding"), typedlit(qv),
-          metric, K, idCol = "vec_id"))
-      val exFCos = exactFiltered("cosine")
-      val exFL2 = exactFiltered("l2")
-      val approx: Seq[(String, Set[Long], Set[Long])] = Seq(
-        ("lsh", ids(Ann.lshSearch(emb, "embedding", "vec_id", qv, D, K)), exCos),
-        // the recall knob: 1-bit-flip multi-probe (20/64 buckets instead
-        // of 4) over the persistent index — must dominate plain lsh
-        ("lsh_multiprobe", ids(graft.index.LshIndex.search(s,
-          Indexes.lshEmb(s, dir), "embedding", "vec_id", qv, D, K,
-          multiProbe = true)), exCos),
-        ("ivf", ids(Ann.ivfSearch(emb, "embedding", "vec_id",
-          Ann.fixedIvfModel(Indexes.IvfCells, D), qv, nprobe = 4, K)), exCos),
-        // IVF's recall loss is pure cell pruning (survivors rerank
-        // exactly) — widening nprobe 4→8 is its quality knob
-        ("ivf_nprobe8", ids(Ann.ivfSearch(emb, "embedding", "vec_id",
-          Ann.fixedIvfModel(Indexes.IvfCells, D), qv, nprobe = 8, K)), exCos),
-        ("mips", ids(Ann.mipsIvfSearch(emb, "embedding", "vec_id",
-          cells = Indexes.IvfCells, qv, nprobe = 4, K)), exIp),
-        ("mips_nprobe8", ids(Ann.mipsIvfSearch(emb, "embedding", "vec_id",
-          cells = Indexes.IvfCells, qv, nprobe = 8, K)), exIp),
-        ("sq", ids(ScalarQuant.searchCosine(emb, "embedding", "vec_id",
-          qv, D, K)), exCos),
-        ("bq", ids(BinaryQuant.searchHamming(emb, "embedding", "vec_id",
-          qv, D, K)), exCos),
-        ("bq_rerank", {
-          val short = BinaryQuant.searchHamming(emb, "embedding", "vec_id",
-            qv, D, K * 10).select("vec_id")
-          ids(emb.join(short, "vec_id")
-            .select(col("vec_id"),
-              round(cosineDistance(col("embedding"), typedlit(qv)), 6)
-                .as("score"))
-            .orderBy("score", "vec_id").limit(K))
-        }, exCos),
-        ("pq", ids(ProductQuant.searchAdc(emb, "embedding", "vec_id",
-          ProductQuant.fixedCodebooks(D, 8, 16), qv, K)), exL2),
-        ("pq_rerank", {
-          val short = ProductQuant.searchAdc(emb, "embedding", "vec_id",
-            ProductQuant.fixedCodebooks(D, 8, 16), qv, K * 10)
-            .select("vec_id")
-          ids(emb.join(short, "vec_id")
-            .select(col("vec_id"),
-              round(l2Distance(col("embedding"), typedlit(qv)), 6)
-                .as("score"))
-            .orderBy("score", "vec_id").limit(K))
-        }, exL2),
-        ("lsh_filtered", ids(graft.index.LshIndex.search(s,
-          Indexes.lshEmb(s, dir), "embedding", "vec_id", qv, D, K,
-          filter = Some(fpred))), exFCos),
-        ("ivf_filtered", ids(graft.index.IvfIndex.search(s,
-          Indexes.ivfEmb(s, dir), "embedding", "vec_id", qv, nprobe = 4,
-          K, filter = Some(fpred))), exFCos),
-        ("ivf_filtered_nprobe8", ids(graft.index.IvfIndex.search(s,
-          Indexes.ivfEmb(s, dir), "embedding", "vec_id", qv, nprobe = 8,
-          K, filter = Some(fpred))), exFCos),
-        ("ivfpq_filtered", ids(graft.index.IvfPqIndex.search(s,
-          Indexes.ivfPqEmb(s, dir), "embedding", "vec_id", qv, nprobe = 4,
-          K, filter = Some(fpred))), exFL2))
-      approx.foreach { case (f, a, e) => hits(f) += a.intersect(e).size }
+    // Every probe is an independent tiny top-k job with a k-row collect;
+    // running 15 configs × 3 keys + 15 exact baselines SEQUENTIALLY pays
+    // ~60 stage round-trips of wall (measured ~9-10 s at sf0.1). Submit
+    // them CONCURRENTLY instead — Spark's scheduler interleaves the jobs
+    // (the serving analog is concurrent queries), the per-probe plans
+    // and id sets are bit-identical, and the pool is bounded so the
+    // local scheduler isn't flooded. Indexes are ensured serially first:
+    // ensure() is lock-guarded, and building under the pool would just
+    // serialize the first wave on the build lock.
+    val lshPath = Indexes.lshEmb(s, dir)
+    val ivfPath = Indexes.ivfEmb(s, dir)
+    val ivfPqPath = Indexes.ivfPqEmb(s, dir)
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(6))
+    def par[A](xs: Seq[A]): scala.collection.parallel.ParSeq[A] = {
+      val p = xs.par; p.tasksupport = pool; p
     }
+
+    val fpred = col("label") === 3
+    // exact baselines, keyed (query key, metric, filtered): the filtered
+    // truth is the exact top-K over the rows satisfying the predicate
+    val exactCombos: Seq[(Long, String, Boolean)] = for {
+      key <- Keys
+      (m, f) <- Seq(("cosine", false), ("l2", false), ("ip", false),
+        ("cosine", true), ("l2", true))
+    } yield (key, m, f)
+    val exact: Map[(Long, String, Boolean), Set[Long]] =
+      par(exactCombos).map { case (key, m, f) =>
+        val qv = hashVectorValues(key, D)
+        val base = if (f) emb.filter(fpred) else emb
+        (key, m, f) -> ids(Knn.search(base, col("embedding"),
+          typedlit(qv), m, K, idCol = "vec_id"))
+      }.toList.toMap
+
+    // (family, key, probe thunk, exact-baseline key)
+    val probes: Seq[(String, Long, () => Set[Long], (String, Boolean))] =
+      Keys.flatMap { key =>
+        val qv = hashVectorValues(key, D)
+        def cos = (key, ("cosine", false))
+        def l2 = (key, ("l2", false))
+        def ip = (key, ("ip", false))
+        def fcos = (key, ("cosine", true))
+        def fl2 = (key, ("l2", true))
+        Seq[(String, (Long, (String, Boolean)), () => Set[Long])](
+          ("lsh", cos, () =>
+            ids(Ann.lshSearch(emb, "embedding", "vec_id", qv, D, K))),
+          // the recall knob: 1-bit-flip multi-probe (20/64 buckets
+          // instead of 4) over the persistent index — must dominate lsh
+          ("lsh_multiprobe", cos, () => ids(graft.index.LshIndex.search(s,
+            lshPath, "embedding", "vec_id", qv, D, K, multiProbe = true))),
+          ("ivf", cos, () => ids(Ann.ivfSearch(emb, "embedding", "vec_id",
+            Ann.fixedIvfModel(Indexes.IvfCells, D), qv, nprobe = 4, K))),
+          // IVF's recall loss is pure cell pruning (survivors rerank
+          // exactly) — widening nprobe 4→8 is its quality knob
+          ("ivf_nprobe8", cos, () => ids(Ann.ivfSearch(emb, "embedding",
+            "vec_id", Ann.fixedIvfModel(Indexes.IvfCells, D), qv,
+            nprobe = 8, K))),
+          ("mips", ip, () => ids(Ann.mipsIvfSearch(emb, "embedding",
+            "vec_id", cells = Indexes.IvfCells, qv, nprobe = 4, K))),
+          ("mips_nprobe8", ip, () => ids(Ann.mipsIvfSearch(emb,
+            "embedding", "vec_id", cells = Indexes.IvfCells, qv,
+            nprobe = 8, K))),
+          ("sq", cos, () => ids(ScalarQuant.searchCosine(emb, "embedding",
+            "vec_id", qv, D, K))),
+          ("bq", cos, () => ids(BinaryQuant.searchHamming(emb, "embedding",
+            "vec_id", qv, D, K))),
+          ("bq_rerank", cos, () => {
+            val short = BinaryQuant.searchHamming(emb, "embedding",
+              "vec_id", qv, D, K * 10).select("vec_id")
+            ids(emb.join(short, "vec_id")
+              .select(col("vec_id"),
+                round(cosineDistance(col("embedding"), typedlit(qv)), 6)
+                  .as("score"))
+              .orderBy("score", "vec_id").limit(K))
+          }),
+          ("pq", l2, () => ids(ProductQuant.searchAdc(emb, "embedding",
+            "vec_id", ProductQuant.fixedCodebooks(D, 8, 16), qv, K))),
+          ("pq_rerank", l2, () => {
+            val short = ProductQuant.searchAdc(emb, "embedding", "vec_id",
+              ProductQuant.fixedCodebooks(D, 8, 16), qv, K * 10)
+              .select("vec_id")
+            ids(emb.join(short, "vec_id")
+              .select(col("vec_id"),
+                round(l2Distance(col("embedding"), typedlit(qv)), 6)
+                  .as("score"))
+              .orderBy("score", "vec_id").limit(K))
+          }),
+          ("lsh_filtered", fcos, () => ids(graft.index.LshIndex.search(s,
+            lshPath, "embedding", "vec_id", qv, D, K,
+            filter = Some(fpred)))),
+          ("ivf_filtered", fcos, () => ids(graft.index.IvfIndex.search(s,
+            ivfPath, "embedding", "vec_id", qv, nprobe = 4, K,
+            filter = Some(fpred)))),
+          ("ivf_filtered_nprobe8", fcos, () =>
+            ids(graft.index.IvfIndex.search(s, ivfPath, "embedding",
+              "vec_id", qv, nprobe = 8, K, filter = Some(fpred)))),
+          ("ivfpq_filtered", fl2, () =>
+            ids(graft.index.IvfPqIndex.search(s, ivfPqPath, "embedding",
+              "vec_id", qv, nprobe = 4, K, filter = Some(fpred))))
+        ).map { case (f, (k2, ex), thunk) => (f, k2, thunk, ex) }
+      }
+    val hits: Map[String, Int] =
+      par(probes).map { case (f, key, thunk, ex) =>
+        f -> thunk().intersect(exact((key, ex._1, ex._2))).size
+      }.toList.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
 
     val denom = (Keys.size * K).toDouble
     val rows = hits.toSeq.sortBy(_._1).map { case (f, h) =>

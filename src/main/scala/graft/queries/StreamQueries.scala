@@ -452,10 +452,16 @@ object StreamQueries {
     // neither blocks the other.
     Q(
       "stream_ann_live",
-      (s, dir) => {
+      (s0, dir) => {
         import graft.index.{IndexStore, LshIndex}
         import graft.knn.Ann
         import graft.functions.VectorFunctions.hashVectorValues
+        // no stateful shuffle here (foreachBatch only), but every
+        // per-batch job — batch checkpoint, bucket-row append, `seen`
+        // union, probes — otherwise schedules at the session's full
+        // width over a few hundred rows; width 4 matches the other live
+        // entries' child discipline
+        val s = streamChild(s0, 4)
         val D = Tables.EmbeddingDim
         val K = 10
         val qv = hashVectorValues(11L, D)
@@ -463,9 +469,15 @@ object StreamQueries {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_stream_ann").toString
         val idx = s"$tmp/lsh"
-        // multi-file copy so the file source yields genuine micro-batches
+        // multi-file copy so the file source yields genuine micro-batches:
+        // 6 files at 2/trigger = 3 batches — one initial build plus TWO
+        // incremental appends still prove the append ≡ rebuild law live,
+        // and each append is a real partitioned-parquet commit over the
+        // ~256 (band_idx, band_val) dirs (~1.2 s of pure file-commit
+        // protocol at this row scale — the entry's measured floor is the
+        // OPERATOR, not the differential gate; see SURVEY §6.7)
         val src = s"$tmp/src"
-        emb.repartition(8).write.parquet(src)
+        emb.repartition(6).write.parquet(src)
         val stream = s.readStream.schema(emb.schema)
           .option("maxFilesPerTrigger", 2).parquet(src)
         var seen: org.apache.spark.sql.DataFrame = null
