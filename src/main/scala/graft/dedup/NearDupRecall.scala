@@ -169,8 +169,6 @@ object NearDupRecall {
     def compMap(cap: Int): Map[Long, Long] =
       Dedup.nearDupComponents(docs, bucketCap = cap)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val (mhPairs, mhIntact, mhComps) =
-      componentMetrics(compMap(Int.MaxValue), compMap(EvalCap))
 
     // ---- hyperplane (embedding) family: guarded vs unguarded verified
     // pair graph → driver-side components (eval corpus is bounded)
@@ -196,8 +194,25 @@ object NearDupRecall {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       unionFind(verified)
     }
-    val (embPairs, embIntact, embComps) =
-      componentMetrics(vecComp(Int.MaxValue), vecComp(EvalCap))
+    // The four guarded/unguarded sweeps are INDEPENDENT computations
+    // over the two already-checkpointed corpora — running them
+    // sequentially pays four full candidate+verify(+propagation) walls
+    // back-to-back. Submit them concurrently (bounded pool, the
+    // RecallReport discipline): per-sweep plans and component maps are
+    // identical, Spark interleaves the tiny jobs.
+    val sweeps: Seq[() => Map[Long, Long]] = Seq(
+      () => compMap(Int.MaxValue), () => compMap(EvalCap),
+      () => vecComp(Int.MaxValue), () => vecComp(EvalCap))
+    val done = {
+      import scala.collection.parallel.CollectionConverters._
+      val p = sweeps.par
+      p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(4))
+      p.map(_()).toList
+    }
+    val Seq(mhTruth, mhGuarded, vTruth, vGuarded) = done
+    val (mhPairs, mhIntact, mhComps) = componentMetrics(mhTruth, mhGuarded)
+    val (embPairs, embIntact, embComps) = componentMetrics(vTruth, vGuarded)
 
     val measured = Map(
       "same_component_pairs" -> (mhPairs, mhComps),

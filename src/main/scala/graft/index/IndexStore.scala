@@ -132,7 +132,11 @@ object IndexStore extends org.apache.spark.internal.Logging {
     * old-version code, which no longer runs from this checkout, so an
     * untouched-past-grace root is provably cold. */
   def gcLegacyRoots(spark: SparkSession): Unit =
-    if (legacyGcDone.compareAndSet(false, true)) {
+    if (legacyGcDone.compareAndSet(false, true)) runLegacyGc(spark)
+
+  /** The one-shot's body, callable directly by the spec (the CAS above
+    * makes the public form untestable twice in one JVM). */
+  private[graft] def runLegacyGc(spark: SparkSession): Unit = {
       val cutoff = System.currentTimeMillis() - graft.core.LayoutPublish.graceMs
       def graceDelete(p: Path): Unit = try {
         val f = fs(spark, p.toString)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.IndexStore
+
+/** Pin for the one-shot legacy-root GC (ADVICE r9): a FormatVersion
+  * bump orphans the whole previous `graft_indexes/v{k}` root, and the
+  * pre-r9 `_bucketed`/`_partitioned` layout trees inside the current
+  * root had no deleting code path — both must be grace-collected, and
+  * a root touched within the grace window must be left alone.
+  */
+class LegacyGcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mk(p: Path): Path = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p)
+    f.create(new Path(p, "payload"), true).close()
+    p
+  }
+  private def exists(p: Path): Boolean =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+
+  test("cold prior-version roots and legacy layout trees are collected; fresh ones survive") {
+    val parent = new Path(IndexStore.root).getParent
+    // v1 < FormatVersion is always a legacy name; the current root's
+    // _bucketed/_partitioned are the pre-r9 layout trees
+    val oldVersionRoot = mk(new Path(parent, "v1"))
+    val oldBucketed = mk(new Path(s"${IndexStore.root}/_bucketed"))
+    val oldPartitioned = mk(new Path(s"${IndexStore.root}/_partitioned"))
+    val rootExisted = exists(new Path(IndexStore.root))
+    // grace > age: nothing may be touched
+    sys.props("graft.layout.gc.grace.ms") = (60L * 60 * 1000).toString
+    try {
+      IndexStore.runLegacyGc(spark)
+      assert(exists(oldVersionRoot) && exists(oldBucketed) &&
+        exists(oldPartitioned),
+        "roots inside the grace window must be left alone")
+      // grace 0: everything just created is already "cold"
+      sys.props("graft.layout.gc.grace.ms") = "0"
+      Thread.sleep(5) // mtime strictly below the cutoff
+      IndexStore.runLegacyGc(spark)
+      assert(!exists(oldVersionRoot), "prior-version root must be collected")
+      assert(!exists(oldBucketed), "legacy _bucketed tree must be collected")
+      assert(!exists(oldPartitioned),
+        "legacy _partitioned tree must be collected")
+      // the CURRENT version root is never a target
+      assert(exists(new Path(IndexStore.root)) == rootExisted,
+        "the current version root must be untouched")
+    } finally sys.props.remove("graft.layout.gc.grace.ms")
+  }
+}

@@ -50,4 +50,29 @@ class ScaleUpSpec extends AnyFunSuite {
         "circular shift preserves the element multiset")
     }
   }
+
+  test("documented bounds are enforced (ADVICE r9)") {
+    // copies ≥ 43 would wrap the int32 key cast at offset 5·10⁷ —
+    // corrupt FKs, silently, on the non-ANSI cast path
+    val ex = intercept[IllegalArgumentException] {
+      ScaleUp.scaled(spark, sf, "orders", 43)
+    }
+    assert(ex.getMessage.contains("[1, 42]"))
+    intercept[IllegalArgumentException] {
+      ScaleUp.scaled(spark, sf, "orders", 0)
+    }
+  }
+
+  test("vector shift is non-degenerate at dim multiples (ADVICE r9)") {
+    // the old `c % d` shift was 0 whenever the copy index was a
+    // multiple of the embedding dim — identical copies, an LSH
+    // duplicate cluster instead of spread. The fixed shift
+    // 1 + (c-1) % (d-1) stays in [1, d-1] for every copy index.
+    val d = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("size(embedding) d").head.getInt(0)
+    (1 to 42).foreach { c =>
+      val s = 1 + (c - 1) % (d - 1)
+      assert(s >= 1 && s <= d - 1, s"shift degenerate for copy $c")
+    }
+  }
 }
