@@ -70,15 +70,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benched = Catalog.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name)))
-    // a filter that matches nothing (typo, or a bench=false entry) must
-    // fail loudly, not report a 0.0-total run and clobber bench_full.json
+    // The focus filter also reaches EXTENDED entries (they run with the
+    // extended discipline below) — the slow entries a builder most needs
+    // to triage are usually extended ones. A filter that matches nothing
+    // in EITHER series (a typo) must fail loudly, not report a 0.0-total
+    // run and clobber bench_full.json.
+    val extFocused = Catalog.all.filterNot(_.bench)
+      .filter(q => only.exists(_.contains(q.name)))
     only.foreach { names =>
-      require(benched.nonEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY matched no benched query: $names " +
+      require(benched.nonEmpty || extFocused.nonEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY matched no catalog entry: $names " +
           s"(benched catalog: ${Catalog.all.filter(_.bench).map(_.name).sorted.mkString(", ")})")
-      val unknown = names -- Catalog.all.filter(_.bench).map(_.name).toSet
+      val unknown = names -- Catalog.all.map(_.name).toSet
       if (unknown.nonEmpty) System.err.println(
-        s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names not in the benched catalog: $unknown")
+        s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names not in the catalog: $unknown")
     }
     // Per-REP GC, outside the timed window (VERDICT r9 #1): the former
     // per-QUERY GC released dead localCheckpoint blocks only after all 5
@@ -134,9 +139,9 @@ object Bench {
     // Skipped under a dev focus filter and by SPARK_GRAFT_BENCH_EXT=off.
     val ExtWarmReps = 2
     val extended =
-      if (only.isDefined || sys.env.get("SPARK_GRAFT_BENCH_EXT").contains("off"))
-        Seq.empty
-      else Catalog.all.filterNot(_.bench).map { q =>
+      if (sys.env.get("SPARK_GRAFT_BENCH_EXT").contains("off")) Seq.empty
+      else (if (only.isDefined) extFocused
+            else Catalog.all.filterNot(_.bench)).map { q =>
         def rep(): Option[Double] = {
           val t0 = System.nanoTime()
           try { q.run(spark, sfDir).count() } catch {
