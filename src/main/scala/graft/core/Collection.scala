@@ -555,6 +555,14 @@ final class VectorCollection(
 
   def get(ids: Seq[String]): DataFrame = df.filter(col("id").isin(ids: _*))
 
+  /** Retrieve by metadata predicate — the reference client's
+    * `collection.get(where=...)` (`tests/test_client.py:172-182`). Same
+    * matching semantics as [[deleteWhere]]'s doomed set: `.filter()` drops
+    * NULL-valued predicate rows, so a missing metadata field fails every
+    * leaf exactly like the reference evaluator; the raw three-valued
+    * column keeps the leaves pushable into the Parquet scan. */
+  def getWhere(pred: graft.filter.Pred): DataFrame = df.filter(pred.column)
+
   def peek(n: Int): DataFrame = df.orderBy("id").limit(n)
 
   def count(): Long = if (isEmpty) 0L else df.count()

@@ -64,6 +64,25 @@ object CrudQueries {
         """SELECT c_custkey, c_name, c_mktsegment FROM customer
           |WHERE c_custkey IN (1, 5, 10, 99) ORDER BY c_custkey""".stripMargin)
     ),
+    // get-by-filter (reference client `collection.get(where=...)`,
+    // tests/test_client.py:172-182) — full matching rows back, predicate
+    // from the filter DSL so the leaves reach the scan as PushedFilters.
+    // The key bound keeps the result ≤ ~200 rows at ANY scale factor.
+    Q(
+      "crud_get_where",
+      (s, dir) => {
+        import graft.filter._
+        val pred = And(Eq("c_mktsegment", "BUILDING"),
+                       Lt("c_custkey", 200L))
+        Tables.customer(s, dir).filter(pred.column)
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+          |WHERE c_mktsegment = 'BUILDING' AND c_custkey < 200
+          |ORDER BY c_custkey""".stripMargin)
+    ),
     // peek = deterministic first-n sample
     Q(
       "crud_peek",

@@ -72,6 +72,27 @@ class CollectionSpec extends AnyFunSuite {
     assert(db2.listCollections().isEmpty)
   }
 
+  test("getWhere retrieves by metadata predicate with reference null semantics") {
+    val root = Files.createTempDirectory("graft_vdb").toString
+    val db = new VectorDb(spark, root)
+    val coll = db.createCollection("gw", dimensions = 8)
+    // row "c" is missing the nullable meta field entirely
+    coll.insertBatch(
+      rows("a" -> 1, "b" -> 2, "c" -> 3)
+        .withColumn("grade", when(col("id") =!= "c", col("k") * 10)))
+
+    def ids(p: graft.filter.Pred) =
+      coll.getWhere(p).select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids(Eq("tag", "t1")) == Seq("a", "c"))
+    assert(ids(graft.filter.Gte("grade", 20)) == Seq("b"))
+    // reference evaluate(): a missing field fails EVERY leaf — ne/nin
+    // require presence-with-a-different-value, so "c" never matches
+    assert(ids(graft.filter.Ne("grade", 10)) == Seq("b"))
+    assert(ids(graft.filter.Nin("grade", Seq(10, 20))) == Seq())
+    // ...but Not(Eq) is two-valued and accepts the missing-field row
+    assert(ids(graft.filter.Not(Eq("grade", 10))) == Seq("b", "c"))
+  }
+
   test("upsert rejects intra-batch duplicate ids") {
     val root = Files.createTempDirectory("graft_vdb_dup").toString
     val db = new VectorDb(spark, root)
