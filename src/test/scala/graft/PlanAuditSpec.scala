@@ -120,6 +120,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // FilterSpec on the DSL directly.)
   private val PruneContracts: Seq[(String, String)] = Seq(
     "filter_ne_nin" -> "PushedFilters",
+    "crud_get_where" -> "PushedFilters",
     "knn_filtered" -> "PushedFilters",
     "bm25_filtered" -> "PushedFilters",
     "ann_lsh_indexed" -> "PartitionFilters",
