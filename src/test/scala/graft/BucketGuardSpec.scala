@@ -202,6 +202,30 @@ class BucketGuardSpec extends AnyFunSuite {
     assert(clusterPairs < 1770, s"cluster emitted all-pairs ($clusterPairs)")
   }
 
+  test("driver corpora never engage the guard on knn_self_join's geometry") {
+    // knn_self_join's DuckDB oracle computes the UNGUARDED banded
+    // self-join, so its exact-equality contract holds precisely when no
+    // bucket exceeds the cap and the guard short-circuits. That is true
+    // at every driver scale — pinned here so a testdata regen or band
+    // change that pushes a bucket over the cap turns THIS red instead of
+    // the oracle gate (a 10× ScaleUp corpus DOES engage it: 55 buckets
+    // over cap, measured — there the entry is governed by the guard's
+    // recall floors, not the exact oracle; SURVEY §6.7).
+    import org.apache.spark.sql.functions._
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sfn =>
+      val emb = spark.read.parquet(s"/root/testdata/$sfn/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val maxBucket = graft.index.LshIndex.bucketRows(
+        emb, "embedding", "vec_id", graft.core.Tables.EmbeddingDim,
+        withFullSig = true)
+        .groupBy("band_idx", "band_val").count()
+        .agg(max("count")).head.getLong(0)
+      assert(maxBucket <= BucketGuard.DefaultCap,
+        s"$sfn: max LSH bucket $maxBucket exceeds the guard cap — " +
+          "knn_self_join's unguarded oracle contract no longer holds")
+    }
+  }
+
   test("snapshot isolation: a source mutation after build never reaches the frame") {
     // VERDICT r8 #2: the probe runs at plan-construction time and
     // freezes the guarded/short-circuit decision; candidatePairs now
