@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Dev tool: DuckDB-compare dumped query results (mirrors the driver's
 rows/schema/hash check). Usage: compare.py <sfDir> <outDir> <name>..."""
-import sys, glob, duckdb, pyarrow.parquet as pq
+import sys, os, glob, duckdb, pyarrow.parquet as pq
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 names = sys.argv[3:]
@@ -11,8 +11,13 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 for name in names:
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single files; ScaleUp corpora (10x decade dirs)
+        # are Spark-written DIRECTORIES — glob those
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         try:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         except Exception:
             pass
     files = glob.glob(f"{outdir}/{name}/*.parquet")
