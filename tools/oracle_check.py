@@ -7,7 +7,7 @@ Reads each <out>/<name> parquet written by graft.Verify, runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB (tables = views over the
 sfDir parquet), sorts columns by name + rows, and compares values.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -33,12 +33,24 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, names=None):
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single files; ScaleUp corpora (10x decade dirs)
+        # are Spark-written DIRECTORIES — glob those (compare.py does the
+        # same), so the decade-scale certification runs with this tool
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Optional name filter (mirrors graft.Verify's third arg): lets the
+    # exact driver-gate replica run on a certified SLICE — e.g. the
+    # decade-scale 10x corpus, where guard-boundary / recall-gate
+    # entries are exempt by documented contract (SURVEY §6.7).
+    if names:
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -92,4 +104,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
