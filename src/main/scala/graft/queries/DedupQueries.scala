@@ -290,7 +290,7 @@ object DedupQueries {
             sum(expr("cast(round(quality * 1000000) as bigint)")).as("q6"),
             sum("n_tokens").as("total_tokens"))
           .select(col("source"), col("n_docs"),
-            round(col("q6") / 1000000.0 / col("n_docs"), 6).as("avg_quality"),
+            graft.core.ExactDisplay.mean6("q6", "n_docs").as("avg_quality"),
             col("total_tokens"))
           .orderBy("source")
       },
@@ -307,8 +307,9 @@ object DedupQueries {
            |    AND doc_id NOT IN
            |        (SELECT doc_id FROM comp WHERE component <> doc_id))
            |SELECT source, count(*) AS n_docs,
-           |       round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
-           |             / 1000000.0 / count(*), 6) AS avg_quality,
+           |       ${graft.core.ExactDisplay.mean6Sql(
+                    "CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)",
+                    "count(*)")} AS avg_quality,
            |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
       }

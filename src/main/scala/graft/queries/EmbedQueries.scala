@@ -62,7 +62,7 @@ object EmbedQueries {
             min("nrm").as("min_norm"),
             max("nrm").as("max_norm"))
           .select(col("label"), col("n"),
-            round(col("s6") / 1000000.0 / col("n"), 6).as("avg_norm"),
+            graft.core.ExactDisplay.mean6("s6", "n").as("avg_norm"),
             col("min_norm"), col("max_norm"))
           .orderBy("label")
       },
@@ -72,8 +72,9 @@ object EmbedQueries {
            |         round(${normSql("embedding", D)}, 6) AS nrm
            |  FROM embeddings)
            |SELECT label, count(*) AS n,
-           |       round(CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS BIGINT)
-           |             / 1000000.0 / count(*), 6) AS avg_norm,
+           |       ${graft.core.ExactDisplay.mean6Sql(
+                    "CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS BIGINT)",
+                    "count(*)")} AS avg_norm,
            |       min(nrm) AS min_norm, max(nrm) AS max_norm
            |FROM d GROUP BY label ORDER BY label""".stripMargin)
     ),

@@ -545,10 +545,12 @@ object PipelineQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_total"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-            round(sum(when(col("keep"), col("q6")).otherwise(0L)) / 1000000.0 /
-              nullif(sum(when(col("keep"), 1L).otherwise(0L)), lit(0)), 6)
+            graft.core.ExactDisplay.mean6(
+              "sum(CASE WHEN keep THEN q6 ELSE 0 END)",
+              "nullif(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0)")
               .as("kept_avg_quality"),
-            round(sum("q6") / 1000000.0 / count(lit(1)), 6).as("avg_quality"))
+            graft.core.ExactDisplay.mean6("sum(q6)", "count(1)")
+              .as("avg_quality"))
           .orderBy("source")
       },
       Some {
@@ -561,11 +563,12 @@ object PipelineQueries {
            |SELECT source, count(*) AS n_total,
            |       CAST(sum(CASE WHEN u6 < q6 THEN 1 ELSE 0 END) AS BIGINT)
            |         AS n_kept,
-           |       round(CAST(sum(CASE WHEN u6 < q6 THEN q6 ELSE 0 END) AS BIGINT)
-           |             / 1000000.0
-           |             / nullif(sum(CASE WHEN u6 < q6 THEN 1 ELSE 0 END), 0), 6)
+           |       ${graft.core.ExactDisplay.mean6Sql(
+                    "CAST(sum(CASE WHEN u6 < q6 THEN q6 ELSE 0 END) AS BIGINT)",
+                    "nullif(sum(CASE WHEN u6 < q6 THEN 1 ELSE 0 END), 0)")}
            |         AS kept_avg_quality,
-           |       round(CAST(sum(q6) AS BIGINT) / 1000000.0 / count(*), 6)
+           |       ${graft.core.ExactDisplay.mean6Sql(
+                    "CAST(sum(q6) AS BIGINT)", "count(*)")}
            |         AS avg_quality
            |FROM d GROUP BY source ORDER BY source""".stripMargin
       }
@@ -771,7 +774,8 @@ object PipelineQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum("nt").as("total_tokens"),
-            round(sum("q6") / 1000000.0 / count(lit(1)), 6).as("avg_quality"),
+            graft.core.ExactDisplay.mean6("sum(q6)", "count(1)")
+              .as("avg_quality"),
             round(sum("is_en") / count(lit(1)).cast("double"), 6).as("en_ratio"),
             round((count(lit(1)) - countDistinct("h")) /
               count(lit(1)).cast("double"), 6).as("dup_ratio"),
@@ -790,7 +794,8 @@ object PipelineQueries {
            |  FROM documents)
            |SELECT source, count(*) AS n_docs,
            |       CAST(sum(nt) AS BIGINT) AS total_tokens,
-           |       round(CAST(sum(q6) AS BIGINT) / 1000000.0 / count(*), 6)
+           |       ${graft.core.ExactDisplay.mean6Sql(
+                    "CAST(sum(q6) AS BIGINT)", "count(*)")}
            |         AS avg_quality,
            |       round(CAST(sum(is_en) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
            |         AS en_ratio,

@@ -569,7 +569,7 @@ object TextQueries {
             sum(expr("cast(round(nll * 1000000) as bigint)")).as("nll6"),
             sum("n_bigrams").as("total_bigrams"))
           .select(col("source"), col("n_docs"),
-            round(col("nll6") / 1000000.0 / col("n_docs"), 6).as("avg_nll"),
+            graft.core.ExactDisplay.mean6("nll6", "n_docs").as("avg_nll"),
             col("total_bigrams"))
           .orderBy("source")
       },
@@ -587,8 +587,9 @@ object TextQueries {
            |        FROM documents) s USING (doc_id)
            |  WHERE sc.nll <= med.m AND s.q > 0.5)
            |SELECT source, count(*) AS n_docs,
-           |       round(CAST(sum(CAST(round(nll * 1000000) AS BIGINT)) AS BIGINT)
-           |             / 1000000.0 / count(*), 6) AS avg_nll,
+           |       ${graft.core.ExactDisplay.mean6Sql(
+                    "CAST(sum(CAST(round(nll * 1000000) AS BIGINT)) AS BIGINT)",
+                    "count(*)")} AS avg_nll,
            |       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
       }

@@ -89,7 +89,10 @@ object NgramLm {
     // (GC-scoped barrier, same pattern as the dedup signatures)
     val big = bigrams(docs, textCol, idCol).localCheckpoint()
     val m = model(big, docs, textCol)
-    val nll = round(-col("slp6") / 1e6 / col("n_bigrams"), 6)
+    // display mean in EXACT integer arithmetic (graft.core.ExactDisplay):
+    // the former round(-slp6/1e6/n, 6) double path hit a cross-engine
+    // round-tie once (1 ulp on 1/50k docs at the 10× corpus)
+    val nll = graft.core.ExactDisplay.mean6("-slp6", "n_bigrams")
     big
       .join(m, Seq("w1", "w2"))
       .select(col(idCol),
@@ -117,7 +120,8 @@ object NgramLm {
        |  SELECT $idCol, count(*) AS n_bigrams, sum(lp6) AS slp6
        |  FROM terms GROUP BY 1)
        |SELECT $idCol, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       |       round(-slp6 / 1e6 / n_bigrams, 6) AS nll,
-       |       round(exp(round(-slp6 / 1e6 / n_bigrams, 6)), 4) AS ppl
+       |       ${graft.core.ExactDisplay.mean6Sql("-slp6", "n_bigrams")} AS nll,
+       |       round(exp(${graft.core.ExactDisplay
+                .mean6Sql("-slp6", "n_bigrams")}), 4) AS ppl
        |FROM agg""".stripMargin
 }
