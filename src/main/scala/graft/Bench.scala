@@ -17,6 +17,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Wall-clock origin for every per-rep/per-probe timestamp below
+    // (VERDICT r10 #1): offsets in seconds from this instant, plus the
+    // absolute epoch in the artifact, make a co-tenant load window
+    // directly visible from the JSON alone — adjacent entries slowing
+    // in the same wall-clock interval on a flat probe line is noise;
+    // the same entries slow on a probe line that also rose is box load.
+    val benchT0 = System.nanoTime()
+    val benchEpochMs = System.currentTimeMillis()
+    def nowT: Double = (System.nanoTime() - benchT0) / 1e9
     // Warm the JVM/scheduler once (session init, codegen compiler, shuffle
     // machinery) so the build phase isn't charged for it.
     try {
@@ -27,8 +36,10 @@ object Bench {
     // AFTER warm-up — pure CPU + scheduling, no I/O, no plan reuse with
     // any catalog query — so co-tenant drift between runs is a number in
     // the artifact (compare probe_sec across runs before reading a
-    // query delta as a regression). Median of 3.
-    val probeSec = {
+    // query delta as a regression). Median of 3. Re-measured at fixed
+    // checkpoints through the run (VERDICT r10 #1) — probe_points below
+    // — so a load window is localized in time, not just detected.
+    def measureProbe(): Double = {
       def one(): Double = {
         val t0 = System.nanoTime()
         // modded products keep the ANSI sum far inside Long range
@@ -40,6 +51,12 @@ object Bench {
       try { val xs = Seq.fill(3)(one()).sorted; xs(1) }
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
+    val probePoints = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def probeAt(label: String): Double = {
+      val t = nowT; val s = measureProbe()
+      probePoints += ((label, t, s)); s
+    }
+    val probeSec = probeAt("warmup")
     // ---- build phase, timed separately: persistent retrieval indexes
     // (force-rebuilt so the cost is real, not a cache hit from a prior
     // run) and the derived graph with BOTH relations materialized.
@@ -101,7 +118,12 @@ object Bench {
     // `off` keeps the old behavior for A/B diagnosis.
     val repGc = !sys.env.get("SPARK_GRAFT_REP_GC").contains("off")
     val results = benched.map { q =>
+      // start offset (sec from bench origin) of every rep, in execution
+      // order cold/settle/warm… — emitted as `t_start` next to the rep
+      // durations so the artifact localizes a load window in wall time
+      val repT = scala.collection.mutable.ArrayBuffer.empty[Double]
       def rep(): Option[Double] = {
+        repT += nowT
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch {
           case scala.util.control.NonFatal(t) =>
@@ -126,8 +148,9 @@ object Bench {
           Some(warmReps.sorted.apply(WarmReps / 2))
         else None
       if (!repGc) System.gc() // the pre-r10 per-query release point
-      (q.name, cold, settle, warmReps, warm)
+      (q.name, cold, settle, warmReps, warm, repT.toSeq)
     }
+    probeAt("post_headline")
     // ---- extended series (VERDICT r8 #1): every oracled catalog entry
     // NOT in the frozen 57-query headline set, timed with a lighter
     // discipline (cold + min-of-2 warm — a regression tripwire, not the
@@ -160,6 +183,7 @@ object Bench {
         System.gc() // same dead-block release as the main loop
         (q.name, cold, warm)
       }
+    if (extended.nonEmpty) probeAt("post_extended")
     val extGood = extended.collect { case (n, c, Some(w)) => (n, c.getOrElse(w), w) }
     val extFailed = extended.collect { case (n, _, None) => "\"" + n + "\"" }
     val extWarmTotal = extGood.map(_._3).sum
@@ -173,19 +197,24 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val good = results.collect { case (n, c, _, _, Some(w)) => (n, c.getOrElse(w), w) }
-    val failed = results.collect { case (n, _, _, _, None) => "\"" + n + "\"" }
+    val good = results.collect { case (n, c, _, _, Some(w), _) => (n, c.getOrElse(w), w) }
+    val failed = results.collect { case (n, _, _, _, None, _) => "\"" + n + "\"" }
     // per-rep evidence (VERDICT r9 #2): every headline entry's raw rep
     // sequence — cold, settle, and ALL warm reps in execution order — so
     // a warm-median anomaly is adjudicable from the artifact alone
     // (rising reps = state accumulating inside the JVM; one spike =
     // noise; flat-but-slow = the plan) without burning a judge session
     // reproducing it.
-    val repsJson = results.collect { case (n, c, st, ws, Some(_)) =>
+    // `t_start` (r11, VERDICT r10 #1): wall-clock start offset of every
+    // rep in execution order (cold, settle, warm…), seconds from
+    // `bench_epoch_ms` — cross-reference with `probe_points` to see
+    // whether an anomalous rep sits inside a measured load window.
+    val repsJson = results.collect { case (n, c, st, ws, Some(_), ts) =>
       "\"" + n + "\":{" +
         c.map(v => s""""cold":${r3(v)},""").getOrElse("") +
         st.map(v => s""""settle":${r3(v)},""").getOrElse("") +
-        s""""warm_reps":[${ws.map(r3).mkString(",")}]}"""
+        s""""warm_reps":[${ws.map(r3).mkString(",")}],""" +
+        s""""t_start":[${ts.map(r3).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val warmTotal = good.map(_._3).sum
     val coldTotal = good.map(_._2).sum
@@ -313,6 +342,10 @@ object Bench {
     // line must stay compact: totals + the 10 slowest warm queries. The
     // complete per-query cold/warm maps go to bench_full.json alongside
     // the repo for human inspection.
+    probeAt("end")
+    val probePointsJson = probePoints.map { case (l, t, s) =>
+      s"""{"label":"$l","t":${r3(t)},"sec":${r3(s)}}"""
+    }.mkString("[", ",", "]")
     val extendedJson =
       if (extended.isEmpty) ""
       else s""","extended":{"value":${r3(extWarmTotal)},"unit":"sec"""" +
@@ -327,6 +360,7 @@ object Bench {
       s""","queries_reps":$repsJson,"rep_gc":$repGc""" +
       s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
       s""","build_failed":$buildFailed,"probe_sec":${r3(probeSec)}""" +
+      s""","bench_epoch_ms":$benchEpochMs,"probe_points":$probePointsJson""" +
       extendedJson +
       scalingJson.map("," + _).getOrElse("") +
       decadeJson.map("," + _._1).getOrElse("") +
@@ -365,7 +399,9 @@ object Bench {
       s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +
       s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
       s""","build_failed":$buildFailed,"n_queries":${good.size}""" +
-      s""","probe_sec":${r3(probeSec)}""" + extCompact + decCompact +
+      s""","probe_sec":${r3(probeSec)}""" +
+      s""","probe_points":${probePoints.map(p => r3(p._3))
+        .mkString("[", ",", "]")}""" + extCompact + decCompact +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     spark.stop()
     println(json)

@@ -206,7 +206,17 @@ object RecallReport {
     * construction; floors take the cross-scale minimum minus margin so
     * the gate travels with the driver's scale choice. */
   val TrainedFloors: Map[String, Double] = Map(
-    "ivf_trained" -> 0.45, "pq_trained" -> 0.25, "ivfpq_trained" -> 0.45)
+    "ivf_trained" -> 0.45, "pq_trained" -> 0.25, "ivfpq_trained" -> 0.45,
+    // filtered trained serving (r11, VERDICT r10 #6): measured recall@10
+    // vs the exact FILTERED top-10 across sf0.001/0.01/0.1 —
+    // ivf_trained_filtered .43/.37/.53, _nprobe8 .77/.67/.80 (widening
+    // recovers starvation, same dominance as the fixed-grid rows),
+    // ivfpq_trained_filtered .43/.37/.53; floors just under the
+    // cross-scale band, and the nprobe8 floor sits ABOVE the nprobe4
+    // band so a lost widening knob (or a filter applied after the
+    // top-k) turns the entry red
+    "ivf_trained_filtered" -> 0.25, "ivf_trained_filtered_nprobe8" -> 0.5,
+    "ivfpq_trained_filtered" -> 0.25)
 
   /** Strict recall@10 for the trained IVF / PQ / IVF-PQ paths, averaged
     * over [[Keys]]; no SQL twin exists for k-means output, so the
@@ -250,6 +260,42 @@ object RecallReport {
           round(l2Distance(col("embedding"), typedlit(qv)), 6).as("score"))
         .orderBy("score", "vec_id").limit(K)
       hits("ivfpq_trained") += ids(composed).intersect(exL2).size
+      // FILTERED trained serving (VERDICT r10 #6): the r10 filtered rows
+      // gate the FIXED-codebook families only, and trained centroids
+      // shift the starvation geometry (cells follow the data, so a ~10%-
+      // selective predicate thins each probed cell differently than the
+      // deterministic grid). Same exact-over-candidates composition as
+      // the serving path — filter BEFORE scoring on the probed-cell
+      // scan — measured against the exact FILTERED top-10, with the
+      // nprobe-widening recovery row required to dominate (the trained
+      // analog of ivf_filtered → ivf_filtered_nprobe8).
+      val fpred = col("label") === 3
+      val exCosF = ids(Knn.search(emb.filter(fpred), col("embedding"),
+        typedlit(qv), "cosine", K, idCol = "vec_id"))
+      val exL2F = ids(Knn.search(emb.filter(fpred), col("embedding"),
+        typedlit(qv), "l2", K, idCol = "vec_id"))
+      def ivfTrainedFiltered(np: Int): Set[Long] = {
+        val pr = Ann.probeCells(ivf, qv, nprobe = np)
+        ids(emb
+          .filter(nearestCell(vecD, ivf.centroids).isin(pr: _*) && fpred)
+          .select(col("vec_id"),
+            round(cosineDistance(col("embedding"), typedlit(qv)), 6)
+              .as("score"))
+          .orderBy("score", "vec_id").limit(K))
+      }
+      hits("ivf_trained_filtered") +=
+        ivfTrainedFiltered(4).intersect(exCosF).size
+      hits("ivf_trained_filtered_nprobe8") +=
+        ivfTrainedFiltered(8).intersect(exCosF).size
+      val poolF = emb
+        .filter(nearestCell(vecD, ivf.centroids).isin(probed: _*) && fpred)
+        .select(col("vec_id"), adcScore(pqEncode(vecD, cb.cb), lutLit).as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(50)
+      val composedF = emb.join(poolF.select("vec_id"), "vec_id")
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), typedlit(qv)), 6).as("score"))
+        .orderBy("score", "vec_id").limit(K)
+      hits("ivfpq_trained_filtered") += ids(composedF).intersect(exL2F).size
     }
     val denom = (Keys.size * K).toDouble
     val rows = hits.toSeq.sortBy(_._1).map { case (f, h) =>

@@ -20,6 +20,10 @@ object CollectionQueries {
   private val D = Tables.EmbeddingDim
   private val K = 10
   private val QueryTerms = Seq("spark", "join", "filter")
+  /** Multi-text batch query form (`client.py:184-274`): deterministic
+    * ASCII texts, distinct hash keys ⇒ three distinct query vectors. */
+  private val BatchTexts =
+    Seq("spark join filter", "window aggregate state", "vector index search")
 
   /** Oracle corpus twin: VARCHAR ids make every ORDER BY tiebreak
     * string-ordered on both engines, matching the collection's string id
@@ -70,6 +74,47 @@ object CollectionQueries {
         VectorFunctions.hashVectorValues(5L, D), K, alpha = 0.6),
       Some(HybridSearch.searchSql(QueryTerms, 5L, D, K, alpha = 0.6,
         corpusSql = OracleCorpus, idAlias = "id"))
+    ),
+    // the client's multi-text batch query form (reference
+    // `fastpyvectordb/client.py:184-274`: `query(query_texts=[t1,t2,…])`
+    // returns per-query result lists): each text is embedded client-side
+    // with the collection's embedder, then ONE scan of the collection
+    // serves every query via the broadcast + window top-k batch shape
+    // (`knn/Knn.searchBatch`) — never one scan per text. Closes the last
+    // client-surface sliver (VERDICT r10 item 5).
+    Q(
+      "collection_text_batch",
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.embed.HashEmbedder(D)
+        val queries = BatchTexts.zipWithIndex
+          .map { case (t, i) => (i + 1L, e.embedValue(t)) }
+          .toDF("query_id", "qvec")
+        collectionDoc(s, dir).searchBatch(queries, K)
+          .select(col("query_id"), col("id"), col("score"))
+          .orderBy(col("query_id"), col("score"), col("id"))
+      },
+      Some {
+        val e = graft.embed.HashEmbedder(D)
+        val vals = BatchTexts.zipWithIndex
+          .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+        s"""WITH q AS (
+           |  SELECT qid AS query_id, ${e.embedSql("txt")} AS v
+           |  FROM (VALUES $vals) t(qid, txt)),
+           |c AS ($OracleCorpus),
+           |sc AS (
+           |  SELECT q.query_id, c.doc_id AS id,
+           |         round(${graft.knn.Knn.distanceSql("cosine",
+                       "c.embedding", "q.v", D)}, 6) AS score
+           |  FROM c, q),
+           |rk AS (
+           |  SELECT query_id, id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY score, id) AS rn
+           |  FROM sc)
+           |SELECT query_id, id, score FROM rk WHERE rn <= $K
+           |ORDER BY query_id, score, id""".stripMargin
+      }
     ),
     // opt-in search-event CDC (reference realtime.py:325-442: Observable
     // collections emit `search` events too): enable, run one search of

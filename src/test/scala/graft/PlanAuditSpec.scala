@@ -146,4 +146,57 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(problems.isEmpty, problems.mkString("\n"))
   }
+
+  // (d) Layout contracts (VERDICT r10 #7): the plan shapes the layout
+  // operators exist to produce, folded into the catalog-wide audit so a
+  // layout regression fails the same spec a pushdown regression does.
+  // Both invariants also THROW in-engine (BucketedLayout
+  // .customerQuantities, Collection.compact's entry gates) — these tests
+  // assert the contract on the RETURNED plan, so a future refactor that
+  // drops the in-engine require still fails here.
+
+  test("bucketed_join: sort-merge join runs exchange-free over the bucket layout") {
+    val plan = Catalog.byName("bucketed_join").run(spark, dir)
+      .queryExecution.executedPlan.toString
+    val ji = plan.indexOf("SortMergeJoin")
+    assert(ji >= 0, s"expected SortMergeJoin:\n$plan")
+    // the only Exchange belongs to the groupBy ABOVE the join — below
+    // the join the bucket layout already co-locates both sides
+    assert(!plan.substring(ji).contains("Exchange"),
+      s"bucketed join re-shuffled a side:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan ignored the bucket layout:\n$plan")
+  }
+
+  test("collection compact leaves a single-file scan that serves pushed point gets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_cc")
+    try {
+      val db = new core.VectorDb(spark, root.toString)
+      val coll = db.createCollection("cc", dimensions = 0, metric = "none")
+      for (b <- 0 until 3)
+        coll.insertBatch((0 until 10)
+          .map(i => (s"id_${b}_$i", b * 10 + i)).toDF("id", "v"))
+      coll.compact(targetFiles = 1)
+      val all = nodes(coll.df.queryExecution.executedPlan)
+      val scans = all.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "compacted collection frame has no parquet scan")
+      assert(scans.forall(_.relation.location.inputFiles.length == 1),
+        s"post-compaction generation is not a single file: " +
+          scans.map(_.relation.location.inputFiles.length).mkString(","))
+      // the compacted layout is range-partitioned + sorted by id; a
+      // point get must reach the scan as a pushed filter
+      val getPlan = coll.get(Seq("id_1_5"))
+        .queryExecution.executedPlan.toString
+      val re = "PushedFilters:\\s*\\[[^\\]]".r
+      assert(re.findFirstIn(getPlan).isDefined,
+        s"point get on the compacted layout pushed nothing:\n$getPlan")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
 }
