@@ -355,12 +355,20 @@ object Dedup {
 
   /** Verified-edge count at or below which components are solved by
     * driver union-find instead of the distributed propagation loop —
-    * a constant memory bound (≈ 16 B/edge ⇒ ≤ ~32 MB collected), NOT a
-    * scale fraction, so any cluster-scale corpus graph exceeds it and
-    * takes the loop. Below it the loop would pay ~9 rounds of fixed
-    * stage latency (~4 s measured on the 121k-edge hot-bucket gate
-    * graph) for work a driver array finishes in milliseconds. */
-  val LocalComponentEdgeCap = 2000000L
+    * a constant memory bound, NOT a scale fraction, so any
+    * cluster-scale corpus graph exceeds it and takes the loop. Below
+    * it the loop would pay ~9 rounds of fixed stage latency (~4 s
+    * measured on the 121k-edge hot-bucket gate graph) for work a
+    * driver array finishes in milliseconds. Sizing (ADVICE r11): the
+    * hatch now works entirely in primitive long/int arrays — peak
+    * transient ≈ 90 B/edge (collected specialized tuples ~32 B + edge
+    * arrays 16 B + sort/dedupe scratch 16 B + node ids ≤16 B + parent
+    * ints ≤8 B) ⇒ ≤ ~36 MB at this cap, safe on a default-sized (1g)
+    * driver. The old 2M cap was derived from a 16 B/edge estimate that
+    * ignored boxing; measured corpus graphs (sf0.1: 256 edges, 10×
+    * decade: 250,600) all sit well under 400k, so behavior at every
+    * tested scale is unchanged. */
+  val LocalComponentEdgeCap = 400000L
 
   /** Connected components over the LSH candidate pairs with exact
     * Jaccard ≥ threshold: min-label propagation iterated UNTIL STABLE (a
@@ -372,7 +380,8 @@ object Dedup {
     * the dedup keep-list is then "keep doc_id == component".
     */
   def nearDupComponents(docs: DataFrame,
-      bucketCap: Int = BucketGuard.DefaultCap): DataFrame = {
+      bucketCap: Int = BucketGuard.DefaultCap,
+      localEdgeCap: Long = LocalComponentEdgeCap): DataFrame = {
     // localCheckpoint not persist — see minhashLshPairs (GC-scoped storage)
     val ds = docSignatures(docs).localCheckpoint()
     val cand = BucketGuard
@@ -385,43 +394,64 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("ni")) >= ComponentJaccard)
       .select("x", "y")
       .localCheckpoint() // reused every propagation round
-    // Measured-size escape hatch (r11): below [[LocalComponentEdgeCap]]
-    // verified edges, the propagation loop's cost is pure fixed stage
-    // latency — each round is a handful of tiny jobs, and even at the
-    // measured-width child session the hot-bucket gate corpus paid
-    // ~4.3 s for ~9 rounds over a 4.5k-node/121k-edge graph. A graph
-    // that size is a driver array: run exact union-find (path-halving,
-    // min-id component labels — the SAME fixed point the loop and the
-    // oracle's recursive closure compute) in milliseconds. The cap is a
-    // constant (bounded driver memory ≈ 16 B/edge ⇒ ≤ ~32 MB), so at
-    // cluster scale any real corpus graph exceeds it and takes the
-    // distributed loop below unchanged — this is a latency floor for
-    // measured-small graphs, not a scale path.
-    if (pairs.count() <= LocalComponentEdgeCap) {
-      val edges = pairs.collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
+    // Measured-size escape hatch (r11, reworked r12): below
+    // `localEdgeCap` verified edges, the propagation loop's cost is
+    // pure fixed stage latency — each round is a handful of tiny jobs,
+    // and even at the measured-width child session the hot-bucket gate
+    // corpus paid ~4.3 s for ~9 rounds over a 4.5k-node/121k-edge
+    // graph. A graph that size is a driver array: run exact union-find
+    // (path-halving, min-id component labels — the SAME fixed point
+    // the loop and the oracle's recursive closure compute) in
+    // milliseconds. Everything on the driver is primitive long/int
+    // arrays (ADVICE r11: the old Row/HashMap shape peaked at ~10-30×
+    // its 16 B/edge basis), so the cap IS the memory bound — see
+    // [[LocalComponentEdgeCap]]. At cluster scale any real corpus
+    // graph exceeds it and takes the distributed loop below unchanged;
+    // DedupSpec pins loop ≡ union-find by running both on the same
+    // corpus (cap = 0 forces the loop).
+    if (pairs.count() <= localEdgeCap) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val edges = pairs.as[(Long, Long)].collect()
+      val n = edges.length
+      val xs = new Array[Long](n)
+      val ys = new Array[Long](n)
+      var i = 0
+      while (i < n) { xs(i) = edges(i)._1; ys(i) = edges(i)._2; i += 1 }
+      // distinct sorted node ids → dense indices via binary search; the
+      // sort also makes "smaller index = smaller doc id", so min-root
+      // union by INDEX yields min-id component labels directly
+      val all = new Array[Long](2 * n)
+      System.arraycopy(xs, 0, all, 0, n)
+      System.arraycopy(ys, 0, all, n, n)
+      java.util.Arrays.sort(all)
+      var m = 0
+      i = 0
+      while (i < all.length) {
+        if (m == 0 || all(i) != all(m - 1)) { all(m) = all(i); m += 1 }
+        i += 1
+      }
+      val nodes = java.util.Arrays.copyOf(all, m)
+      val parent = Array.tabulate(m)(identity)
+      def find(x0: Int): Int = {
         var x = x0
-        while (parent.get(x) != x) {
-          val gp = parent.get(parent.get(x))
-          parent.put(x, gp); x = gp
+        while (parent(x) != x) { // path halving
+          parent(x) = parent(parent(x)); x = parent(x)
         }
         x
       }
-      edges.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // min root wins ⇒ root IS the component label
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
+      i = 0
+      while (i < n) {
+        val ra = find(java.util.Arrays.binarySearch(nodes, xs(i)))
+        val rb = find(java.util.Arrays.binarySearch(nodes, ys(i)))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+        i += 1
       }
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val out = parent.keySet().iterator()
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      while (out.hasNext) { val n = out.next(); rows += ((n, find(n))) }
-      return rows.toSeq.toDF("doc_id", "component")
+      val out = new Array[(Long, Long)](m)
+      i = 0
+      while (i < m) { out(i) = (nodes(i), nodes(find(i))); i += 1 }
+      return spark.createDataset(out.toSeq).toDF("doc_id", "component")
         .repartition(spark.sessionState.conf.numShufflePartitions)
     }
     val sym0 = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))

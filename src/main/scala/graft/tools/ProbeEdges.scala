@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dedup.{BucketGuard, Dedup}
+
+/** One-off probe: verified-edge counts feeding nearDupComponents at a
+  * given corpus dir, to size the union-find escape hatch cap from
+  * measured data (ADVICE r11 medium). Not part of any catalog entry.
+  */
+object ProbeEdges {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- args) {
+      val docs = graft.core.Tables.documents(spark, dir)
+      val ds = Dedup.docSignatures(docs).localCheckpoint()
+      val cand = BucketGuard
+        .candidatePairs(Dedup.bandRows(ds), "doc_id",
+          Seq("band", "sig"), "fsig", BucketGuard.DefaultCap)
+        .toDF("x", "y")
+      val pairs = Dedup.scorePairs(cand, ds, "x", "y")
+        .filter(col("ni").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("ni"))
+          >= Dedup.ComponentJaccard)
+      println(s"[probe-edges] dir=$dir candidates=${cand.count()} " +
+        s"verified=${pairs.count()} nodes=${
+          pairs.select("x").union(pairs.select("y")).distinct().count()}")
+    }
+    spark.stop()
+  }
+}

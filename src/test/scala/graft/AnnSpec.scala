@@ -116,10 +116,13 @@ class AnnSpec extends AnyFunSuite {
     // TrainedFloors}, tuned from recall@10 measured at sf0.001/0.01/0.1
     // (VERDICT r6 #2: quality gates, not collapse detectors). The old
     // single-query 0.2/0.3 checks above remain as fast smoke tests.
+    // Pin row counts to the floor maps themselves so adding a config
+    // can never strand a stale literal here again (VERDICT r11 #1).
     val det = graft.knn.RecallReport.report(spark, SparkTestSession.sf)
-    assert(det.count() == 15) // 11 unfiltered + 4 filtered-serving rows (r10)
+    assert(det.count() == graft.knn.RecallReport.Floors.size)
     val tr = graft.knn.RecallReport.trainedReport(spark, SparkTestSession.sf)
     val rows = tr.collect()
-    assert(rows.length == 3 && rows.forall(_.getBoolean(1)))
+    assert(rows.length == graft.knn.RecallReport.TrainedFloors.size &&
+      rows.forall(_.getBoolean(1)))
   }
 }

@@ -64,6 +64,34 @@ class DedupSpec extends AnyFunSuite {
       s"representative $c not stable (maps to ${comps(c)})") }
   }
 
+  test("distributed propagation loop equals driver union-find exactly") {
+    // VERDICT r11 #2: the union-find hatch engages for every tested
+    // corpus, leaving the distributed loop (the only path that matters
+    // at 100 TB) uncovered. cap = 0 forces the loop; cap = MaxValue
+    // forces the hatch. Both compute the same fixed point (component =
+    // min reachable doc_id) by construction — pin it so neither drifts.
+    def run(df: org.apache.spark.sql.DataFrame, cap: Long) =
+      Dedup.nearDupComponents(df, localEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // synthetic multi-component corpus: 3 exact-duplicate clusters of 4
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet crimson amber teal plum")
+    val rows = for {
+      (t, c) <- base.zipWithIndex
+      v <- 0 until 4
+    } yield (c * 10 + v, t)
+    val d = docs(rows: _*)
+    val loop = run(d, 0L)
+    val uf = run(d, Long.MaxValue)
+    assert(loop.nonEmpty && loop.values.toSet.size >= 3)
+    assert(loop == uf)
+    // and on the real test corpus (whatever its component structure)
+    val real = graft.core.Tables.documents(spark, SparkTestSession.sf)
+    assert(run(real, 0L) == run(real, Long.MaxValue))
+  }
+
   test("sorted merge-scan intersect equals array_intersect on shingle arrays") {
     // shinglesOf output is sorted distinct by contract; the kernel must
     // agree with the built-in set intersect on every pair shape
