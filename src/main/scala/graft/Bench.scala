@@ -117,7 +117,13 @@ object Bench {
     // here, that would unpersist the build phase's materializations.
     // `off` keeps the old behavior for A/B diagnosis.
     val repGc = !sys.env.get("SPARK_GRAFT_REP_GC").contains("off")
-    val results = benched.map { q =>
+    // mid-headline probe (VERDICT r11 #6): the headline series runs
+    // inside a multi-minute window with probes only at its endpoints —
+    // one probe halfway through halves the blame window when a drift
+    // has to be attributed to box load vs code.
+    val midIdx = benched.size / 2
+    val results = benched.zipWithIndex.map { case (q, qi) =>
+      if (qi == midIdx && benched.size > 10) probeAt("mid_headline")
       // start offset (sec from bench origin) of every rep, in execution
       // order cold/settle/warm… — emitted as `t_start` next to the rep
       // durations so the artifact localizes a load window in wall time
@@ -175,6 +181,15 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         }
         val cold = rep()
+        // settle rep for non-trivial entries (VERDICT r11 #7): under
+        // min-of-2 the async-C2 tail that the headline's settle rep
+        // absorbs can still land in BOTH timed reps of a sub-second
+        // entry and read as a ×1.5 unchanged-code drift
+        // (hybrid_search_weighted, text_langid in r11). One untimed
+        // settle rep for entries whose cold exceeds 0.4 s costs ~30 s
+        // over the series and removes that false-positive class; the
+        // truly tiny entries keep the 2-rep budget.
+        if (cold.exists(_ > 0.4)) rep()
         val warmReps = Seq.fill(ExtWarmReps)(rep()).flatten
         val warm =
           if (cold.isDefined && warmReps.size == ExtWarmReps)
@@ -334,9 +349,70 @@ object Bench {
           }.mkString(",")}}""" +
           s""","superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
           s""","failed":${decFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""",
-          superlinear, decFailed))
+          superlinear, decFailed, dDir, fp))
       } catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] decade probe failed: $t"); None
+      }
+    // ---- decade-scale CORRECTNESS certification (VERDICT r10 #4 /
+    // r11 #3): run the EXACT driver gate — graft.Verify dump +
+    // tools/oracle_check.py DuckDB compare, both stock — over the
+    // fingerprint-keyed 10× corpus for the full catalog minus the four
+    // documented calibrated-gate/guard-boundary exemptions (SURVEY
+    // §6.7), and emit the result as an artifact section instead of a
+    // hand-run procedure. The oracle compare needs the driver-side
+    // python3+duckdb toolchain; when it's absent the section records
+    // that instead of silently passing. Runs AFTER every timed series
+    // (its cache-clearing dump loop must not touch timed state);
+    // SPARK_GRAFT_DECADE_CORR=off skips it.
+    val DecadeCorrExempt = Map(
+      "knn_self_join" -> ("oracle is the unguarded banded self-join; " +
+        "10x is the first scale where hot buckets exceed the BucketGuard cap"),
+      "ann_recall_report" -> ("recall floors calibrated to real-corpus " +
+        "geometry; key-shifted 10x copies rotate the point cloud"),
+      "ann_recall_trained" -> "same floor-calibration contract",
+      "near_dup_recall" -> "same floor-calibration contract")
+    val decadeCorr =
+      if (sys.env.get("SPARK_GRAFT_DECADE_CORR").contains("off")) None
+      else decadeJson.flatMap { case (_, _, _, dDir, fp) =>
+        try {
+          val t0 = System.nanoTime()
+          val names = SparkEntry.queries.keys.toSeq.sorted
+            .filterNot(DecadeCorrExempt.contains)
+          val outDir = s"${index.IndexStore.root}/_decade_verify/x10_$fp"
+          val dumpFailed = Verify.dump(spark, dDir, outDir, Some(names.toSet))
+          val cmd = new java.lang.ProcessBuilder(
+            "python3", "tools/oracle_check.py", dDir, outDir,
+            names.mkString(","))
+          cmd.redirectErrorStream(true)
+          val proc = cmd.start()
+          val out = new String(proc.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          proc.waitFor()
+          val lines = out.linesIterator.toSeq
+          val passed = lines.count(_.startsWith("PASS "))
+          val failedNames = (lines.collect {
+            case l if l.startsWith("FAIL ") =>
+              l.stripPrefix("FAIL ").takeWhile(c => c != ':' && c != ' ')
+          } ++ dumpFailed).distinct.sorted
+          // the summary line proves the compare actually ran to the end
+          // (a python crash mid-stream would otherwise look like passes)
+          val complete = lines.exists(_.startsWith("== "))
+          val sec = (System.nanoTime() - t0) / 1e9
+          Some((s""""decade_correctness":{"dir":"$dDir"""" +
+            s""","fingerprint":"$fp","checked":${names.size}""" +
+            s""","pass":$passed,"fail":${failedNames.size}""" +
+            s""","failed":${failedNames.map("\"" + _ + "\"")
+              .mkString("[", ",", "]")}""" +
+            s""","exempt":${DecadeCorrExempt.keys.toSeq.sorted
+              .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+            s""","oracle_complete":$complete,"sec":${r3(sec)}}""",
+            passed, failedNames))
+        } catch { case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[bench] decade correctness failed: $t")
+          val msg = t.toString.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\x00-\\x1f]", " ")
+          Some((s""""decade_correctness":{"error":"$msg"}""", 0, Nil))
+        }
       }
     // The driver captures only a fixed-size tail of stdout, so the final
     // line must stay compact: totals + the 10 slowest warm queries. The
@@ -346,6 +422,46 @@ object Bench {
     val probePointsJson = probePoints.map { case (l, t, s) =>
       s"""{"label":"$l","t":${r3(t)},"sec":${r3(s)}}"""
     }.mkString("[", ",", "]")
+    // full dump path is explicit (env) rather than whatever CWD the
+    // launcher picked; default stays the repo root the judge reads —
+    // EXCEPT under a dev-only filter, where the default is diverted so a
+    // focused run can never clobber the committed full-run artifact.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "bench_only.json" else "bench_full.json")
+    // per-entry regression tripwire (VERDICT r11 #8): diff this run's
+    // warm medians against the PREVIOUS run's bench_full.json (read
+    // before this run overwrites it) and self-report headline entries
+    // > 1.5× slower inside a probe-flat window. Box load shows in the
+    // bracketing probes and exonerates the entry (r11's
+    // text_nb_classify sat in a window where the probe itself tripled);
+    // flat probes + a 1.5× drift is the signal the artifact now
+    // carries itself instead of waiting for the judge's diff.
+    val prevWarm: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fullPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // the first "queries" map in the artifact is the headline warm
+      // medians (the extended series' map nests later in the text)
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(m => """"([^"]+)":([0-9.Ee+\-]+)""".r
+          .findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap)
+        .getOrElse(Map.empty)
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val probeBase = probePoints.map(_._3).filter(_ > 0)
+      .minOption.getOrElse(-1.0)
+    def probeFlatAt(t: Double): Boolean = probeBase > 0 && {
+      val before = probePoints.filter(_._2 <= t).lastOption
+      val after = probePoints.find(_._2 > t)
+      (before.toSeq ++ after.toSeq).forall(_._3 < 1.5 * probeBase)
+    }
+    val regressed = results.collect {
+      case (n, _, _, _, Some(w), ts)
+        if prevWarm.get(n).exists(p => w > 1.5 * p && w >= 0.2) &&
+          ts.lift(2).forall(probeFlatAt) => n
+    }
+    val regressedJson = s""""regressed":${regressed
+      .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val extendedJson =
       if (extended.isEmpty) ""
       else s""","extended":{"value":${r3(extWarmTotal)},"unit":"sec"""" +
@@ -364,15 +480,11 @@ object Bench {
       extendedJson +
       scalingJson.map("," + _).getOrElse("") +
       decadeJson.map("," + _._1).getOrElse("") +
+      decadeCorr.map("," + _._1).getOrElse("") +
+      s""",$regressedJson""" +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    // full dump path is explicit (env) rather than whatever CWD the
-    // launcher picked; default stays the repo root the judge reads —
-    // EXCEPT under a dev-only filter, where the default is diverted so a
-    // focused run can never clobber the committed full-run artifact.
     // NonFatal only — an OOM/StackOverflow in the write path must
     // surface, not be logged away (ADVICE r6).
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (only.isDefined) "bench_only.json" else "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -391,9 +503,11 @@ object Bench {
         s""","ext_failed":${extFailed.mkString("[", ",", "]")}"""
     // decade status in the compact line too (full per-query map in
     // bench_full.json only): empty lists = probe ran and found nothing
-    val decCompact = decadeJson.map { case (_, sup, dFailed) =>
+    val decCompact = decadeJson.map { case (_, sup, dFailed, _, _) =>
       s""","decade_superlinear":${sup.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","decade_failed":${dFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }.getOrElse("") + decadeCorr.map { case (_, p, f) =>
+      s""","decade_corr_pass":$p,"decade_corr_fail":${f.size}"""
     }.getOrElse("")
     val json = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
       s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +
@@ -402,6 +516,7 @@ object Bench {
       s""","probe_sec":${r3(probeSec)}""" +
       s""","probe_points":${probePoints.map(p => r3(p._3))
         .mkString("[", ",", "]")}""" + extCompact + decCompact +
+      s""",$regressedJson""" +
       s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     spark.stop()
     println(json)

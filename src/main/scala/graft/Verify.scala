@@ -19,7 +19,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump loop itself, reusable in-JVM (Bench's decade-scale
+    * certification runs it against the fingerprint-keyed 10× corpus).
+    * Returns the names of entries whose dump threw. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]]): Seq[String] = {
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +37,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed = name :: failed
       }
       // operators persist() intermediates (corpora, tokens, signatures);
       // release them between queries so a 50+-query run stays bounded.
@@ -50,6 +61,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    failed.sorted
   }
 }

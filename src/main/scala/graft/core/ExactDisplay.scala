@@ -46,4 +46,34 @@ object ExactDisplay {
     s"(CASE WHEN ($micro6) >= 0" +
       s" THEN (2 * ($micro6) + ($n)) // (2 * ($n))" +
       s" ELSE -((2 * -($micro6) + ($n)) // (2 * ($n))) END) / 1e6"
+
+  /** HALF_UP display at 2 decimals of a 1e-4-unit integer sum — the
+    * money-product shape: `cents(price) · (100 − pct(discount))` is an
+    * EXACT 1e-4-unit integer, its BIGINT sum is partition-order exact,
+    * and the 2-decimal display becomes a pure integer function in both
+    * engines. The double-sum form this replaces ties at the 2-decimal
+    * boundary whenever the exact 4-decimal sum ends in 50 — ~1% of
+    * group rows — and the first 10×-sf0.01 decade certification caught
+    * exactly that (q3_join revenue .53 vs .54, r12). */
+  def disp2From4Str(u4: String): String =
+    s"(CASE WHEN ($u4) >= 0 THEN (($u4) + 50) div 100" +
+      s" ELSE -((-($u4) + 50) div 100) END) / 1e2"
+
+  /** DuckDB twin of [[disp2From4Str]]. */
+  def disp2From4Sql(u4: String): String =
+    s"(CASE WHEN ($u4) >= 0 THEN (($u4) + 50) // 100" +
+      s" ELSE -((-($u4) + 50) // 100) END) / 1e2"
+
+  /** HALF_UP(micro4 / n) displayed as a 4-decimal double — [[mean6Str]]
+    * at 1e-4 resolution (integral measures averaged to 4 decimals). */
+  def mean4Str(micro4: String, n: String): String =
+    s"(CASE WHEN ($micro4) >= 0" +
+      s" THEN (2 * ($micro4) + ($n)) div (2 * ($n))" +
+      s" ELSE -((2 * -($micro4) + ($n)) div (2 * ($n))) END) / 1e4"
+
+  /** DuckDB twin of [[mean4Str]]. */
+  def mean4Sql(micro4: String, n: String): String =
+    s"(CASE WHEN ($micro4) >= 0" +
+      s" THEN (2 * ($micro4) + ($n)) // (2 * ($n))" +
+      s" ELSE -((2 * -($micro4) + ($n)) // (2 * ($n))) END) / 1e4"
 }

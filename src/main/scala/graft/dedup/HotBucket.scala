@@ -99,7 +99,10 @@ object HotBucket {
     graft.core.LayoutPublish.publish(s, dst) { tmp =>
       buildCorpus(s, dir).write.parquet(tmp.toString)
     }
-    graft.core.LayoutPublish.gcStale(s, parent, "hotbucket_v2_",
+    // GC on the version-AGNOSTIC prefix (ADVICE r11): sweeping only the
+    // current version's prefix would orphan every prior-version cached
+    // corpus (full sf corpus + variants per scale dir) on disk forever
+    graft.core.LayoutPublish.gcStale(s, parent, "hotbucket_",
       dst.getName)()
     s.read.parquet(dst.toString)
   }
@@ -183,13 +186,15 @@ object HotBucket {
       } else {
         // scale regime: foreign hot mass interleaves the rep chains and
         // the cluster legitimately splits BETWEEN text groups; the
-        // guard's promise is that no identical-text group splits and
-        // the component count stays within the text-group bound
-        val whole = v.getLong(1) == 1L && v.getLong(2) <= TextGroups.toLong
+        // guard's promise is that no identical-text group splits. (A
+        // component-count bound would be tautological here — it's a
+        // countDistinct over the ≤ TextGroups group rows, so the
+        // grouping itself implies it; ADVICE r11.)
+        val whole = v.getLong(1) == 1L
         require(whole,
-          s"dedup_hot_bucket: guarded contract violated past the guard " +
-            s"boundary — worst group split ${v.getLong(1)} (must be 1), " +
-            s"${v.getLong(2)} components over ${v.getLong(3)} groups")
+          s"dedup_hot_bucket: identical-text group split past the guard " +
+            s"boundary — worst group split ${v.getLong(1)} (must be 1) " +
+            s"over ${v.getLong(3)} groups")
         whole
       }
     Seq(("all_variants_present", allPresent),

@@ -11,29 +11,48 @@ import graft.core.Tables
   * accumulation ulps between Spark's parallel agg and DuckDB's.
   */
 object AggQueries {
+  // integer-unit conversions shared by the money aggregates: both
+  // engines' round() agree here because the doubles sit within ~1e-9
+  // of exact integers (2-decimal source data)
+  private val Cents = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+  private val Pct = "CAST(round(l_discount * 100, 0) AS BIGINT)"
+
   val qs: Seq[Q] = Seq(
     Q(
       "q1_agg",
       (s, dir) => {
+        // money columns are 2-decimal and discount a 2-decimal percent,
+        // so cents/percent integer units make every sum partition-order
+        // EXACT and every display a pure integer function — the
+        // double-sum form ties at the display boundary ~1% of rows
+        // (caught by the 10× decade certification on q3_join, r12)
+        import graft.core.ExactDisplay
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum("l_quantity").as("sum_qty"), // integer-valued: exact in double
-            round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            expr(s"sum($Cents) / 1e2").as("sum_base_price"),
+            expr(ExactDisplay.disp2From4Str(s"sum($Cents * (100 - $Pct))"))
               .as("sum_disc_price"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
-            round(avg("l_discount"), 6).as("avg_disc"),
+            expr(ExactDisplay.mean4Str(
+              "sum(CAST(l_quantity AS BIGINT) * 10000)", "count(1)"))
+              .as("avg_qty"),
+            expr(ExactDisplay.mean6Str(s"sum($Pct * 10000)", "count(1)"))
+              .as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some(
-        """SELECT l_returnflag, l_linestatus,
+        s"""SELECT l_returnflag, l_linestatus,
           |       sum(l_quantity) AS sum_qty,
-          |       round(sum(l_extendedprice), 2) AS sum_base_price,
-          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-          |       round(avg(l_quantity), 4) AS avg_qty,
-          |       round(avg(l_discount), 6) AS avg_disc,
+          |       CAST(sum($Cents) AS BIGINT) / 1e2 AS sum_base_price,
+          |       ${graft.core.ExactDisplay.disp2From4Sql(
+               s"CAST(sum($Cents * (100 - $Pct)) AS BIGINT)")} AS sum_disc_price,
+          |       ${graft.core.ExactDisplay.mean4Sql(
+               "CAST(sum(CAST(l_quantity AS BIGINT) * 10000) AS BIGINT)",
+               "count(*)")} AS avg_qty,
+          |       ${graft.core.ExactDisplay.mean6Sql(
+               s"CAST(sum($Pct * 10000) AS BIGINT)", "count(*)")} AS avg_disc,
           |       count(*) AS count_order
           |FROM lineitem
           |GROUP BY l_returnflag, l_linestatus
@@ -53,14 +72,19 @@ object AggQueries {
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-                 .as("revenue"),
+          // cents × integer percent = exact 1e-4-unit BIGINT sum; the
+          // 2-decimal display is HALF_UP integer arithmetic in both
+          // engines (see q1_agg / core.ExactDisplay — the double-sum
+          // form tied at .XX50 on the 10× decade certification)
+          .agg(expr(graft.core.ExactDisplay.disp2From4Str(
+                 s"sum($Cents * (100 - $Pct))")).as("revenue"),
                count(lit(1)).as("n_items"))
           .orderBy("n_name")
       },
       Some(
-        """SELECT n_name,
-          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        s"""SELECT n_name,
+          |       ${graft.core.ExactDisplay.disp2From4Sql(
+               s"CAST(sum($Cents * (100 - $Pct)) AS BIGINT)")} AS revenue,
           |       count(*) AS n_items
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey

@@ -156,15 +156,24 @@ class PlanAuditSpec extends AnyFunSuite {
   // drops the in-engine require still fails here.
 
   test("bucketed_join: sort-merge join runs exchange-free over the bucket layout") {
+    // walk the tree structurally (ADVICE r11): the old textual check
+    // ("no Exchange after the first SortMergeJoin in the print") was
+    // order-fragile — an above-join Exchange can legitimately print
+    // after the SMJ text once the plan gains a second join or AQE
+    // prints multi-section dumps. The contract is positional: no
+    // ShuffleExchange in the SMJ's SUBTREE (the bucket layout already
+    // co-locates both sides); the groupBy's Exchange sits above it.
     val plan = Catalog.byName("bucketed_join").run(spark, dir)
-      .queryExecution.executedPlan.toString
-    val ji = plan.indexOf("SortMergeJoin")
-    assert(ji >= 0, s"expected SortMergeJoin:\n$plan")
-    // the only Exchange belongs to the groupBy ABOVE the join — below
-    // the join the bucket layout already co-locates both sides
-    assert(!plan.substring(ji).contains("Exchange"),
-      s"bucketed join re-shuffled a side:\n$plan")
-    assert(plan.contains("SelectedBucketsCount"),
+      .queryExecution.executedPlan
+    val smjs = nodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.nonEmpty, s"expected SortMergeJoin:\n$plan")
+    val shuffled = smjs.flatMap(nodes).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffled.isEmpty, s"bucketed join re-shuffled a side:\n$plan")
+    assert(plan.toString.contains("SelectedBucketsCount"),
       s"scan ignored the bucket layout:\n$plan")
   }
 
