@@ -15,6 +15,35 @@ import graft.media.Multimodal
 object MediaQueries {
   private val Dim = 16
 
+  /** media_card's corpus corruption: every doc_id % 10 == 7 payload
+    * truncated to 10 bytes, so the card's decode-failure rate is a live
+    * number the oracle pins rather than a constant 0. */
+  private[graft] def corruptPayloads(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("payload",
+      when(col("id") % 10 === 7, expr("substring(payload, 1, 10)"))
+        .otherwise(col("payload")))
+
+  /** media_card's scale-work proxy (see [[graft.ScaleDiag]]): the
+    * VERIFIED near-dup pair count of the entry's image branch — the unit
+    * its wall-clock actually scales with. The synthetic phash corpus has
+    * a finite hash space (the pixel formula's id-dependence is periodic:
+    * aHash(doc b) repeats every lcm(16,12,5,3,7,216) = 15120 base ids,
+    * ≤ 14 976 distinct values — MediaScaleSpec pins it), so identical-
+    * hash clusters grow linearly with corpus size and the pair count
+    * quadratically between sub-cap scales: measured 8 913 pairs at sf0.1
+    * → 801 124 at the key-shifted 10× corpus (~90× for 10× rows). A wall
+    * ratio that tracks BELOW this work ratio is sub-linear per unit of
+    * output — the plan scaling well on a workload that is itself
+    * quadratic until the BucketGuard cap engages a decade later. */
+  private[graft] def mediaCardPairCount(
+      s: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val img = Multimodal.imagePhash(
+      corruptPayloads(Multimodal.syntheticPhashImages(Tables.documents(s, dir))))
+      .toDF()
+    val ok = img.filter(col("phash_lo") =!= -1L || col("phash_hi") =!= -1L)
+    Multimodal.phashNearDupPairs(ok, maxHamming = 8).count()
+  }
+
   val qs: Seq[Q] = Seq(
     // REAL image decode: the corpus is deterministic PNG bytes
     // (Multimodal.syntheticImages), Spark decodes them with javax.imageio
@@ -378,10 +407,7 @@ object MediaQueries {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        def corrupt(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("payload",
-            when(col("id") % 10 === 7, expr("substring(payload, 1, 10)"))
-              .otherwise(col("payload")))
+        def corrupt(df: org.apache.spark.sql.DataFrame) = corruptPayloads(df)
         val docs = Tables.documents(s, dir)
         // checkpoint: the decoded-hash frame feeds BOTH the near-dup
         // pair branch and the decode-failure aggregate — without the
@@ -393,8 +419,11 @@ object MediaQueries {
           .localCheckpoint()
         val imgOk = img.filter(col("phash_lo") =!= -1L ||
           col("phash_hi") =!= -1L)
-        val pairs = Multimodal.phashNearDupPairs(imgOk, maxHamming = 8)
-          .agg(count(lit(1)).as("near_dup_pairs"))
+        // weighted distinct-hash COUNT, not doc-pair enumeration: same
+        // integer as phashNearDupPairs(...).count() (MediaSpec pins it)
+        // but immune to duplicate-cluster quadratic growth — see
+        // Multimodal.phashNearDupPairCount (r13)
+        val pairs = Multimodal.phashNearDupPairCount(imgOk, maxHamming = 8)
         val imgRow = img
           .agg(count(lit(1)).as("n_blobs"),
             sum(when(col("phash_lo") === -1L && col("phash_hi") === -1L, 1L)

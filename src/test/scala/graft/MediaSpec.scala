@@ -21,6 +21,37 @@ class MediaSpec extends AnyFunSuite {
     assert(a.values.toSeq.distinct.size > 1, "different payloads → different features")
   }
 
+  test("weighted pair count equals enumerated pair count (real + duplicate-heavy corpora)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real corpus: the exact frame media_card feeds it
+    val img = Multimodal.imagePhash(
+      graft.queries.MediaQueries.corruptPayloads(
+        Multimodal.syntheticPhashImages(Tables.documents(spark, SparkTestSession.sf))))
+      .toDF().localCheckpoint()
+    val ok = img.filter(col("phash_lo") =!= -1L || col("phash_hi") =!= -1L)
+    val enumerated = Multimodal.phashNearDupPairs(ok, maxHamming = 8).count()
+    val weighted = Multimodal.phashNearDupPairCount(ok, maxHamming = 8)
+      .head().getLong(0)
+    assert(enumerated > 0, "corpus must actually exercise the pair path")
+    assert(weighted == enumerated,
+      s"weighted count $weighted != enumerated $enumerated on the real corpus")
+    // duplicate-heavy synthetic: big identical-hash clusters (the intra
+    // arithmetic path) + near-miss hashes one bit apart (the weighted
+    // cross-hash path) + a far-away hash that must NOT count
+    val rows = Seq.tabulate(40)(i => (i.toLong, 0x1234L, 0x5678L)) ++ // m=40 cluster
+      Seq.tabulate(7)(i => (100L + i, 0x1235L, 0x5678L)) ++ // hamming 1 from cluster
+      Seq.tabulate(5)(i => (200L + i, -1L, -1L)) // hamming 64+64 — out of range
+    val hs = rows.toDF("id", "phash_lo", "phash_hi")
+    val e2 = Multimodal.phashNearDupPairs(hs, maxHamming = 8).count()
+    val w2 = Multimodal.phashNearDupPairCount(hs, maxHamming = 8)
+      .head().getLong(0)
+    // closed form: C(40,2) + C(7,2) + 40*7 intra/inter + C(5,2) for the
+    // identical far cluster
+    assert(w2 == 40 * 39 / 2 + 7 * 6 / 2 + 40 * 7 + 5 * 4 / 2)
+    assert(w2 == e2, s"weighted $w2 != enumerated $e2 on the synthetic corpus")
+  }
+
   test("synthetic PNG round-trips through javax.imageio byte-for-byte") {
     val id = 37L
     val w = Multimodal.synthW(id); val h = Multimodal.synthH(id)
