@@ -353,7 +353,7 @@ object Dedup {
   val MaxComponentIters = 50
   val ComponentJaccard = 0.5
 
-  /** Verified-edge count at or below which components are solved by
+  /** Verified-edge count strictly below which components are solved by
     * driver union-find instead of the distributed propagation loop —
     * a constant memory bound, NOT a scale fraction, so any
     * cluster-scale corpus graph exceeds it and takes the loop. Below
@@ -379,21 +379,32 @@ object Dedup {
     * Output (doc_id, component) where component = min doc id reachable —
     * the dedup keep-list is then "keep doc_id == component".
     */
-  def nearDupComponents(docs: DataFrame,
-      bucketCap: Int = BucketGuard.DefaultCap,
-      localEdgeCap: Long = LocalComponentEdgeCap): DataFrame = {
-    // localCheckpoint not persist — see minhashLshPairs (GC-scoped storage)
+  /** Verified component edges (x, y): the exact frame
+    * [[nearDupComponents]] propagates over and the quantity its
+    * union-find hatch decides on — exposed so the bench's `components`
+    * probe and [[graft.tools.ProbeEdges]] measure the REAL thing, not a
+    * reimplementation that could drift. Materialized (localCheckpoint,
+    * not persist — GC-scoped storage, see minhashLshPairs): callers
+    * reuse it across propagation rounds / counts. */
+  def componentEdges(docs: DataFrame,
+      bucketCap: Int = BucketGuard.DefaultCap): DataFrame = {
     val ds = docSignatures(docs).localCheckpoint()
     val cand = BucketGuard
       .candidatePairs(bandRows(ds), "doc_id", Seq("band", "sig"), "fsig",
         bucketCap)
       .toDF("x", "y")
-    val pairs = scorePairs(cand, ds, "x", "y")
+    scorePairs(cand, ds, "x", "y")
       // threshold on the UNROUNDED ratio (jac is display-rounded)
       .filter(col("ni").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("ni")) >= ComponentJaccard)
       .select("x", "y")
       .localCheckpoint() // reused every propagation round
+  }
+
+  def nearDupComponents(docs: DataFrame,
+      bucketCap: Int = BucketGuard.DefaultCap,
+      localEdgeCap: Long = LocalComponentEdgeCap): DataFrame = {
+    val pairs = componentEdges(docs, bucketCap)
     // Measured-size escape hatch (r11, reworked r12): below
     // `localEdgeCap` verified edges, the propagation loop's cost is
     // pure fixed stage latency — each round is a handful of tiny jobs,
@@ -409,7 +420,12 @@ object Dedup {
     // graph exceeds it and takes the distributed loop below unchanged;
     // DedupSpec pins loop ≡ union-find by running both on the same
     // corpus (cap = 0 forces the loop).
-    if (pairs.count() <= localEdgeCap) {
+    // strict <: cap = 0 forces the LOOP even on an edgeless corpus
+    // (ADVICE r12 — under <=, `0 <= 0` silently degraded DedupSpec's
+    // loop-forcing parity test to hatch-vs-hatch when a corpus had no
+    // verified pairs; with < the cap's semantics are "hatch only when
+    // strictly under the bound", so cap = 0 disables the hatch outright)
+    if (pairs.count() < localEdgeCap) {
       val spark = docs.sparkSession
       import spark.implicits._
       val edges = pairs.as[(Long, Long)].collect()

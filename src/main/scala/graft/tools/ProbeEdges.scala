@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import graft.dedup.{BucketGuard, Dedup}
 
 /** One-off probe: verified-edge counts feeding nearDupComponents at a
@@ -22,10 +21,9 @@ object ProbeEdges {
         .candidatePairs(Dedup.bandRows(ds), "doc_id",
           Seq("band", "sig"), "fsig", BucketGuard.DefaultCap)
         .toDF("x", "y")
-      val pairs = Dedup.scorePairs(cand, ds, "x", "y")
-        .filter(col("ni").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("ni"))
-          >= Dedup.ComponentJaccard)
+      // verified edges via the SAME frame nearDupComponents decides on
+      // (componentEdges), so this probe can never drift from the hatch
+      val pairs = Dedup.componentEdges(docs)
       println(s"[probe-edges] dir=$dir candidates=${cand.count()} " +
         s"verified=${pairs.count()} nodes=${
           pairs.select("x").union(pairs.select("y")).distinct().count()}")
