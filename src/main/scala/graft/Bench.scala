@@ -575,26 +575,18 @@ object Bench {
         java.nio.file.Paths.get(fullPath)),
         java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => None }
-    def numMap(block: String): Map[String, Double] =
-      """"([^"]+)":([0-9.Ee+\-]+)""".r.findAllMatchIn(block)
-        .map(x => x.group(1) -> x.group(2).toDouble).toMap
-    // the first "queries" map in the artifact is the headline warm
-    // medians (the extended series' map nests later in the text)
-    val prevWarm: Map[String, Double] = prevTxt.flatMap(txt =>
-      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        .map(m => numMap(m.group(1)))).getOrElse(Map.empty)
-    // the extended series' warm map nests inside "extended":{…}
-    // (VERDICT r12 #3: the warm-headline-only tripwire was blind to
-    // extended-series drifts like r12's stream_ann_live +12%)
-    val prevExtWarm: Map[String, Double] = prevTxt.flatMap(txt =>
-      """(?s)"extended":\{.*?"queries":\{([^}]*)\}""".r
-        .findFirstMatchIn(txt).map(m => numMap(m.group(1))))
-      .getOrElse(Map.empty)
-    // previous headline cold total (first "cold_total" in the text is
-    // the headline one; the extended section's nests later)
-    val prevColdTotal: Option[Double] = prevTxt.flatMap(txt =>
-      """"cold_total":([0-9.Ee+\-]+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble))
+    // parsers + tripwire baselines live in BenchParse (spec-pinned
+    // against both a fixture and the committed artifact, so the write
+    // and read sides can't silently drift apart — ADVICE r12).
+    // prevExtWarm: VERDICT r12 #3 — the warm-headline-only tripwire
+    // was blind to extended-series drifts like r12's stream_ann_live
+    // +12%.
+    val prevWarm: Map[String, Double] =
+      prevTxt.map(BenchParse.headlineWarm).getOrElse(Map.empty)
+    val prevExtWarm: Map[String, Double] =
+      prevTxt.map(BenchParse.extendedWarm).getOrElse(Map.empty)
+    val prevColdTotal: Option[Double] =
+      prevTxt.flatMap(BenchParse.coldTotal)
     // ---- rotating extra-scale correctness draw (VERDICT r12 #6): one
     // alternate-scale certification per round — round-robin between
     // 10× sf0.001 and 30× sf0.01 — so tie-luck sampling keeps widening
@@ -613,11 +605,7 @@ object Bench {
           case Some("sf0.001x10") => ("sf0.001", 10)
           case Some("sf0.01x30") => ("sf0.01", 30)
           case _ =>
-            val prevSrc = prevTxt.flatMap(txt =>
-              """"extra_draw":\{"src":"([^"]+)"""".r
-                .findFirstMatchIn(txt).map(_.group(1)))
-            if (prevSrc.exists(_.endsWith("sf0.001"))) ("sf0.01", 30)
-            else ("sf0.001", 10)
+            BenchParse.pickExtraDraw(prevTxt.flatMap(BenchParse.extraDrawSrc))
         }
         val src = new java.io.File(
           new java.io.File(sfDir).getAbsoluteFile.getParentFile, pick._1)

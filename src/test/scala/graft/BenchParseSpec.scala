@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's artifact parsers and the extra-draw rotation rule.
+  *
+  * The parsers fail OPEN (missing artifact ⇒ disarmed-but-visible
+  * tripwire), so nothing at runtime would flag a silent format drift
+  * between what Bench writes and what BenchParse reads — this spec is
+  * that flag: a fixture in the current format AND, when present, the
+  * repo's committed bench_full.json must both parse to non-empty
+  * baselines.
+  */
+class BenchParseSpec extends AnyFunSuite {
+  // a structurally faithful miniature of bench_full.json: headline
+  // "queries" first, per-rep maps, nested extended section with its own
+  // queries/cold_total, decade sections, extra_draw, tripwire fields
+  private val fixture =
+    """{"metric":"total","value":27.363,"unit":"sec",""" +
+      """"queries":{"q1_agg":0.123,"graph_pagerank":4.4E-1},""" +
+      """"queries_cold":{"q1_agg":0.5,"graph_pagerank":1.2},""" +
+      """"queries_reps":{"q1_agg":{"cold":0.5,"settle":0.2,"warm_reps":[0.1,0.12,0.13],"t_start":[1.0,2.0,3.0]}},""" +
+      """"rep_gc":true,"cold_total":47.97,"build_sec":9.6,""" +
+      """"extended":{"value":90.3,"unit":"sec","n_queries":2,""" +
+      """"queries":{"media_card":2.4,"stream_ann_live":4.0},""" +
+      """"queries_cold":{"media_card":4.4,"stream_ann_live":6.0},""" +
+      """"cold_total":133.0,"failed":[]},""" +
+      """"scale_decade":{"dir":"/x","fingerprint":"f","rows_factor":10,""" +
+      """"panel":["media_card"],"queries":{"media_card":{"warm_10x":8.2,"warm":2.4,"ratio":3.4}},""" +
+      """"superlinear":[],"failed":[]},""" +
+      """"decade_correctness":{"dir":"/x","fingerprint":"f","checked":191,"pass":191,"fail":0},""" +
+      """"extra_draw":{"src":"/root/testdata/sf0.001","rows_factor":10,"pass":191,"fail":0},""" +
+      """"regressed":[],"regressed_ext":[],""" +
+      """"regressed_baseline":{"found":true,"headline_entries":57,"extended_entries":138},""" +
+      """"failed":[],"sf":"/root/testdata/sf0.1"}"""
+
+  test("headline warm map is the FIRST queries map, not a nested one") {
+    val m = BenchParse.headlineWarm(fixture)
+    assert(m == Map("q1_agg" -> 0.123, "graph_pagerank" -> 0.44))
+  }
+
+  test("extended warm map is the one nested in the extended section") {
+    val m = BenchParse.extendedWarm(fixture)
+    assert(m == Map("media_card" -> 2.4, "stream_ann_live" -> 4.0))
+  }
+
+  test("cold total is the headline one, not the extended section's") {
+    assert(BenchParse.coldTotal(fixture).contains(47.97))
+  }
+
+  test("extra-draw src parses, and a skipped stand-in parses to None") {
+    assert(BenchParse.extraDrawSrc(fixture)
+      .contains("/root/testdata/sf0.001"))
+    val skipped = fixture.replace(
+      """"extra_draw":{"src":"/root/testdata/sf0.001","rows_factor":10,"pass":191,"fail":0}""",
+      """"extra_draw":{"skipped":true,"reason":"SPARK_GRAFT_EXTRA_DRAW=off"}""")
+    assert(BenchParse.extraDrawSrc(skipped).isEmpty)
+  }
+
+  test("rotation: sf0.001 -> 30x sf0.01 -> sf0.001, default restarts cheap") {
+    assert(BenchParse.pickExtraDraw(Some("/root/testdata/sf0.001")) ==
+      ("sf0.01", 30))
+    assert(BenchParse.pickExtraDraw(Some("/root/testdata/sf0.01")) ==
+      ("sf0.001", 10))
+    assert(BenchParse.pickExtraDraw(None) == ("sf0.001", 10))
+  }
+
+  test("garbage and empty inputs fail open to empty baselines") {
+    Seq("", "not json at all", """{"queries":}""").foreach { bad =>
+      assert(BenchParse.headlineWarm(bad).isEmpty)
+      assert(BenchParse.extendedWarm(bad).isEmpty)
+      assert(BenchParse.coldTotal(bad).isEmpty)
+      assert(BenchParse.extraDrawSrc(bad).isEmpty)
+    }
+  }
+
+  test("the COMMITTED bench_full.json still parses to armed baselines") {
+    // the real write-side compatibility gate: if Bench's output format
+    // drifts, this fails on the next committed artifact
+    val f = new java.io.File("bench_full.json")
+    assume(f.isFile, "no committed bench_full.json in the working dir")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val head = BenchParse.headlineWarm(txt)
+    val ext = BenchParse.extendedWarm(txt)
+    assert(head.size >= 50,
+      s"headline baseline shrank to ${head.size} entries — format drift?")
+    assert(ext.size >= 100,
+      s"extended baseline shrank to ${ext.size} entries — format drift?")
+    assert(head.values.forall(v => v >= 0 && v < 600))
+    assert(BenchParse.coldTotal(txt).exists(v => v > 0 && v < 3600))
+  }
+}
