@@ -436,7 +436,11 @@ object AnnQueries {
         import org.apache.spark.sql.functions.{col, count, lit, round, typedlit}
         val e = Tables.embeddings(s, dir)
         val ivf = Ann.trainIvf(e, "embedding", Indexes.IvfCells)
-        val cb = graft.quant.ProductQuant.train(e, "embedding", D, m = 8, k = 16)
+        // same corpus-adaptive capacity as pq_trained (r13): the ADC
+        // pool's quality decays with density at fixed k even though the
+        // exact rerank blunts it — scale the codebook, not the floor
+        val cb = graft.quant.ProductQuant.train(e, "embedding", D, m = 8,
+          k = graft.quant.ProductQuant.adaptiveK(e.count()))
         val qv = hashVectorValues(11L, D)
         val probed = Ann.probeCells(ivf, qv, nprobe = 4)
         val vecD = col("embedding").cast("array<double>")
@@ -466,7 +470,12 @@ object AnnQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, count, lit, typedlit}
         val e = Tables.embeddings(s, dir)
-        val cb = graft.quant.ProductQuant.train(e, "embedding", D, m = 8, k = 16)
+        // capacity scales with the corpus (r13): a fixed k=16 codebook
+        // decays below the recall floor as the cloud densifies — the
+        // first rotating 30x certification draw caught exactly that
+        // (2/10 vs floor 3; adaptiveK's 256 measures 7/10 there)
+        val cb = graft.quant.ProductQuant.train(e, "embedding", D, m = 8,
+          k = graft.quant.ProductQuant.adaptiveK(e.count()))
         val qv = hashVectorValues(11L, D)
         val approx = graft.quant.ProductQuant.searchAdc(e, "embedding",
           "vec_id", cb, qv, K).select("vec_id")

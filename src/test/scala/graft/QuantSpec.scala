@@ -47,6 +47,16 @@ class QuantSpec extends AnyFunSuite {
     assert(overlap >= 0.3, s"PQ top-10 ∩ exact top-50 = $overlap")
   }
 
+  test("adaptiveK: clamp(n/8, 16, 256) — capacity grows with the corpus") {
+    import graft.quant.ProductQuant.adaptiveK
+    assert(adaptiveK(0) == 16)
+    assert(adaptiveK(128) == 16)   // below ~2k vecs: floor, never overfit
+    assert(adaptiveK(500) == 62)   // sf0.001/sf0.01 embeddings
+    assert(adaptiveK(2000) == 250) // sf0.1
+    assert(adaptiveK(15000) == 256) // the 30x draw that caught fixed-k
+    assert(adaptiveK(Long.MaxValue / 2) == 256) // no overflow at corpus scale
+  }
+
   test("SQ encode bounds: all codes in [0, 255]") {
     val enc = emb
       .crossJoin(broadcast(ScalarQuant.statsRow(emb, "embedding")))
