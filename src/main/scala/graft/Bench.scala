@@ -348,7 +348,13 @@ object Bench {
           .filterNot(e => DecadeExempt(e._1)).take(10)
           .map(_._1).filterNot(DecadePanel.contains)
         var decFailed = List.empty[String]
+        var decNoBase = List.empty[String]
         def measure(n: String): Option[(String, Double, Double, Double)] = {
+          // no base-scale warm baseline (the entry failed or was absent
+          // in this run's series) ⇒ a 10× ratio is uncomputable — record
+          // that DISTINCTLY and skip BEFORE paying 4 reps at 10× scale
+          val warmBig = warmByName.getOrElse(n, -1.0)
+          if (warmBig <= 0) { decNoBase = n :: decNoBase; return None }
           val q = Catalog.byName(n)
           def rep(): Option[Double] = {
             val t0 = System.nanoTime()
@@ -366,8 +372,7 @@ object Bench {
           // discipline — robust to a one-off GC spike at half the reps)
           rep(); rep()
           val reps = Seq.fill(2)(rep()).flatten
-          val warmBig = warmByName.getOrElse(n, -1.0)
-          if (reps.size == 2 && warmBig > 0)
+          if (reps.size == 2)
             Some((n, reps.min, warmBig, reps.min / math.max(warmBig, 1e-3)))
           else { decFailed = n :: decFailed; None }
         }
@@ -419,6 +424,7 @@ object Bench {
               s""","draw_superlinear":${jlist(drawSup)}"""
           else "") +
           workJson +
+          s""","no_baseline":${jlist(decNoBase.sorted)}""" +
           s""","failed":${jlist(decFailed.sorted)}}""",
           superlinear, decFailed, dDir, fp))
       } catch { case scala.util.control.NonFatal(t) =>
@@ -533,9 +539,12 @@ object Bench {
       else try {
         val docs = core.Tables.documents(spark, sfDir)
         val t0 = System.nanoTime()
-        val edges = dedup.Dedup.componentEdges(docs).count()
+        val edgesDf = dedup.Dedup.componentEdges(docs)
+        val edges = edgesDf.count()
         val t1 = System.nanoTime()
-        dedup.Dedup.nearDupComponents(docs).count()
+        // reuse the counted frame — run_sec times propagation/union-find
+        // only, not a second LSH sweep
+        dedup.Dedup.nearDupComponents(docs, edges = Some(edgesDf)).count()
         val t2 = System.nanoTime()
         val path =
           if (edges < dedup.Dedup.LocalComponentEdgeCap) "union_find"
@@ -601,19 +610,27 @@ object Bench {
       if (only.isDefined) Left("focused run (SPARK_GRAFT_BENCH_ONLY)")
       else if (env.contains("off")) Left("SPARK_GRAFT_EXTRA_DRAW=off")
       else {
-        val pick = env match {
-          case Some("sf0.001x10") => ("sf0.001", 10)
-          case Some("sf0.01x30") => ("sf0.01", 30)
-          case _ =>
-            BenchParse.pickExtraDraw(prevTxt.flatMap(BenchParse.extraDrawSrc))
+        // an unrecognized forcing value must NOT silently fall through
+        // to rotation — the operator believes they forced a specific
+        // scale; record the rejection visibly instead
+        val pick: Either[String, (String, Int)] = env match {
+          case Some("sf0.001x10") => Right(("sf0.001", 10))
+          case Some("sf0.01x30") => Right(("sf0.01", 30))
+          case Some(other) =>
+            Left(s"unrecognized SPARK_GRAFT_EXTRA_DRAW: $other " +
+              "(expected off | sf0.001x10 | sf0.01x30)")
+          case None => Right(
+            BenchParse.pickExtraDraw(prevTxt.flatMap(BenchParse.extraDrawSrc)))
         }
-        val src = new java.io.File(
-          new java.io.File(sfDir).getAbsoluteFile.getParentFile, pick._1)
-        if (!src.isDirectory) Left(s"source dir missing: $src")
-        else if (src.getAbsolutePath ==
-          new java.io.File(sfDir).getAbsolutePath)
-          Left(s"extra-draw source equals the bench corpus: $sfDir")
-        else Right((src.getAbsolutePath, pick._2))
+        pick.flatMap { p =>
+          val src = new java.io.File(
+            new java.io.File(sfDir).getAbsoluteFile.getParentFile, p._1)
+          if (!src.isDirectory) Left(s"source dir missing: $src")
+          else if (src.getAbsolutePath ==
+            new java.io.File(sfDir).getAbsolutePath)
+            Left(s"extra-draw source equals the bench corpus: $sfDir")
+          else Right((src.getAbsolutePath, p._2))
+        }
       }
     }
     val extraDraw: Option[(String, Int, Int)] = extraSpec.toOption.map {

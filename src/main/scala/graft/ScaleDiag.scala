@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
   * row growth — but wall is the product of (work the query semantics
   * demand) × (engine cost per unit of work), and only the second factor
   * is a plan defect. A query whose OUTPUT is itself superlinear in the
-  * corpus (a near-dup sweep over a corpus whose duplicate clusters grow
-  * with scale: any engine computing the same answer must enumerate every
-  * verified pair) will trip the wall rule no matter how good the plan is.
+  * corpus (a near-dup sweep ENUMERATING pairs over a corpus whose
+  * duplicate clusters grow with scale: any engine returning the same
+  * rows must materialize every verified pair) will trip the wall rule
+  * no matter how good the plan is.
   *
   * Each probe here returns a scalar counting the entry's dominant
   * internal output — the unit its wall should scale with. For every
@@ -20,18 +21,30 @@ import org.apache.spark.sql.SparkSession
   * wall). The raw superlinear flag is NEVER suppressed — the artifact
   * carries the flag AND its measured explanation, so the judge
   * adjudicates from numbers instead of prose.
+  *
+  * Eligibility discipline: an entry belongs here ONLY while its wall
+  * genuinely scales with the probed quantity. `media_card` was the
+  * founding member (its 10× draw flag motivated the machinery: verified
+  * pairs grow ~90× for 10× rows on the finite-hash-space corpus —
+  * MediaScaleSpec) but was REMOVED when r13 switched its count path to
+  * the weighted distinct-hash form, whose cost saturates with the hash
+  * space — its workload is linear-in-rows now, so a future wall flag on
+  * it would be a real plan defect and must NOT be excused as
+  * output-driven. The enumerating entries keep the probe: their output
+  * IS the pair set.
   */
 object ScaleDiag {
   val workProbes: Map[String, (SparkSession, String) => Long] = Map(
-    // media_card: verified phash near-dup pairs of the image branch.
-    // Measured at r13 diagnosis: 8 913 pairs (sf0.1) → 801 124 (10×
-    // key-shifted) = ~90× work for 10× rows, vs the flagged wall ratio
-    // of ~17× — sub-linear per pair. Root cause is the CORPUS, not the
-    // plan: the synthetic pixel formula gives aHash a finite value space
-    // (period 15120 in base id, ≤ 14 976 distinct hashes — pinned by
-    // MediaScaleSpec), so identical-hash clusters grow linearly with
-    // rows and pair counts quadratically until the BucketGuard cap
-    // (1024) engages one decade later and bounds candidates to O(n).
-    "media_card" -> queries.MediaQueries.mediaCardPairCount
+    // media_near_dup RETURNS the enumerated verified pair set, so its
+    // honest work unit is its own output cardinality (quadratic between
+    // sub-cap scales on the finite-hash-space corpus: 8,913 rows at
+    // sf0.1 → 801,124 at the key-shifted 10× — MediaScaleSpec pins the
+    // mechanism). The probe runs the entry itself — no reimplementation
+    // to drift — and only executes when the entry is already flagged.
+    "media_near_dup" -> ((s, dir) =>
+      Catalog.byName("media_near_dup").run(s, dir).count()),
+    // same enumerated-pair output, audio-fingerprint family
+    "media_audio_near_dup" -> ((s, dir) =>
+      Catalog.byName("media_audio_near_dup").run(s, dir).count())
   )
 }

@@ -370,15 +370,6 @@ object Dedup {
     * tested scale is unchanged. */
   val LocalComponentEdgeCap = 400000L
 
-  /** Connected components over the LSH candidate pairs with exact
-    * Jaccard ≥ threshold: min-label propagation iterated UNTIL STABLE (a
-    * round that changes no label terminates the loop), so the result is
-    * the true fixed point at any component diameter — the oracle computes
-    * the same fixed point via a recursive transitive closure, making the
-    * two equal by construction rather than by matching round counts.
-    * Output (doc_id, component) where component = min doc id reachable —
-    * the dedup keep-list is then "keep doc_id == component".
-    */
   /** Verified component edges (x, y): the exact frame
     * [[nearDupComponents]] propagates over and the quantity its
     * union-find hatch decides on — exposed so the bench's `components`
@@ -401,10 +392,24 @@ object Dedup {
       .localCheckpoint() // reused every propagation round
   }
 
+  /** Connected components over the LSH candidate pairs with exact
+    * Jaccard ≥ threshold: min-label propagation iterated UNTIL STABLE (a
+    * round that changes no label terminates the loop), so the result is
+    * the true fixed point at any component diameter — the oracle computes
+    * the same fixed point via a recursive transitive closure, making the
+    * two equal by construction rather than by matching round counts.
+    * Output (doc_id, component) where component = min doc id reachable —
+    * the dedup keep-list is then "keep doc_id == component".
+    *
+    * `edges`: optionally a precomputed [[componentEdges]] frame for the
+    * SAME docs/bucketCap (the bench's components probe counts the frame
+    * first and passes it in, so the LSH sweep isn't paid twice).
+    */
   def nearDupComponents(docs: DataFrame,
       bucketCap: Int = BucketGuard.DefaultCap,
-      localEdgeCap: Long = LocalComponentEdgeCap): DataFrame = {
-    val pairs = componentEdges(docs, bucketCap)
+      localEdgeCap: Long = LocalComponentEdgeCap,
+      edges: Option[DataFrame] = None): DataFrame = {
+    val pairs = edges.getOrElse(componentEdges(docs, bucketCap))
     // Measured-size escape hatch (r11, reworked r12): below
     // `localEdgeCap` verified edges, the propagation loop's cost is
     // pure fixed stage latency — each round is a handful of tiny jobs,

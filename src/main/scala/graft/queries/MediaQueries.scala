@@ -23,27 +23,6 @@ object MediaQueries {
       when(col("id") % 10 === 7, expr("substring(payload, 1, 10)"))
         .otherwise(col("payload")))
 
-  /** media_card's scale-work proxy (see [[graft.ScaleDiag]]): the
-    * VERIFIED near-dup pair count of the entry's image branch — the unit
-    * its wall-clock actually scales with. The synthetic phash corpus has
-    * a finite hash space (the pixel formula's id-dependence is periodic:
-    * aHash(doc b) repeats every lcm(16,12,5,3,7,216) = 15120 base ids,
-    * ≤ 14 976 distinct values — MediaScaleSpec pins it), so identical-
-    * hash clusters grow linearly with corpus size and the pair count
-    * quadratically between sub-cap scales: measured 8 913 pairs at sf0.1
-    * → 801 124 at the key-shifted 10× corpus (~90× for 10× rows). A wall
-    * ratio that tracks BELOW this work ratio is sub-linear per unit of
-    * output — the plan scaling well on a workload that is itself
-    * quadratic until the BucketGuard cap engages a decade later. */
-  private[graft] def mediaCardPairCount(
-      s: org.apache.spark.sql.SparkSession, dir: String): Long = {
-    val img = Multimodal.imagePhash(
-      corruptPayloads(Multimodal.syntheticPhashImages(Tables.documents(s, dir))))
-      .toDF()
-    val ok = img.filter(col("phash_lo") =!= -1L || col("phash_hi") =!= -1L)
-    Multimodal.phashNearDupPairs(ok, maxHamming = 8).count()
-  }
-
   val qs: Seq[Q] = Seq(
     // REAL image decode: the corpus is deterministic PNG bytes
     // (Multimodal.syntheticImages), Spark decodes them with javax.imageio

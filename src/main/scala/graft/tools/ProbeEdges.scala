@@ -22,7 +22,9 @@ object ProbeEdges {
           Seq("band", "sig"), "fsig", BucketGuard.DefaultCap)
         .toDF("x", "y")
       // verified edges via the SAME frame nearDupComponents decides on
-      // (componentEdges), so this probe can never drift from the hatch
+      // (componentEdges). The candidates count above remains a local
+      // mirror of the generation step — it exists only to size the cap
+      // and is NOT the hatch's deciding quantity; `verified` is.
       val pairs = Dedup.componentEdges(docs)
       println(s"[probe-edges] dir=$dir candidates=${cand.count()} " +
         s"verified=${pairs.count()} nodes=${
