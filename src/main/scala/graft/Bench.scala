@@ -6,6 +6,16 @@ import org.apache.spark.sql.SparkSession
   * index/graph build phase timed separately — the reference's own
   * benchmarks time searches against an already-built index, never index
   * construction per query (`hybrid_search.py:77-117`).
+  *
+  * Emission is TWO-PHASE (VERDICT r13 #1): the artifact and the compact
+  * summary line are produced as soon as the timed series finish, with
+  * pending stand-ins for the certification sections; the certifications
+  * (decade probe, decade correctness, rotating extra-scale draw) then
+  * run under an elapsed-time deadline, re-writing the artifact as each
+  * lands, and the final line re-prints with everything. A wall-clock
+  * kill can therefore cost a cert section — never the round's measured
+  * numbers (r13's driver bench timed out mid-cert at rc=124 and the
+  * round lost its parsed perf artifact).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -210,14 +220,20 @@ object Bench {
     val extWarmTotal = extGood.map(_._3).sum
     val extColdTotal = extGood.map(_._2).sum
 
-    // Round to ms so the line stays compact, and make the JSON the very
-    // LAST stdout line of the process: stop Spark (and its shutdown
-    // logging) BEFORE printing, so a fixed-size tail of the log always
-    // contains the whole line — the driver parses the final line.
+    // Round to ms so the line stays compact; the FINAL stdout line of
+    // the process is the authoritative summary (Spark is stopped before
+    // it so shutdown logging can't trail it), and a phase-1 insurance
+    // line (marked "partial") lands before the certifications below.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // JSON string escape for every interpolated path/reason (ADVICE r13:
+    // a raw $dDir/$src interpolation containing a quote or backslash
+    // would corrupt the artifact and disarm every BenchParse tripwire
+    // on the next round)
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\""
     val good = results.collect { case (n, c, _, _, Some(w), _) => (n, c.getOrElse(w), w) }
     val failed = results.collect { case (n, _, _, _, None, _) => "\"" + n + "\"" }
     // per-rep evidence (VERDICT r9 #2): every headline entry's raw rep
@@ -277,15 +293,204 @@ object Bench {
       }
       val superlinear = entries
         .collect { case (n, ws, _, ratio) if ws >= 0.05 && ratio > 10.0 => n }
-      s""""bench_scaling":{"dir_small":"$sd","rows_factor":10""" +
+      s""""bench_scaling":{"dir_small":${jstr(sd)},"rows_factor":10""" +
         s""","queries":{${entries.map { case (n, ws, wb, r) =>
           "\"" + n + s"""\":{"warm_small":${r3(ws)},"warm":${r3(wb)},"ratio":${r3(r)}}"""
         }.mkString(",")}}""" +
         s""","superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
-    // ---- decade curve (VERDICT r9 #5): re-run the slowest-10 (union of
-    // headline + extended series) on a key-shifted 10× copy of sfDir and
-    // report warm-vs-warm ratios, so drift one decade PAST the test
+    // ---- previous-run baselines: read BEFORE the phase-1 write below
+    // overwrites the artifact. Full dump path is explicit (env) rather
+    // than whatever CWD the launcher picked; default stays the repo root
+    // the judge reads — EXCEPT under a dev-only filter, where the
+    // default is diverted so a focused run can never clobber the
+    // committed full-run artifact.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "bench_only.json" else "bench_full.json")
+    // per-entry regression tripwire (VERDICT r11 #8): diff this run's
+    // warm medians against the PREVIOUS run's bench_full.json and
+    // self-report headline entries > 1.5× slower inside a probe-flat
+    // window. Box load shows in the bracketing probes and exonerates
+    // the entry; flat probes + a 1.5× drift is the signal the artifact
+    // carries itself instead of waiting for the judge's diff. Parsers +
+    // tripwire baselines live in BenchParse (spec-pinned against both a
+    // fixture and the committed artifact — ADVICE r12).
+    val prevTxt: Option[String] = try {
+      Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fullPath)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val prevWarm: Map[String, Double] =
+      prevTxt.map(BenchParse.headlineWarm).getOrElse(Map.empty)
+    val prevExtWarm: Map[String, Double] =
+      prevTxt.map(BenchParse.extendedWarm).getOrElse(Map.empty)
+    val prevColdTotal: Option[Double] =
+      prevTxt.flatMap(BenchParse.coldTotal)
+    val probeBase = probePoints.map(_._3).filter(_ > 0)
+      .minOption.getOrElse(-1.0)
+    def probeFlatAt(t: Double): Boolean = probeBase > 0 && {
+      val before = probePoints.filter(_._2 <= t).lastOption
+      val after = probePoints.find(_._2 > t)
+      (before.toSeq ++ after.toSeq).forall(_._3 < 1.5 * probeBase)
+    }
+    val regressed = results.collect {
+      case (n, _, _, _, Some(w), ts)
+        if prevWarm.get(n).exists(p => w > 1.5 * p && w >= 0.2) &&
+          ts.lift(2).forall(probeFlatAt) => n
+    }
+    // extended-series tripwire (VERDICT r12 #3): same 1.5× rule over the
+    // extended warm floors (no probe-window exoneration — the extended
+    // series has no per-rep timestamps; a box-load false positive here
+    // costs a judge glance, a silent drift costs a round)
+    val regressedExt = extGood.collect {
+      case (n, _, w)
+        if prevExtWarm.get(n).exists(p => w > 1.5 * p && w >= 0.2) => n
+    }
+    // tripwire arming visibility (ADVICE r12): empty `regressed` with a
+    // zero baseline means DISARMED (no previous artifact parsed), not
+    // "checked and clean" — the counts make the difference readable
+    // from the artifact alone. cold_total delta (VERDICT r12 #3) makes
+    // first-touch drift (r12: +4.8% invisible to the warm tripwire) a
+    // recorded number.
+    val regressedJson = s""""regressed":${regressed
+      .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","regressed_ext":${regressedExt
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","regressed_baseline":{"found":${prevTxt.nonEmpty}""" +
+      s""","headline_entries":${prevWarm.size}""" +
+      s""","extended_entries":${prevExtWarm.size}}""" +
+      prevColdTotal.map(p =>
+        s""","cold_total_prev":${r3(p)},"cold_total_delta":${r3(coldTotal - p)}""")
+        .getOrElse("")
+    val extendedJson =
+      if (extended.isEmpty) ""
+      else s""","extended":{"value":${r3(extWarmTotal)},"unit":"sec"""" +
+        s""","n_queries":${extGood.size}""" +
+        s""","queries":${jmap(extGood.map(r => r._1 -> r._3))}""" +
+        s""","queries_cold":${jmap(extGood.map(r => r._1 -> r._2))}""" +
+        s""","cold_total":${r3(extColdTotal)}""" +
+        s""","failed":${extFailed.mkString("[", ",", "]")}}"""
+
+    // ---- two-phase emission state (VERDICT r13 #1): cert-section slots
+    // start as pending stand-ins and are overwritten as each cert lands;
+    // the artifact is re-written after every phase, so a kill at ANY
+    // point leaves the latest completed state on disk, and absence of a
+    // section is always distinguishable from "ran and passed".
+    val pendingJson =
+      """{"pending":true,"reason":"certification had not yet run when this artifact generation was written"}"""
+    var scaleDecadeSlot = s""""scale_decade":$pendingJson"""
+    var decadeCorrSlot = s""""decade_correctness":$pendingJson"""
+    var extraDrawSlot = s""""extra_draw":$pendingJson"""
+    var componentsSlot = s""""components":$pendingJson"""
+    var decCompact = ""
+    var partial = true
+    def probePointsJson: String = probePoints.map { case (l, t, s) =>
+      s"""{"label":"$l","t":${r3(t)},"sec":${r3(s)}}"""
+    }.mkString("[", ",", "]")
+    def fullJson: String =
+      s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
+        (if (partial) ""","partial":true""" else "") +
+        s""","queries":${jmap(good.map(r => r._1 -> r._3))}""" +
+        s""","queries_cold":${jmap(good.map(r => r._1 -> r._2))}""" +
+        s""","queries_reps":$repsJson,"rep_gc":$repGc""" +
+        s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
+        s""","build_failed":$buildFailed,"probe_sec":${r3(probeSec)}""" +
+        s""","bench_epoch_ms":$benchEpochMs,"probe_points":$probePointsJson""" +
+        extendedJson +
+        scalingJson.map("," + _).getOrElse("") +
+        s""",$scaleDecadeSlot""" +
+        s""",$decadeCorrSlot""" +
+        s""",$extraDrawSlot""" +
+        s""",$componentsSlot""" +
+        s""",$regressedJson""" +
+        s""","failed":${failed.mkString("[", ",", "]")},"sf":${jstr(sfDir)}}"""
+    // NonFatal only — an OOM/StackOverflow in the write path must
+    // surface, not be logged away (ADVICE r6).
+    def writeFull(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(fullPath),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[bench] $fullPath write failed: $t") }
+    // The driver captures only a fixed-size tail of stdout, so the
+    // summary line must stay compact: totals + the 10 slowest warm
+    // queries. The complete per-query cold/warm maps go to
+    // bench_full.json alongside the repo for human inspection.
+    val slowest = good.sortBy(-_._3).take(10)
+    // compact line: headline metrics unchanged for cross-round series
+    // comparability; the extended series contributes its totals + its
+    // slowest-3 (full per-query map in bench_full.json only)
+    val extSlow = extGood.sortBy(-_._3).take(3)
+    val extCompact =
+      if (extended.isEmpty) ""
+      else s""","ext_total":${r3(extWarmTotal)},"ext_cold_total":${r3(
+          extColdTotal)},"ext_n":${extGood.size}""" +
+        s""","ext_slowest":${jmap(extSlow.map(r => r._1 -> r._3))}""" +
+        s""","ext_failed":${extFailed.mkString("[", ",", "]")}"""
+    def compactJson(): String =
+      s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
+        (if (partial) ""","partial":true""" else "") +
+        s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +
+        s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
+        s""","build_failed":$buildFailed,"n_queries":${good.size}""" +
+        s""","probe_sec":${r3(probeSec)}""" +
+        s""","probe_points":${probePoints.map(p => r3(p._3))
+          .mkString("[", ",", "]")}""" + extCompact + decCompact +
+        s""",$regressedJson""" +
+        s""","failed":${failed.mkString("[", ",", "]")},"sf":${jstr(sfDir)}}"""
+    probeAt("post_series")
+    writeFull()
+    // phase-1 insurance line: if the process is killed during the
+    // certifications below, the captured tail still ends with a
+    // parseable summary (marked partial) instead of nothing.
+    println(compactJson()); System.out.flush()
+
+    // ---- certification deadline (VERDICT r13 #1b): certs that have not
+    // STARTED by this elapsed-time budget emit the skipped stand-in with
+    // the reason instead of running — a driver wall-clock kill can cost
+    // a cert, never the artifact. The budget is from bench start, sized
+    // so the remaining certs' worst case still fits the driver's ~1 h.
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE")
+      .flatMap(_.toDoubleOption).getOrElse(2700.0)
+    def pastDeadline(what: String): Option[String] =
+      if (nowT <= deadlineSec) None
+      else Some(f"deadline: $what%s skipped at t=${nowT}%.0f s elapsed " +
+        f"(budget ${deadlineSec}%.0f s, SPARK_GRAFT_BENCH_DEADLINE)")
+
+    // ---- components-path probe (VERDICT r12 #7): the union-find
+    // hatch's deciding quantity (verified edges, via the SAME
+    // Dedup.componentEdges frame the hatch counts), the path taken at
+    // the current cap, and the wall of one components run — so a future
+    // cap change shows its cost in the artifact, not just in a spec.
+    componentsSlot =
+      if (only.isDefined)
+        s""""components":{"skipped":true,"reason":"focused run (SPARK_GRAFT_BENCH_ONLY)"}"""
+      else try {
+        val docs = core.Tables.documents(spark, sfDir)
+        val t0 = System.nanoTime()
+        val edgesDf = dedup.Dedup.componentEdges(docs)
+        val edges = edgesDf.count()
+        val t1 = System.nanoTime()
+        // reuse the counted frame — run_sec times propagation/union-find
+        // only, not a second LSH sweep
+        dedup.Dedup.nearDupComponents(docs, edges = Some(edgesDf)).count()
+        val t2 = System.nanoTime()
+        val path =
+          if (edges < dedup.Dedup.LocalComponentEdgeCap) "union_find"
+          else "loop"
+        s""""components":{"edges":$edges""" +
+          s""","cap":${dedup.Dedup.LocalComponentEdgeCap}""" +
+          s""","path":"$path","edges_sec":${r3((t1 - t0) / 1e9)}""" +
+          s""","run_sec":${r3((t2 - t1) / 1e9)}}"""
+      } catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[bench] components probe failed: $t")
+        s""""components":{"error":${jstr(t.toString)}}"""
+      }
+    writeFull()
+
+    // ---- decade curve (VERDICT r9 #5): re-run the decade panel (plus
+    // the current draw's slowest-10) on a key-shifted 10× copy of sfDir
+    // and report warm-vs-warm ratios, so drift one decade PAST the test
     // scale is tracked per-round like the sf0.01→sf0.1 curve already is,
     // instead of living in SURVEY prose. The 10× corpus is
     // fingerprint-keyed and published atomically under the index store
@@ -318,13 +523,11 @@ object Bench {
       "media_resize", "stream_ann_live", "stream_asof_live",
       "stream_dedup_live", "stream_interval_join_live",
       "stream_tumbling_live")
-    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
-      .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\""
     val decadeSkip: Option[String] =
       if (only.isDefined) Some("focused run (SPARK_GRAFT_BENCH_ONLY)")
       else if (sys.env.get("SPARK_GRAFT_DECADE").contains("off"))
         Some("SPARK_GRAFT_DECADE=off")
-      else None
+      else pastDeadline("decade probe")
     var decadeErr: Option[String] = None
     val decadeJson =
       if (decadeSkip.isDefined) None
@@ -414,7 +617,8 @@ object Bench {
               s""","work_ratio":${r3(wr)},"wall_ratio":${r3(wall)}""" +
               s""","output_driven":${wr > 0 && wall > 0 && wr >= wall}}"""
           }.mkString("{", ",", "}")}"""
-        Some((s""""scale_decade":{"dir":"$dDir","fingerprint":"$fp"""" +
+        Some((s""""scale_decade":{"dir":${jstr(dDir)}""" +
+          s""","fingerprint":${jstr(fp)}""" +
           s""","rows_factor":$copies""" +
           s""","panel":${jlist(DecadePanel)}""" +
           s""","queries":${qmap(entries)}""" +
@@ -431,6 +635,10 @@ object Bench {
         System.err.println(s"[bench] decade probe failed: $t")
         decadeErr = Some(t.toString); None
       }
+    scaleDecadeSlot = decadeJson.map(_._1).getOrElse(
+      s""""scale_decade":{"skipped":true,"reason":${jstr(
+        decadeSkip.orElse(decadeErr).getOrElse("unknown"))}}""")
+    writeFull()
     // ---- decade-scale CORRECTNESS certification (VERDICT r10 #4 /
     // r11 #3): run the EXACT driver gate — graft.Verify dump +
     // tools/oracle_check.py DuckDB compare, both stock — over the
@@ -450,10 +658,11 @@ object Bench {
       "ann_recall_trained" -> "same floor-calibration contract",
       "near_dup_recall" -> "same floor-calibration contract")
     // skip-visibility (ADVICE r12): when the certification does not run
-    // — env-gated off, or the decade probe it depends on was itself
-    // skipped or failed — the artifact records a skipped section with
-    // the reason instead of silently omitting it (absence must be
-    // distinguishable from "ran and passed" in the committed JSON).
+    // — env-gated off, past the deadline, or the decade probe it depends
+    // on was itself skipped or failed — the artifact records a skipped
+    // section with the reason instead of silently omitting it (absence
+    // must be distinguishable from "ran and passed" in the committed
+    // JSON).
     val decadeCorrSkip: Option[String] =
       if (sys.env.get("SPARK_GRAFT_DECADE_CORR").contains("off"))
         Some("SPARK_GRAFT_DECADE_CORR=off")
@@ -461,141 +670,134 @@ object Bench {
         Some(decadeSkip.map(r => s"decade probe skipped: $r")
           .orElse(decadeErr.map(e => s"decade probe failed: $e"))
           .getOrElse("decade probe unavailable"))
-      else None
+      else pastDeadline("decade correctness")
+    // identity of the code generation producing correctness dumps: the
+    // git HEAD sha, valid only while src/ and tools/ carry no
+    // uncommitted edits — a dirty builder tree must never adopt (or
+    // publish) a reusable dump. Used by runCert's dump-skip below.
+    def execOut(cmd: String*): Option[String] = try {
+      val p = new java.lang.ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    lazy val codeId: Option[String] = for {
+      head <- execOut("git", "rev-parse", "HEAD")
+      st <- execOut("git", "status", "--porcelain", "--", "src", "tools")
+      if st.isEmpty
+    } yield head
     // shared certification runner: Verify.dump over an at-scale corpus
     // for the full catalog minus the documented exemptions, then the
     // stock DuckDB compare (tools/oracle_check.py) — the EXACT driver
     // gate, in this session (same UTC session timezone as Verify.main).
-    // Returns the JSON body fields (no section wrapper), the pass
-    // count, and the failed names. Used by the 10× decade cert AND the
-    // rotating extra-scale draw below.
-    def runCert(dDir: String, fp: String, outTag: String): (String, Int, Seq[String]) = {
+    // r14 (VERDICT r13 #2/#3 + ADVICE r13):
+    //  - the dump is SKIPPED when the fingerprint-keyed dump dir already
+    //    holds THIS code generation's output (marker = clean-tree HEAD +
+    //    the checked-name set), so the second cert on one HEAD — builder
+    //    close, then the driver — pays only the DuckDB compare;
+    //  - the compare itself fans out over oracle_check's process pool;
+    //  - a truncated oracle run can never present as zero failures:
+    //    without the "== " summary line every query not proven PASS is
+    //    counted failed, and the python exit code + output tail land in
+    //    the section so a mid-stream crash is diagnosable from the
+    //    artifact alone.
+    // Returns (bodyJson, passCount, failCount).
+    def runCert(dDir: String, fp: String, outTag: String): (String, Int, Int) = {
       val t0 = System.nanoTime()
       val names = SparkEntry.queries.keys.toSeq.sorted
         .filterNot(DecadeCorrExempt.contains)
       val outDir = s"${index.IndexStore.root}/_decade_verify/${outTag}_$fp"
-      val dumpFailed = Verify.dump(spark, dDir, outDir, Some(names.toSet))
-      // dump-dir GC (ADVICE r12): each source generation writes a
-      // full-catalog parquet dump keyed by fingerprint — reclaim prior
-      // generations the same way the scaled corpora themselves are
-      // reclaimed, keeping only the current fingerprint's dir.
-      core.LayoutPublish.gcStale(spark,
-        new org.apache.hadoop.fs.Path(outDir).getParent,
-        s"${outTag}_", s"${outTag}_$fp")()
+      val marker = java.nio.file.Paths.get(s"$outDir/_dump_code_id")
+      val markerVal = codeId.map(h => s"$h|${names.mkString(",").hashCode}")
+      val canSkip = markerVal.exists { v =>
+        try java.nio.file.Files.exists(marker) &&
+          new String(java.nio.file.Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8).trim == v
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      val tD = System.nanoTime()
+      val (dumpFailed, dumpSkipped) =
+        if (canSkip) (Seq.empty[String], true)
+        else {
+          // a half-finished dump must not inherit the previous marker
+          try java.nio.file.Files.deleteIfExists(marker)
+          catch { case scala.util.control.NonFatal(_) => () }
+          val f = Verify.dump(spark, dDir, outDir, Some(names.toSet))
+          // dump-dir GC (ADVICE r12): each source generation writes a
+          // full-catalog parquet dump keyed by fingerprint — reclaim
+          // prior generations the same way the scaled corpora themselves
+          // are reclaimed, keeping only the current fingerprint's dir.
+          core.LayoutPublish.gcStale(spark,
+            new org.apache.hadoop.fs.Path(outDir).getParent,
+            s"${outTag}_", s"${outTag}_$fp")()
+          if (f.isEmpty) markerVal.foreach { v =>
+            try java.nio.file.Files.write(marker,
+              v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          (f, false)
+        }
+      val dumpSec = (System.nanoTime() - tD) / 1e9
       val cmd = new java.lang.ProcessBuilder(
         "python3", "tools/oracle_check.py", dDir, outDir,
         names.mkString(","))
       cmd.redirectErrorStream(true)
+      val tO = System.nanoTime()
       val proc = cmd.start()
       val out = new String(proc.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      proc.waitFor()
+      val exit = proc.waitFor()
+      val oracleSec = (System.nanoTime() - tO) / 1e9
       val lines = out.linesIterator.toSeq
       val passed = lines.count(_.startsWith("PASS "))
       val failedNames = (lines.collect {
         case l if l.startsWith("FAIL ") =>
           l.stripPrefix("FAIL ").takeWhile(c => c != ':' && c != ' ')
       } ++ dumpFailed).distinct.sorted
-      // the summary line proves the compare actually ran to the end
-      // (a python crash mid-stream would otherwise look like passes)
+      // the summary line proves the compare ran to the end; without it
+      // every query not proven PASS counts as FAILED — a truncated run
+      // can never present as clean (ADVICE r13) — and the exit code +
+      // output tail make the crash diagnosable (VERDICT r13 #3)
       val complete = lines.exists(_.startsWith("== "))
+      val unreached =
+        if (complete) 0
+        else math.max(0, names.size - passed - failedNames.size)
+      val failCount = failedNames.size + unreached
+      val diag = if (complete) "" else
+        s""","oracle_exit":$exit,"unreached":$unreached""" +
+          s""","oracle_tail":${jstr(lines.takeRight(5).mkString(" | "))}"""
       val sec = (System.nanoTime() - t0) / 1e9
-      (s""""dir":"$dDir","fingerprint":"$fp","checked":${names.size}""" +
-        s""","pass":$passed,"fail":${failedNames.size}""" +
-        s""","failed":${failedNames.map("\"" + _ + "\"")
-          .mkString("[", ",", "]")}""" +
+      (s""""dir":${jstr(dDir)},"fingerprint":${jstr(fp)}""" +
+        s""","checked":${names.size}""" +
+        s""","pass":$passed,"fail":$failCount""" +
+        s""","failed":${failedNames.map(jstr).mkString("[", ",", "]")}""" +
         s""","exempt":${DecadeCorrExempt.keys.toSeq.sorted
-          .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-        s""","oracle_complete":$complete,"sec":${r3(sec)}""",
-        passed, failedNames)
+          .map(jstr).mkString("[", ",", "]")}""" +
+        s""","dump_skipped":$dumpSkipped,"dump_sec":${r3(dumpSec)}""" +
+        s""","oracle_sec":${r3(oracleSec)},"oracle_complete":$complete""" +
+        diag + s""","sec":${r3(sec)}""",
+        passed, failCount)
     }
-    val decadeCorr =
+    // (body, pass, failCount, errored) — errored means the cert harness
+    // itself threw, distinct from counted query failures (ADVICE r13:
+    // no -1 sentinels inside count fields)
+    val decadeCorr: Option[(String, Int, Int, Boolean)] =
       if (decadeCorrSkip.isDefined) None
       else decadeJson.flatMap { case (_, _, _, dDir, fp) =>
         try {
-          val (body, passed, failedNames) = runCert(dDir, fp, "x10")
-          Some((s""""decade_correctness":{$body}""", passed, failedNames))
+          val (body, passed, failCount) = runCert(dDir, fp, "x10")
+          Some((s""""decade_correctness":{$body}""", passed, failCount, false))
         } catch { case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] decade correctness failed: $t")
-          Some((s""""decade_correctness":{"error":${jstr(t.toString)}}""", 0, Nil))
+          Some((s""""decade_correctness":{"error":${jstr(t.toString)}}""",
+            0, 0, true))
         }
       }
-    // skipped-section stand-ins, so both decade sections are ALWAYS
-    // present in bench_full.json — either with results or with the
-    // reason they did not run (ADVICE r12)
-    val decadeSkipJson =
-      if (decadeJson.nonEmpty) None
-      else Some(s""""scale_decade":{"skipped":true,"reason":${jstr(
-        decadeSkip.orElse(decadeErr).getOrElse("unknown"))}}""")
-    val decadeCorrSkipJson = decadeCorrSkip.map(r =>
-      s""""decade_correctness":{"skipped":true,"reason":${jstr(r)}}""")
-    // ---- components-path probe (VERDICT r12 #7): the union-find
-    // hatch's deciding quantity (verified edges, via the SAME
-    // Dedup.componentEdges frame the hatch counts), the path taken at
-    // the current cap, and the wall of one components run — so a future
-    // cap change shows its cost in the artifact, not just in a spec.
-    val componentsJson =
-      if (only.isDefined) None
-      else try {
-        val docs = core.Tables.documents(spark, sfDir)
-        val t0 = System.nanoTime()
-        val edgesDf = dedup.Dedup.componentEdges(docs)
-        val edges = edgesDf.count()
-        val t1 = System.nanoTime()
-        // reuse the counted frame — run_sec times propagation/union-find
-        // only, not a second LSH sweep
-        dedup.Dedup.nearDupComponents(docs, edges = Some(edgesDf)).count()
-        val t2 = System.nanoTime()
-        val path =
-          if (edges < dedup.Dedup.LocalComponentEdgeCap) "union_find"
-          else "loop"
-        Some(s""""components":{"edges":$edges""" +
-          s""","cap":${dedup.Dedup.LocalComponentEdgeCap}""" +
-          s""","path":"$path","edges_sec":${r3((t1 - t0) / 1e9)}""" +
-          s""","run_sec":${r3((t2 - t1) / 1e9)}}""")
-      } catch { case scala.util.control.NonFatal(t) =>
-        System.err.println(s"[bench] components probe failed: $t")
-        Some(s""""components":{"error":${jstr(t.toString)}}""")
-      }
-    // The driver captures only a fixed-size tail of stdout, so the final
-    // line must stay compact: totals + the 10 slowest warm queries. The
-    // complete per-query cold/warm maps go to bench_full.json alongside
-    // the repo for human inspection.
-    probeAt("end")
-    val probePointsJson = probePoints.map { case (l, t, s) =>
-      s"""{"label":"$l","t":${r3(t)},"sec":${r3(s)}}"""
-    }.mkString("[", ",", "]")
-    // full dump path is explicit (env) rather than whatever CWD the
-    // launcher picked; default stays the repo root the judge reads —
-    // EXCEPT under a dev-only filter, where the default is diverted so a
-    // focused run can never clobber the committed full-run artifact.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (only.isDefined) "bench_only.json" else "bench_full.json")
-    // per-entry regression tripwire (VERDICT r11 #8): diff this run's
-    // warm medians against the PREVIOUS run's bench_full.json (read
-    // before this run overwrites it) and self-report headline entries
-    // > 1.5× slower inside a probe-flat window. Box load shows in the
-    // bracketing probes and exonerates the entry (r11's
-    // text_nb_classify sat in a window where the probe itself tripled);
-    // flat probes + a 1.5× drift is the signal the artifact now
-    // carries itself instead of waiting for the judge's diff.
-    val prevTxt: Option[String] = try {
-      Some(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(fullPath)),
-        java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case scala.util.control.NonFatal(_) => None }
-    // parsers + tripwire baselines live in BenchParse (spec-pinned
-    // against both a fixture and the committed artifact, so the write
-    // and read sides can't silently drift apart — ADVICE r12).
-    // prevExtWarm: VERDICT r12 #3 — the warm-headline-only tripwire
-    // was blind to extended-series drifts like r12's stream_ann_live
-    // +12%.
-    val prevWarm: Map[String, Double] =
-      prevTxt.map(BenchParse.headlineWarm).getOrElse(Map.empty)
-    val prevExtWarm: Map[String, Double] =
-      prevTxt.map(BenchParse.extendedWarm).getOrElse(Map.empty)
-    val prevColdTotal: Option[Double] =
-      prevTxt.flatMap(BenchParse.coldTotal)
+    decadeCorrSlot = decadeCorr.map(_._1).getOrElse(
+      s""""decade_correctness":{"skipped":true,"reason":${jstr(
+        decadeCorrSkip.getOrElse("unknown"))}}""")
+    writeFull()
     // ---- rotating extra-scale correctness draw (VERDICT r12 #6): one
     // alternate-scale certification per round — round-robin between
     // 10× sf0.001 and 30× sf0.01 — so tie-luck sampling keeps widening
@@ -609,7 +811,7 @@ object Bench {
       val env = sys.env.get("SPARK_GRAFT_EXTRA_DRAW")
       if (only.isDefined) Left("focused run (SPARK_GRAFT_BENCH_ONLY)")
       else if (env.contains("off")) Left("SPARK_GRAFT_EXTRA_DRAW=off")
-      else {
+      else pastDeadline("extra draw").toLeft(()).flatMap { _ =>
         // an unrecognized forcing value must NOT silently fall through
         // to rotation — the operator believes they forced a specific
         // scale; record the rejection visibly instead
@@ -633,7 +835,9 @@ object Bench {
         }
       }
     }
-    val extraDraw: Option[(String, Int, Int)] = extraSpec.toOption.map {
+    // (json, pass, failCount, errored) — same error-flag contract as the
+    // decade cert above
+    val extraDraw: Option[(String, Int, Int, Boolean)] = extraSpec.toOption.map {
       case (src, copies) =>
         try {
           val fp = index.IndexStore.fingerprint(spark,
@@ -651,115 +855,39 @@ object Bench {
             s"x${copies}_", ePath.getName)()
           val (body, p, f) = runCert(eDir, fp,
             s"extra${copies}${index.IndexStore.slug(src)}")
-          (s""""extra_draw":{"src":"$src","rows_factor":$copies,$body}""",
-            p, f.size)
+          (s""""extra_draw":{"src":${jstr(src)},"rows_factor":$copies,$body}""",
+            p, f, false)
         } catch { case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] extra draw failed: $t")
-          (s""""extra_draw":{"src":"$src","rows_factor":$copies""" +
-            s""","error":${jstr(t.toString)}}""", 0, -1)
+          (s""""extra_draw":{"src":${jstr(src)},"rows_factor":$copies""" +
+            s""","error":${jstr(t.toString)}}""", 0, 0, true)
         }
     }
-    val extraDrawJson = extraDraw.map(_._1).getOrElse(
+    extraDrawSlot = extraDraw.map(_._1).getOrElse(
       s""""extra_draw":{"skipped":true,"reason":${jstr(
         extraSpec.left.getOrElse("unknown"))}}""")
-    val probeBase = probePoints.map(_._3).filter(_ > 0)
-      .minOption.getOrElse(-1.0)
-    def probeFlatAt(t: Double): Boolean = probeBase > 0 && {
-      val before = probePoints.filter(_._2 <= t).lastOption
-      val after = probePoints.find(_._2 > t)
-      (before.toSeq ++ after.toSeq).forall(_._3 < 1.5 * probeBase)
-    }
-    val regressed = results.collect {
-      case (n, _, _, _, Some(w), ts)
-        if prevWarm.get(n).exists(p => w > 1.5 * p && w >= 0.2) &&
-          ts.lift(2).forall(probeFlatAt) => n
-    }
-    // extended-series tripwire (VERDICT r12 #3): same 1.5× rule over the
-    // extended warm floors (no probe-window exoneration — the extended
-    // series has no per-rep timestamps; a box-load false positive here
-    // costs a judge glance, a silent drift costs a round)
-    val regressedExt = extGood.collect {
-      case (n, _, w)
-        if prevExtWarm.get(n).exists(p => w > 1.5 * p && w >= 0.2) => n
-    }
-    // tripwire arming visibility (ADVICE r12): empty `regressed` with a
-    // zero baseline means DISARMED (no previous artifact parsed), not
-    // "checked and clean" — the counts make the difference readable
-    // from the artifact alone. cold_total delta (VERDICT r12 #3) makes
-    // first-touch drift (r12: +4.8% invisible to the warm tripwire) a
-    // recorded number.
-    val regressedJson = s""""regressed":${regressed
-      .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-      s""","regressed_ext":${regressedExt
-        .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-      s""","regressed_baseline":{"found":${prevTxt.nonEmpty}""" +
-      s""","headline_entries":${prevWarm.size}""" +
-      s""","extended_entries":${prevExtWarm.size}}""" +
-      prevColdTotal.map(p =>
-        s""","cold_total_prev":${r3(p)},"cold_total_delta":${r3(coldTotal - p)}""")
-        .getOrElse("")
-    val extendedJson =
-      if (extended.isEmpty) ""
-      else s""","extended":{"value":${r3(extWarmTotal)},"unit":"sec"""" +
-        s""","n_queries":${extGood.size}""" +
-        s""","queries":${jmap(extGood.map(r => r._1 -> r._3))}""" +
-        s""","queries_cold":${jmap(extGood.map(r => r._1 -> r._2))}""" +
-        s""","cold_total":${r3(extColdTotal)}""" +
-        s""","failed":${extFailed.mkString("[", ",", "]")}}"""
-    val fullJson = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
-      s""","queries":${jmap(good.map(r => r._1 -> r._3))}""" +
-      s""","queries_cold":${jmap(good.map(r => r._1 -> r._2))}""" +
-      s""","queries_reps":$repsJson,"rep_gc":$repGc""" +
-      s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
-      s""","build_failed":$buildFailed,"probe_sec":${r3(probeSec)}""" +
-      s""","bench_epoch_ms":$benchEpochMs,"probe_points":$probePointsJson""" +
-      extendedJson +
-      scalingJson.map("," + _).getOrElse("") +
-      decadeJson.map("," + _._1).orElse(decadeSkipJson.map("," + _)).getOrElse("") +
-      decadeCorr.map("," + _._1).orElse(decadeCorrSkipJson.map("," + _)).getOrElse("") +
-      s""",$extraDrawJson""" +
-      componentsJson.map("," + _).getOrElse("") +
-      s""",$regressedJson""" +
-      s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    // NonFatal only — an OOM/StackOverflow in the write path must
-    // surface, not be logged away (ADVICE r6).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(fullPath),
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(t) =>
-      System.err.println(s"[bench] $fullPath write failed: $t") }
-    val slowest = good.sortBy(-_._3).take(10)
-    // compact line: headline metrics unchanged for cross-round series
-    // comparability; the extended series contributes its totals + its
-    // slowest-3 (full per-query map in bench_full.json only)
-    val extSlow = extGood.sortBy(-_._3).take(3)
-    val extCompact =
-      if (extended.isEmpty) ""
-      else s""","ext_total":${r3(extWarmTotal)},"ext_cold_total":${r3(
-          extColdTotal)},"ext_n":${extGood.size}""" +
-        s""","ext_slowest":${jmap(extSlow.map(r => r._1 -> r._3))}""" +
-        s""","ext_failed":${extFailed.mkString("[", ",", "]")}"""
-    // decade status in the compact line too (full per-query map in
-    // bench_full.json only): empty lists = probe ran and found nothing
-    val decCompact = decadeJson.map { case (_, sup, dFailed, _, _) =>
+    // decade/extra status for the compact line (full per-query maps in
+    // bench_full.json only): empty lists = probe ran and found nothing;
+    // *_error:true = the cert harness threw (never encoded as a count)
+    decCompact = decadeJson.map { case (_, sup, dFailed, _, _) =>
       s""","decade_superlinear":${sup.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","decade_failed":${dFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    }.getOrElse("") + decadeCorr.map { case (_, p, f) =>
-      s""","decade_corr_pass":$p,"decade_corr_fail":${f.size}"""
-    }.getOrElse("") + extraDraw.map { case (_, p, f) =>
-      s""","extra_draw_pass":$p,"extra_draw_fail":$f"""
+    }.getOrElse("") + decadeCorr.map { case (_, p, f, err) =>
+      if (err) s""","decade_corr_error":true"""
+      else s""","decade_corr_pass":$p,"decade_corr_fail":$f"""
+    }.getOrElse("") + extraDraw.map { case (_, p, f, err) =>
+      if (err) s""","extra_draw_error":true"""
+      else s""","extra_draw_pass":$p,"extra_draw_fail":$f"""
     }.getOrElse("")
-    val json = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
-      s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +
-      s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
-      s""","build_failed":$buildFailed,"n_queries":${good.size}""" +
-      s""","probe_sec":${r3(probeSec)}""" +
-      s""","probe_points":${probePoints.map(p => r3(p._3))
-        .mkString("[", ",", "]")}""" + extCompact + decCompact +
-      s""",$regressedJson""" +
-      s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    probeAt("end")
+    partial = false
+    writeFull()
+    // make the authoritative line the very LAST stdout line: stop Spark
+    // (and its shutdown logging) BEFORE printing, so a fixed-size tail
+    // of the log always contains the whole line — the driver parses the
+    // final line.
     spark.stop()
-    println(json)
+    println(compactJson())
     System.out.flush()
   }
 }

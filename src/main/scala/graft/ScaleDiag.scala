@@ -45,6 +45,30 @@ object ScaleDiag {
       Catalog.byName("media_near_dup").run(s, dir).count()),
     // same enumerated-pair output, audio-fingerprint family
     "media_audio_near_dup" -> ((s, dir) =>
-      Catalog.byName("media_audio_near_dup").run(s, dir).count())
+      Catalog.byName("media_audio_near_dup").run(s, dir).count()),
+    // ---- decade-panel linear entries (VERDICT r13 #7): their honest
+    // work unit is the row volume the operator must move — so
+    // work_ratio ≈ rows_factor, and a wall flag self-adjudicates from
+    // the artifact: wall ≤ work is the plan staying linear-or-better
+    // per row moved; wall > work is a real per-unit regression to chase.
+    // collection_compact rewrites the whole collection through the
+    // generation swap — rows rewritten = the collection's row count
+    // (documents ⋈ embeddings, the same n_docs its oracle pins)
+    "collection_compact" -> ((s, dir) => {
+      val d = core.Tables.documents(s, dir).select("doc_id")
+      val e = core.Tables.embeddings(s, dir).select("vec_id")
+      d.join(e, d("doc_id") === e("vec_id")).count()
+    }),
+    // gv_persistence saves + reloads the full graph and the node
+    // embeddings — rows persisted = nodes + edges + embedding rows
+    "gv_persistence" -> ((s, dir) => {
+      val g = graph.TpchGraph.build(s, dir)
+      g.nodes.count() + g.edges.count() +
+        core.Tables.customer(s, dir).count()
+    }),
+    // graph_pagerank's per-iteration work is one pass over the edge set
+    // (fixed iteration count across scales)
+    "graph_pagerank" -> ((s, dir) =>
+      graph.TpchGraph.build(s, dir).edges.count())
   )
 }

@@ -276,6 +276,19 @@ object Multimodal {
     * unordered hash pair is counted exactly once. MediaSpec pins
     * equality with the enumerating path on the real corpus and on a
     * duplicate-heavy synthetic one.
+    *
+    * EXACTNESS PRECONDITION (ADVICE r13): the count is exact only while
+    * no (band, value) bucket holds more than `bucketCap` DISTINCT
+    * hashes — above it BucketGuard's chain geometry would thin
+    * candidates and this count would silently undercount vs the
+    * enumerating oracle it exists to match. The guard below probes that
+    * bound (one map-side aggregate over the already-checkpointed
+    * distinct-hash frame — 4 rows per distinct hash) and fails LOUDLY
+    * with the remedy instead of approximating. On the synthetic corpus
+    * the bound holds at every corpus size by construction: the banded
+    * frame saturates with the 14,976-value hash space, and
+    * MediaScaleSpec pins that even the fully-saturated band buckets
+    * stay under the default cap.
     */
   def phashNearDupPairCount(hashes: DataFrame, maxHamming: Int,
       bucketCap: Int = graft.dedup.BucketGuard.DefaultCap): DataFrame = {
@@ -297,6 +310,15 @@ object Multimodal {
           struct(lit(3).as("bi"), expr("phash_hi div 65536").as("bv"))))
           .as("b"))
       .select(col("rid"), col("fsig"), col("b.bi"), col("b.bv"))
+    // exactness guard — see the precondition in the Scaladoc above
+    val hotBands = banded.groupBy("bi", "bv")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > bucketCap).count()
+    if (hotBands > 0) throw new IllegalStateException(
+      s"phashNearDupPairCount: $hotBands band bucket(s) exceed " +
+        s"bucketCap=$bucketCap DISTINCT hashes, so the guarded banded " +
+        "join would no longer be exact — raise bucketCap (the join " +
+        "input is distinct hashes, bounded by the hash space, not by " +
+        "corpus size) or enumerate with phashNearDupPairs")
     val hs = g.select(col("rid"), col("phash_lo"), col("phash_hi"), col("m"))
     val inter = graft.dedup.BucketGuard
       .candidatePairs(banded, "rid", Seq("bi", "bv"), "fsig", bucketCap)

@@ -65,6 +65,24 @@ class BenchParseSpec extends AnyFunSuite {
     assert(BenchParse.pickExtraDraw(None) == ("sf0.001", 10))
   }
 
+  test("a phase-1 partial artifact arms baselines; pending extra_draw is None") {
+    // r14 two-phase emission: a run killed mid-cert leaves an artifact
+    // with "partial":true and pending cert stand-ins — the next run must
+    // still arm its headline/extended tripwires from it, and the
+    // extra-draw rotation must treat the pending draw as absent
+    val p = fixture
+      .replace(""""unit":"sec",""", """"unit":"sec","partial":true,""")
+      .replace(
+        """"extra_draw":{"src":"/root/testdata/sf0.001","rows_factor":10,"pass":191,"fail":0}""",
+        """"extra_draw":{"pending":true,"reason":"certification had not yet run when this artifact generation was written"}""")
+    assert(BenchParse.headlineWarm(p) ==
+      Map("q1_agg" -> 0.123, "graph_pagerank" -> 0.44))
+    assert(BenchParse.extendedWarm(p) ==
+      Map("media_card" -> 2.4, "stream_ann_live" -> 4.0))
+    assert(BenchParse.coldTotal(p).contains(47.97))
+    assert(BenchParse.extraDrawSrc(p).isEmpty)
+  }
+
   test("garbage and empty inputs fail open to empty baselines") {
     Seq("", "not json at all", """{"queries":}""").foreach { bad =>
       assert(BenchParse.headlineWarm(bad).isEmpty)

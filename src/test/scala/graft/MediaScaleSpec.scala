@@ -68,4 +68,26 @@ class MediaScaleSpec extends AnyFunSuite {
     assert(sample.forall(one.contains),
       "a hash outside the first period's value space appeared")
   }
+
+  test("no band bucket ever exceeds the guard cap in DISTINCT hashes") {
+    // phashNearDupPairCount is exact only while every (band, value)
+    // bucket holds ≤ DefaultCap DISTINCT hashes (its r14 guard throws
+    // otherwise). On the synthetic corpus the banded frame is built from
+    // the distinct-hash set, which SATURATES at the 14,976-value space —
+    // so the worst-case bucket at ANY corpus size is the full-space
+    // bucket computed here. Band values mirror the query exactly:
+    // Spark's % is Java remainder and `div` truncates toward zero, both
+    // matching Scala Long ops.
+    val one = (0L until Period).map(hashOf(_)).toSet
+    val maxBucket = one.toSeq
+      .flatMap { case (lo, hi) =>
+        Seq((0, lo % 65536L), (1, lo / 65536L),
+          (2, hi % 65536L), (3, hi / 65536L))
+      }
+      .groupBy(identity).valuesIterator.map(_.size).max
+    assert(maxBucket <= graft.dedup.BucketGuard.DefaultCap,
+      s"saturated band bucket holds $maxBucket distinct hashes > cap " +
+        s"${graft.dedup.BucketGuard.DefaultCap} — the exact-count guard " +
+        "in phashNearDupPairCount would fire on this corpus")
+  }
 }

@@ -52,6 +52,25 @@ class MediaSpec extends AnyFunSuite {
     assert(w2 == e2, s"weighted $w2 != enumerated $e2 on the synthetic corpus")
   }
 
+  test("the exact-count guard throws loudly when a band bucket exceeds the cap") {
+    // ADVICE r13: above the cap BucketGuard's chain geometry would thin
+    // candidates and the "exact" count would silently undercount — the
+    // guard must fail with the remedy instead. 6 DISTINCT hashes share
+    // band (2, hi%65536=0) > cap 4; each is its own fsig group, so the
+    // chain branch would emit nothing and the count would be wrong.
+    import spark.implicits._
+    val hs = Seq.tabulate(6)(i => (i.toLong, i.toLong, 0L))
+      .toDF("id", "phash_lo", "phash_hi")
+    val e = intercept[IllegalStateException] {
+      Multimodal.phashNearDupPairCount(hs, maxHamming = 8, bucketCap = 4)
+    }
+    assert(e.getMessage.contains("bucketCap=4"))
+    // the same frame under the default cap stays on the exact path
+    assert(Multimodal.phashNearDupPairCount(hs, maxHamming = 8)
+      .head().getLong(0) ==
+      Multimodal.phashNearDupPairs(hs, maxHamming = 8).count())
+  }
+
   test("synthetic PNG round-trips through javax.imageio byte-for-byte") {
     val id = 37L
     val w = Multimodal.synthW(id); val h = Multimodal.synthH(id)
