@@ -672,8 +672,11 @@ object Bench {
           .getOrElse("decade probe unavailable"))
       else pastDeadline("decade correctness")
     // identity of the code generation producing correctness dumps: the
-    // git HEAD sha, valid only while src/ and tools/ carry no
-    // uncommitted edits — a dirty builder tree must never adopt (or
+    // git TREE hashes of src/ and tools/ (NOT the commit sha — the
+    // round's artifact/SURVEY commits change HEAD without changing any
+    // code, and the driver's post-round run must still adopt the
+    // builder's closing dump), valid only while src/ and tools/ carry
+    // no uncommitted edits — a dirty builder tree must never adopt (or
     // publish) a reusable dump. Used by runCert's dump-skip below.
     def execOut(cmd: String*): Option[String] = try {
       val p = new java.lang.ProcessBuilder(cmd: _*)
@@ -683,10 +686,10 @@ object Bench {
       if (p.waitFor() == 0) Some(out) else None
     } catch { case scala.util.control.NonFatal(_) => None }
     lazy val codeId: Option[String] = for {
-      head <- execOut("git", "rev-parse", "HEAD")
+      trees <- execOut("git", "rev-parse", "HEAD:src", "HEAD:tools")
       st <- execOut("git", "status", "--porcelain", "--", "src", "tools")
       if st.isEmpty
-    } yield head
+    } yield trees.linesIterator.mkString("+")
     // shared certification runner: Verify.dump over an at-scale corpus
     // for the full catalog minus the documented exemptions, then the
     // stock DuckDB compare (tools/oracle_check.py) — the EXACT driver
