@@ -752,35 +752,26 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)
       val exit = proc.waitFor()
       val oracleSec = (System.nanoTime() - tO) / 1e9
-      val lines = out.linesIterator.toSeq
-      val passed = lines.count(_.startsWith("PASS "))
-      val failedNames = (lines.collect {
-        case l if l.startsWith("FAIL ") =>
-          l.stripPrefix("FAIL ").takeWhile(c => c != ':' && c != ' ')
-      } ++ dumpFailed).distinct.sorted
-      // the summary line proves the compare ran to the end; without it
-      // every query not proven PASS counts as FAILED — a truncated run
-      // can never present as clean (ADVICE r13) — and the exit code +
-      // output tail make the crash diagnosable (VERDICT r13 #3)
-      val complete = lines.exists(_.startsWith("== "))
-      val unreached =
-        if (complete) 0
-        else math.max(0, names.size - passed - failedNames.size)
-      val failCount = failedNames.size + unreached
-      val diag = if (complete) "" else
-        s""","oracle_exit":$exit,"unreached":$unreached""" +
-          s""","oracle_tail":${jstr(lines.takeRight(5).mkString(" | "))}"""
+      // truncation accounting is pure and spec-pinned (BenchParse
+      // .oracleOutcome — ADVICE r13): no summary line ⇒ every query not
+      // proven PASS counts failed, and the exit code + output tail make
+      // the crash diagnosable from the artifact (VERDICT r13 #3)
+      val oc = BenchParse.oracleOutcome(out, names.size, dumpFailed)
+      val diag = if (oc.complete) "" else
+        s""","oracle_exit":$exit,"unreached":${oc.unreached}""" +
+          s""","oracle_tail":${jstr(out.linesIterator.toSeq
+            .takeRight(5).mkString(" | "))}"""
       val sec = (System.nanoTime() - t0) / 1e9
       (s""""dir":${jstr(dDir)},"fingerprint":${jstr(fp)}""" +
         s""","checked":${names.size}""" +
-        s""","pass":$passed,"fail":$failCount""" +
-        s""","failed":${failedNames.map(jstr).mkString("[", ",", "]")}""" +
+        s""","pass":${oc.passed},"fail":${oc.failCount}""" +
+        s""","failed":${oc.failedNames.map(jstr).mkString("[", ",", "]")}""" +
         s""","exempt":${DecadeCorrExempt.keys.toSeq.sorted
           .map(jstr).mkString("[", ",", "]")}""" +
         s""","dump_skipped":$dumpSkipped,"dump_sec":${r3(dumpSec)}""" +
-        s""","oracle_sec":${r3(oracleSec)},"oracle_complete":$complete""" +
+        s""","oracle_sec":${r3(oracleSec)},"oracle_complete":${oc.complete}""" +
         diag + s""","sec":${r3(sec)}""",
-        passed, failCount)
+        oc.passed, oc.failCount)
     }
     // (body, pass, failCount, errored) — errored means the cert harness
     // itself threw, distinct from counted query failures (ADVICE r13:

@@ -54,4 +54,38 @@ object BenchParse {
   def pickExtraDraw(prevSrc: Option[String]): (String, Int) =
     if (prevSrc.exists(_.endsWith("sf0.001"))) ("sf0.01", 30)
     else ("sf0.001", 10)
+
+  /** Outcome accounting of one `tools/oracle_check.py` run (ADVICE r13
+    * medium + VERDICT r13 #3). The rules a truncated run must obey:
+    *
+    *  - the trailing `== N pass, M fail ==` summary line is the only
+    *    proof the compare ran to the end;
+    *  - without it, every query not proven PASS counts as FAILED
+    *    (`unreached`) — a mid-stream duckdb crash/OOM can cost pass
+    *    rows, it can NEVER present as zero failures;
+    *  - dump-side failures (entries `Verify.dump` could not produce)
+    *    are failures of the same certification, merged and deduped.
+    *
+    * Pure so the truncation semantics are spec-pinned (a synthetic
+    * kill in BenchParseSpec) instead of only exercised when a real
+    * crash happens mid-round. */
+  final case class OracleOutcome(passed: Int, failedNames: Seq[String],
+      complete: Boolean, unreached: Int) {
+    def failCount: Int = failedNames.size + unreached
+  }
+
+  def oracleOutcome(out: String, checked: Int,
+      dumpFailed: Seq[String]): OracleOutcome = {
+    val lines = out.linesIterator.toSeq
+    val passed = lines.count(_.startsWith("PASS "))
+    val failedNames = (lines.collect {
+      case l if l.startsWith("FAIL ") =>
+        l.stripPrefix("FAIL ").takeWhile(c => c != ':' && c != ' ')
+    } ++ dumpFailed).distinct.sorted
+    val complete = lines.exists(_.startsWith("== "))
+    val unreached =
+      if (complete) 0
+      else math.max(0, checked - passed - failedNames.size)
+    OracleOutcome(passed, failedNames, complete, unreached)
+  }
 }

@@ -264,7 +264,7 @@ object Dedup {
       .mkString("\nUNION ALL\n")
     s"""mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
        |sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM mh),
-       |bands AS ($bandRows)""".stripMargin
+       |bands AS MATERIALIZED ($bandRows)""".stripMargin
   }
 
   /** LSH candidate pairs restricted to a block (e.g. same source), exact
@@ -297,9 +297,9 @@ object Dedup {
 
   /** Full DuckDB oracle for [[minhashLshPairsBlocked]]. */
   def minhashLshPairsBlockedSql(blockCol: String, topN: Int): String = {
-    s"""WITH sh AS ($shingledSql),
+    s"""WITH sh AS MATERIALIZED ($shingledSql),
        |$bandsCtesSql,
-       |bs AS (
+       |bs AS MATERIALIZED (
        |  SELECT bands.doc_id, bands.band, bands.sig, d.$blockCol
        |  FROM bands JOIN documents d USING (doc_id)),
        |cand AS (
@@ -324,10 +324,10 @@ object Dedup {
     val bandRows = (0 until Bands)
       .map(j => s"SELECT doc_id, shingles, $j AS band, sig$j AS sig FROM sigs")
       .mkString("\nUNION ALL\n")
-    s"""WITH sh AS ($shingledSql),
+    s"""WITH sh AS MATERIALIZED ($shingledSql),
        |mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
        |sigs AS (SELECT doc_id, shingles, ${sigs.mkString(", ")} FROM mh),
-       |bands AS ($bandRows),
+       |bands AS MATERIALIZED ($bandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -557,15 +557,15 @@ object Dedup {
     val bandRows = (0 until Bands)
       .map(j => s"SELECT doc_id, shingles, $j AS band, sig$j AS sig FROM sigs")
       .mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE sh AS ($shingledSql),
+    s"""WITH RECURSIVE sh AS MATERIALIZED ($shingledSql),
        |mh AS (SELECT doc_id, shingles, ${mhs.mkString(", ")} FROM sh),
        |sigs AS (SELECT doc_id, shingles, ${sigs.mkString(", ")} FROM mh),
-       |bands AS ($bandRows),
+       |bands AS MATERIALIZED ($bandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT c.x, c.y FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.x
        |  JOIN sh sb ON sb.doc_id = c.y

@@ -89,11 +89,19 @@ object VectorFunctions {
   def hashVectorLit(key: Long, dim: Int): Column =
     typedlit(hashVectorValues(key, dim))
 
-  /** DuckDB SQL fragment computing [[hashVector]] for key expression `key`. */
+  /** DuckDB SQL fragment computing [[hashVector]] for key expression
+    * `key`. The key is BOUND ONCE per row through a single-element
+    * `list_transform` lambda: DuckDB inlines plain SQL expressions at
+    * every reference, and `raw` below uses the key 3× inside a
+    * per-dimension lambda — an expensive key (embed_text_knn hashes the
+    * whole document text) would otherwise be re-evaluated 3·dim times
+    * per row (measured at the 10× corpus: 211 s → 9 s). `gvk` follows
+    * the obscure-lambda-variable convention (see TextAnalysis.charHash). */
   def hashVectorSql(key: String, dim: Int): String = {
-    val raw = s"((($key)::BIGINT * $HashA + i * $HashB + $HashC) % $HashM)"
-    s"list_transform(range($dim), i -> " +
-      s"((($raw * $raw + $raw) % $HashM))::DOUBLE / $HashM.0 - 0.5)"
+    val raw = s"((gvk * $HashA + i * $HashB + $HashC) % $HashM)"
+    s"list_transform([($key)::BIGINT], gvk -> " +
+      s"list_transform(range($dim), i -> " +
+      s"((($raw * $raw + $raw) % $HashM))::DOUBLE / $HashM.0 - 0.5))[1]"
   }
 
   /** DuckDB fragments for the distance kernels over 1-indexed lists `a`,`b`
@@ -112,11 +120,17 @@ object VectorFunctions {
 
   /** squared L2 distance Σ(a−b)², same left-to-right accumulation as the
     * typed IVF/PQ kernels (loop from 0.0; list_reduce seeds with the first
-    * element, and 0.0 + x == x exactly for the non-negative squares). */
+    * element, and 0.0 + x == x exactly for the non-negative squares).
+    * The per-dimension difference is bound once through an inner
+    * `list_transform` and squared as `gvd * gvd` — bit-identical to
+    * squaring the twice-written difference (same two operands, same
+    * IEEE multiply), but DuckDB evaluates the element extraction half
+    * as often (dedup_semantic's cells×vectors sweep at the 10× corpus:
+    * 186 s → the next profile tier). */
   def sqL2Sql(a: String, b: String, dim: Int): String =
-    s"list_reduce(list_transform(range($dim), i -> " +
-      s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE) * " +
-      s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE)), (x, y) -> x + y)"
+    s"list_reduce(list_transform(list_transform(range($dim), i -> " +
+      s"(($a)[i+1]::DOUBLE - ($b)[i+1]::DOUBLE)), gvd -> gvd * gvd), " +
+      s"(x, y) -> x + y)"
 
   def l2DistanceSql(a: String, b: String, dim: Int): String =
     s"sqrt(list_reduce(list_transform(range($dim), i -> " +

@@ -86,7 +86,7 @@ object TpchGraph {
 
   /** DuckDB CTEs defining the same nodes/edges relations. */
   val ctesSql: String =
-    """nodes AS (
+    """nodes AS MATERIALIZED (
       |  SELECT 'c:' || c_custkey AS id, 'Customer' AS label, c_name AS name,
       |         c_acctbal AS num, c_mktsegment AS seg FROM customer
       |  UNION ALL
@@ -98,7 +98,7 @@ object TpchGraph {
       |  UNION ALL
       |  SELECT 'o:' || o_orderkey, 'Order', o_orderpriority, o_totalprice,
       |         o_orderstatus FROM orders),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst,
       |         'PLACED_BY' AS type FROM orders
       |  UNION ALL
@@ -363,7 +363,7 @@ object GraphOps {
   def pprCtesSql(seed: String, iters: Int): String = {
     val sq = seed.replace("'", "''")
     val head =
-      s"""outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      s"""outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
          |r0 AS (SELECT id, CASE WHEN id = '$sq'
          |         THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r6
          |       FROM nodes)""".stripMargin
@@ -387,7 +387,7 @@ object GraphOps {
     * Spark `div`). Emits `outdeg, r0, …, r$iters`. */
   def pagerankCtesSql(iters: Int): String = {
     val head =
-      """outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      """outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r6 FROM nodes)"""
         .stripMargin
     val steps = (1 to iters).map { k =>

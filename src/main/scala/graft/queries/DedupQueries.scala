@@ -137,8 +137,8 @@ object DedupQueries {
         val bandRows = (0 until Ann.Bands).map(b =>
           s"SELECT vec_id, label, $b AS band_idx, b$b AS band_val FROM d")
           .mkString("\nUNION ALL\n")
-        s"""WITH d AS (SELECT vec_id, label, ${db.mkString(", ")} FROM embeddings),
-           |bands AS ($bandRows),
+        s"""WITH d AS MATERIALIZED (SELECT vec_id, label, ${db.mkString(", ")} FROM embeddings),
+           |bands AS MATERIALIZED ($bandRows),
            |cand AS (
            |  SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
            |  FROM bands a JOIN bands b
@@ -240,19 +240,21 @@ object DedupQueries {
            |  SELECT e.vec_id, c.cell,
            |         ${VectorFunctions.sqL2Sql("e.embedding", "c.cv", D)} AS d2
            |  FROM embeddings e CROSS JOIN cents c),
-           |assign AS (
+           |assign AS MATERIALIZED (
            |  SELECT vec_id, cell FROM (
            |    SELECT vec_id, cell,
            |           row_number() OVER (PARTITION BY vec_id
            |                              ORDER BY d2, cell) AS rn
            |    FROM cd) WHERE rn = 1),
-           |e2 AS (SELECT a.vec_id, a.cell, e.embedding
+           |e2 AS MATERIALIZED (SELECT a.vec_id, a.cell, e.embedding,
+           |       ${VectorFunctions.normSql("e.embedding", D)} AS nrm
            |       FROM assign a JOIN embeddings e USING (vec_id)),
            |dropped AS (
            |  SELECT DISTINCT b.vec_id
            |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           |  WHERE round(${cosineDistanceSql(
-              "a.embedding", "b.embedding", D)}, 6) <= 0.7)
+           |  WHERE round((1.0 - ${VectorFunctions.dotSql(
+              "a.embedding", "b.embedding", D)}
+           |    / (a.nrm * b.nrm)), 6) <= 0.7)
            |SELECT a.vec_id, a.cell,
            |       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
            |FROM assign a ORDER BY vec_id""".stripMargin

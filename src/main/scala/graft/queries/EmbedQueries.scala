@@ -39,7 +39,7 @@ object EmbedQueries {
         val qKey = TextAnalysis.charHashSql(s"'$QueryText'")
         val dist = cosineDistanceSql("emb", "q.v", D)
         s"""WITH q AS (SELECT ${hashVectorSql(s"($qKey)", D)} AS v),
-           |d AS (SELECT doc_id, ${e.embedSql("text")} AS emb FROM documents)
+           |d AS MATERIALIZED (SELECT doc_id, ${e.embedSql("text")} AS emb FROM documents)
            |SELECT doc_id, round($dist, 6) AS score
            |FROM d, q ORDER BY score, doc_id LIMIT $K""".stripMargin
       },

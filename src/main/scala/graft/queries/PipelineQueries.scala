@@ -62,7 +62,7 @@ object PipelineQueries {
           .limit(TopN)
       },
       Some(
-        s"""WITH sh AS (${Dedup.shingledSql}),
+        s"""WITH sh AS MATERIALIZED (${Dedup.shingledSql}),
            |${Dedup.bandsCtesSql},
            |cand AS (
            |  SELECT DISTINCT n.doc_id, c.doc_id AS dup_of
@@ -105,7 +105,7 @@ object PipelineQueries {
       },
       Some {
         val ids = EvalIds.mkString(", ")
-        s"""WITH sh AS (${Dedup.shingledSql}),
+        s"""WITH sh AS MATERIALIZED (${Dedup.shingledSql}),
            |ev AS (
            |  SELECT doc_id AS eval_id, unnest(shingles) AS h
            |  FROM sh WHERE doc_id IN ($ids)),
@@ -514,7 +514,7 @@ object PipelineQueries {
       },
       Some(
         s"""WITH sh AS (${Dedup.shingledSql}),
-           |sq AS (
+           |sq AS MATERIALIZED (
            |  SELECT DISTINCT source, h FROM (
            |    SELECT d.source, unnest(s.shingles) AS h
            |    FROM sh s JOIN documents d USING (doc_id))),
@@ -704,7 +704,7 @@ object PipelineQueries {
            |           AS chunk_text
            |  FROM st),
            |q AS (SELECT ${VectorFunctions.hashVectorSql(s"($qKey)", D)} AS v),
-           |d AS (SELECT doc_id, source, chunk_idx,
+           |d AS MATERIALIZED (SELECT doc_id, source, chunk_idx,
            |             ${e.embedSql("chunk_text")} AS emb
            |      FROM ch)
            |SELECT doc_id, chunk_idx, source,
@@ -739,7 +739,7 @@ object PipelineQueries {
           .limit(TopN)
       },
       Some(
-        s"""WITH sh AS (${Dedup.shingledSql}),
+        s"""WITH sh AS MATERIALIZED (${Dedup.shingledSql}),
            |${Dedup.bandsCtesSql},
            |cand AS (
            |  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id

@@ -92,6 +92,41 @@ class BenchParseSpec extends AnyFunSuite {
     }
   }
 
+  test("oracle outcome: a complete run counts passes, fails, dump failures") {
+    val out =
+      """PASS q1_agg (4 rows) [0.12s]
+        |PASS knn_cosine (10 rows) [0.30s]
+        |FAIL media_card: rows spark=20 oracle=21 first-diffs=[3]
+        |   spark:  (('i', 1),)
+        |[oracle] serial retry of 1/4: media_card (FAIL media_card: rows)
+        |FAIL media_card: rows spark=20 oracle=21 first-diffs=[3]
+        |== 2 pass, 1 fail ==
+        |""".stripMargin
+    val oc = BenchParse.oracleOutcome(out, checked = 4,
+      dumpFailed = Seq("stream_ann_live"))
+    assert(oc.complete)
+    assert(oc.passed == 2)
+    assert(oc.failedNames == Seq("media_card", "stream_ann_live"))
+    assert(oc.unreached == 0 && oc.failCount == 2)
+  }
+
+  test("oracle outcome: a KILLED run can never present as zero failures") {
+    // synthetic mid-stream kill (VERDICT r13 #3 / ADVICE r13): the
+    // driver's r13 extra draw died at 55/191 with fail:0 — the exact
+    // shape this accounting forbids. No "== " summary line ⇒ every
+    // query not proven PASS is a counted failure.
+    val out = (1 to 55).map(i => s"PASS q$i (10 rows) [0.5s]")
+      .mkString("", "\n", "\nPAS") // torn mid-line, not a countable PASS
+    val oc = BenchParse.oracleOutcome(out, checked = 191,
+      dumpFailed = Nil)
+    assert(!oc.complete)
+    assert(oc.passed == 55)
+    assert(oc.unreached == 136 && oc.failCount == 136)
+    // and an empty output (crashed before the first line) fails whole
+    val dead = BenchParse.oracleOutcome("", checked = 191, dumpFailed = Nil)
+    assert(!dead.complete && dead.failCount == 191)
+  }
+
   test("the COMMITTED bench_full.json still parses to armed baselines") {
     // the real write-side compatibility gate: if Bench's output format
     // drifts, this fails on the next committed artifact

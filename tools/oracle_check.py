@@ -10,16 +10,33 @@ sfDir parquet), sorts columns by name + rows, and compares values.
 Parallelism (VERDICT r13 #2 — the serial compare was over half the decade
 cert's wall): queries fan out over a process pool (ORACLE_JOBS, default
 min(8, cpus/4)), each worker holding its own DuckDB connection with a
-bounded thread count and memory share. PASS lines stream as they complete
-(so a killed run still shows what it proved, same as the old serial loop);
-anything the pool FAILED or never returned is re-checked serially in the
-main process with an unbounded default connection before the verdict is
-printed — a worker-resource failure (OOM inside a capped worker, a pool
-crash) can therefore never manufacture a FAIL, only cost a retry. The
-final "== N pass, M fail ==" summary line still proves the compare ran to
-the end. ORACLE_JOBS=1 keeps the fully-serial behavior.
+bounded memory share. PASS lines stream as they complete (so a killed run
+still shows what it proved, same as the old serial loop); anything the
+pool FAILED or never returned is re-checked serially in the main process
+with an unbounded default connection before the verdict is printed — a
+worker-resource failure (OOM inside a capped worker, a pool crash) can
+therefore never manufacture a FAIL, only cost a retry. The final
+"== N pass, M fail ==" summary line still proves the compare ran to the
+end. ORACLE_JOBS=1 keeps the fully-serial behavior.
+
+Cost-aware scheduling (r14): after every COMPLETE run the per-query
+walls are written to <outDir>/_oracle_costs.json; the next run over the
+same dump dir (the driver's post-round bench adopts the builder's dump
+via the marker, and the cost file rides along) submits longest-first
+(LPT), so the heavy tail starts at t=0 across the pool instead of
+landing on a drained pool as a straggler. First run on a fresh dump
+falls back to catalog order — correctness is identical either way, only
+latency moves. Two rejected designs, measured at the 10x sf0.1 corpus:
+per-query thread WIDENING for known-heavy queries OOM-killed a pool
+worker when LPT made all 8 workers heavy simultaneously (a dead worker
+fails every pending future -> 133-query serial retry, 15 min); and the
+real fix for the heavy tail was demand-side anyway — DuckDB 1.0 inlines
+plain CTEs at every reference, so multi-referenced CTEs in the oracle
+SQL (shingle sets, LSH band rows, graph nodes/edges) were being
+re-evaluated 3-8x until the generators marked them AS MATERIALIZED
+(dedup_components at 10x: 103 s -> 12 s at 32 threads, identical rows).
 """
-import json, math, os, sys
+import json, math, os, sys, time
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -64,7 +81,10 @@ def connect(sf_dir, threads=None, mem_bytes=None):
 
 
 def check_one(con, out_dir, name, sql):
-    """Returns (ok, lines_to_print)."""
+    """Returns (ok, lines_to_print, wall_sec); the first line carries the
+    query's wall seconds so a slow tail is attributable per-query from
+    any captured output (the bench keeps only a tail on failure)."""
+    t0 = time.monotonic()
     try:
         gt = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
@@ -77,7 +97,8 @@ def check_one(con, out_dir, name, sql):
         exp_rows = list(zip(*[c.to_pylist() for c in et.columns])) \
             if et.num_columns else []
     except Exception as e:
-        return False, [f"FAIL {name}: {e}"]
+        dt = time.monotonic() - t0
+        return False, [f"FAIL {name}: {e} [{dt:.2f}s]"], dt
     # Type-tag check: the driver's hasher distinguishes DuckDB HUGEINT
     # (arrow decimal128) from BIGINT — an oracle sum() over integers
     # must be cast to BIGINT or it fails the driver gate even when
@@ -87,11 +108,13 @@ def check_one(con, out_dir, name, sql):
     wide = [c for c, t in tytags.items() if t.startswith("decimal128")]
     if wide:
         return False, [f"FAIL {name}: oracle returns HUGEINT column(s) "
-                       f"{wide} — cast to BIGINT in the oracle SQL"]
+                       f"{wide} — cast to BIGINT in the oracle SQL"], \
+            time.monotonic() - t0
     gc, gr = canon(got_rows, got_cols)
     ec, er = canon(exp_rows, exp_cols)
     if gc != ec:
-        return False, [f"FAIL {name}: columns spark={gc} oracle={ec}"]
+        return False, [f"FAIL {name}: columns spark={gc} oracle={ec}"], \
+            time.monotonic() - t0
     if gr != er:
         diffs = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
         lines = [f"FAIL {name}: rows spark={len(gr)} oracle={len(er)} "
@@ -102,8 +125,9 @@ def check_one(con, out_dir, name, sql):
         if len(gr) != len(er):
             lines.append(f"   spark[0:2]={gr[:2]}")
             lines.append(f"   oracle[0:2]={er[:2]}")
-        return False, lines
-    return True, [f"PASS {name} ({len(gr)} rows)"]
+        return False, lines, time.monotonic() - t0
+    dt = time.monotonic() - t0
+    return True, [f"PASS {name} ({len(gr)} rows) [{dt:.2f}s]"], dt
 
 
 # ---- worker-side state (one DuckDB connection per pool process)
@@ -120,6 +144,9 @@ def _winit(sf_dir, out_dir, threads, mem_bytes):
 def _wcheck(item):
     name, sql = item
     return name, check_one(_wcon, _wout, name, sql)
+
+
+MAIN_TIER_SEC = 60.0  # cached cost above this ⇒ main-process full-thread lane
 
 
 def total_ram():
@@ -140,25 +167,62 @@ def main(sf_dir, out_dir, names=None):
     items = sorted(oracle.items())
     cpus = os.cpu_count() or 4
     jobs = int(os.environ.get("ORACLE_JOBS", "0")) or min(8, max(1, cpus // 4))
+    # previous complete run's per-query walls over this same dump dir:
+    # order longest-first (LPT — the heavy tail must start at t=0, not
+    # land on a drained pool as a straggler). Unknown names (catalog
+    # additions since the cached run) go FIRST: pessimism costs a little
+    # contention, optimism costs a multi-minute straggler.
+    cost_path = f"{out_dir}/_oracle_costs.json"
+    try:
+        costs = {k: float(v) for k, v in
+                 json.load(open(cost_path)).items()}
+    except Exception:
+        costs = {}
+    if costs:
+        items.sort(key=lambda it: costs.get(it[0], float("inf")),
+                   reverse=True)
+    # queries whose cached cost exceeds the pool's flat budget by enough
+    # that ONE of them sets the whole run's wall (dedup_semantic's
+    # within-cell pairwise sweep: 183 s at 4 threads vs ~25 s at 32) run
+    # on the MAIN process instead — full threads, default memory, exactly
+    # one at a time: the r13-proven serial mode, overlapped with the
+    # pool. First run (no cost cache) ⇒ empty tier, pure pool.
+    main_tier = [it for it in items
+                 if costs.get(it[0], 0.0) >= MAIN_TIER_SEC]
+    pool_items = [it for it in items if it[0] not in
+                  {n for n, _ in main_tier}]
+
+    walls = {}
     results = {}
     if jobs > 1 and len(items) > 1:
-        # 60% of RAM split across workers; 4 threads each — the pool's
-        # aggregate stays below the box even next to a live Spark JVM
+        # 60% of RAM split across workers; 4 threads each at the flat
+        # budget — the pool's aggregate stays below the box even next
+        # to a live Spark JVM
         mem_each = int(total_ram() * 0.6) // jobs
         from concurrent import futures
         try:
             with futures.ProcessPoolExecutor(
                     max_workers=jobs, initializer=_winit,
                     initargs=(sf_dir, out_dir, 4, mem_each)) as ex:
-                futs = {ex.submit(_wcheck, it): it[0] for it in items}
+                futs = {ex.submit(_wcheck, (n, q)): n
+                        for n, q in pool_items}
+                if main_tier:
+                    mcon = connect(sf_dir)
+                    for name, sql in main_tier:
+                        ok, lines, sec = check_one(mcon, out_dir, name, sql)
+                        results[name] = (ok, lines)
+                        walls[name] = sec
+                        if ok:
+                            print(lines[0], flush=True)
                 for f in futures.as_completed(futs):
                     try:
-                        name, (ok, lines) = f.result()
+                        name, (ok, lines, sec) = f.result()
                     except Exception as e:
                         results[futs[f]] = (False, [
                             f"FAIL {futs[f]}: worker error: {e}"])
                         continue
                     results[name] = (ok, lines)
+                    walls[name] = sec
                     if ok:  # stream passes; failures wait for the retry
                         print(lines[0], flush=True)
         except Exception as e:
@@ -170,14 +234,32 @@ def main(sf_dir, out_dir, names=None):
     retry = [it for it in items
              if it[0] not in results or not results[it[0]][0]]
     if retry:
+        # visible retry accounting: how much of the wall the serial tail
+        # costs, and WHY each query is here (pool verdict), so a slow or
+        # crashy pool is diagnosable from the streamed output alone
+        print(f"[oracle] serial retry of {len(retry)}/{len(items)}: "
+              + ", ".join(
+                  f"{n} ({results[n][1][0][:90]})" if n in results
+                  else f"{n} (never returned)" for n, _ in retry[:20]),
+              flush=True)
         con = connect(sf_dir)
         for name, sql in retry:
-            ok, lines = check_one(con, out_dir, name, sql)
+            ok, lines, sec = check_one(con, out_dir, name, sql)
             results[name] = (ok, lines)
+            walls[name] = sec
             for ln in lines:
                 print(ln, flush=True)
     n_pass = sum(1 for ok, _ in results.values() if ok)
     n_fail = len(results) - n_pass
+    # persist per-query walls for the NEXT run's LPT ordering — only on
+    # a run that reached the end (a partial map would demote unmeasured
+    # heavies to the back of the queue). Retried queries record their
+    # serial wall; either way the value is a rank proxy, not a metric.
+    try:
+        with open(cost_path, "w") as fh:
+            json.dump({k: round(v, 2) for k, v in walls.items()}, fh)
+    except Exception as e:
+        print(f"[oracle] cost-cache write failed: {e}", flush=True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
