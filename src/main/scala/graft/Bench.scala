@@ -780,7 +780,14 @@ object Bench {
       if (decadeCorrSkip.isDefined) None
       else decadeJson.flatMap { case (_, _, _, dDir, fp) =>
         try {
-          val (body, passed, failCount) = runCert(dDir, fp, "x10")
+          // outTag carries the BASE-corpus slug (like the extra draw's
+          // always has): runCert's gcStale keeps only the current
+          // fingerprint under `${outTag}_`, so a bare "x10" made decade
+          // dumps from DIFFERENT base corpora share a namespace — an
+          // sf0.001 validation bench swept the sf0.1 closing dump (and
+          // its reuse marker) out from under the driver's run (r14).
+          val (body, passed, failCount) =
+            runCert(dDir, fp, s"x10${index.IndexStore.slug(sfDir)}")
           Some((s""""decade_correctness":{$body}""", passed, failCount, false))
         } catch { case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] decade correctness failed: $t")
