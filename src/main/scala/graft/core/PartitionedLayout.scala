@@ -48,6 +48,59 @@ object PartitionedLayout {
     path
   }
 
+  /** Deterministic event-type dimension (event_type → tier) materialized
+    * as a SOURCE-BACKED parquet under the store root, fingerprint-keyed
+    * like the layout itself. Dynamic partition pruning needs a real
+    * source relation on the dim side: a LocalRelation dim collapses to
+    * pre-filtered literals during optimization, leaving no selective
+    * Filter for the PartitionPruning rule to push (the DppSpec lesson).
+    * Tier is a pure function of event_type (click/view = "paid"), so the
+    * DuckDB oracle re-derives the identical dim from `events` directly.
+    */
+  def ensureTierDim(spark: SparkSession, dir: String): String = synchronized {
+    val fp = graft.index.IndexStore.fingerprint(
+      spark, Seq(s"$dir/events.parquet"))
+    val path = s"${graft.index.IndexStore.root}/_partitioned2/" +
+      s"${graft.index.IndexStore.slug(dir)}/tierdim_$fp"
+    val p = new Path(path)
+    LayoutPublish.publish(spark, p) { tmp =>
+      Tables.events(spark, dir).select("event_type").distinct()
+        .withColumn("tier",
+          when(col("event_type").isin("click", "view"), "paid")
+            .otherwise("free"))
+        .coalesce(1).write.parquet(tmp.toString)
+    }
+    LayoutPublish.gcStale(spark, p.getParent, "tierdim_", p.getName)()
+    path
+  }
+
+  /** Dynamic partition pruning over the layout (VERDICT r14 #4): the
+    * partition column is constrained only THROUGH the dim join (the
+    * selective filter lives on `tier`, a dim-side column), so static
+    * pruning is impossible — Spark must inject a runtime subquery filter
+    * into the fact scan's PartitionFilters. At 100 TB this is what keeps
+    * a star-join from opening every partition when the predicate arrives
+    * via a dimension table. Throws unless the executed plan carries the
+    * dynamic filter at the PARTITION level. */
+  def tierRollup(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensure(spark, dir)
+    val dim = spark.read.parquet(ensureTierDim(spark, dir))
+    val out = spark.read.parquet(path)
+      .join(dim, Seq("event_type"))
+      .filter(col("tier") === "paid")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .orderBy("event_type")
+    val plan = out.queryExecution.executedPlan.toString
+    require(
+      """PartitionFilters: \[[^\]]*dynamicpruning""".r
+        .findFirstIn(plan).isDefined,
+      s"partition_pruning_dynamic: the dim-side tier filter did not " +
+        s"become a runtime partition filter on the fact scan:\n$plan")
+    out
+  }
+
   /** The pruned scan the layout exists for: one event type's per-user
     * value rollup. Throws unless the filter prunes at the PARTITION
     * level (directory pruning on the scan — non-matching partitions are

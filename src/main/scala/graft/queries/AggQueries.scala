@@ -148,6 +148,29 @@ object AggQueries {
           |WHERE event_type = 'click'
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
+    // DYNAMIC partition pruning DEMONSTRATED with a throwing plan gate
+    // (VERDICT r14 #4 — promoted from spec-only DppSpec to the driver
+    // gate): the partition column is constrained only through a join to
+    // a source-backed dim (tier lives on the dim side), so Spark must
+    // inject a runtime subquery filter into the fact scan's
+    // PartitionFilters. The oracle is the plain unpartitioned join with
+    // the dim re-derived from events (tier is a pure function of
+    // event_type): layout + DPP change the PLAN, never the answer.
+    Q(
+      "partition_pruning_dynamic",
+      (s, dir) => graft.core.PartitionedLayout.tierRollup(s, dir),
+      Some(
+        """WITH dim AS MATERIALIZED (
+          |  SELECT DISTINCT event_type,
+          |         CASE WHEN event_type IN ('click', 'view')
+          |              THEN 'paid' ELSE 'free' END AS tier
+          |  FROM events)
+          |SELECT e.event_type, count(*) AS n_events,
+          |       round(sum(e.value), 4) AS total_value
+          |FROM events e JOIN dim d USING (event_type)
+          |WHERE d.tier = 'paid'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
     // co-located bucketed join DEMONSTRATED with a throwing plan gate:
     // both fact tables bucketed by the join key at write time, the join
     // plans with NO Exchange under the SortMergeJoin (the layout paid

@@ -51,4 +51,21 @@ class DppSpec extends AnyFunSuite {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("the catalog's tierRollup plans DPP and equals the plain rollup") {
+    // the gate inside tierRollup throws if the runtime partition filter
+    // is missing, so reaching collect() proves the plan shape; equality
+    // against the unpartitioned scan proves layout + DPP never move the
+    // answer (the catalog oracle re-pins this against DuckDB)
+    val got = core.PartitionedLayout.tierRollup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val exp = core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(exp) && got.nonEmpty)
+  }
 }
