@@ -72,7 +72,55 @@ object Bench {
       val t = nowT; val s = measureProbe()
       probePoints += ((label, t, s)); s
     }
-    val probeSec = probeAt("warmup")
+    val probeFirst = probeAt("warmup")
+    // ---- warm-up gate (VERDICT r14 #1): both r14 draws' first probe
+    // read ~0.20 vs 0.04–0.07 at end-of-run — async JIT/page-cache
+    // warm-up landing inside the first ~3 min of the headline series
+    // inflated ~15 sub-second entries by ~+0.3 s each, and three
+    // straight rounds hand-adjudicated the same artifact. So the timed
+    // series does not START until the calibration probe is FLAT: loop
+    // generic settle work (shuffle+agg with string/hash expressions, a
+    // real parquet scan — the machinery the catalog queries exercise,
+    // distinct from the probe's own shape) and re-probe, for at least
+    // MinIters iterations, until two consecutive probes land within
+    // 1.5× of each other AND the latest sits within 1.25× of the best
+    // seen (a falling trend must PLATEAU, not merely hold its early
+    // plateau), bounded by a wall cap. Every reading lands in the
+    // artifact (`warmup` section); a cap exit with settled:false means
+    // the box never went quiet — the run's numbers carry that flag
+    // instead of needing a judge to cross-reference probe_points.
+    val wuCap = sys.env.get("SPARK_GRAFT_WARMUP_CAP")
+      .flatMap(_.toDoubleOption).getOrElse(120.0)
+    val WuMinIters = 3
+    val wuProbes = scala.collection.mutable.ArrayBuffer[Double](probeFirst)
+    import org.apache.spark.sql.functions.expr
+    def settleOnce(): Unit = try {
+      spark.range(1L << 21)
+        .selectExpr("id % 997 AS k", "id AS v",
+          "concat('s', id % 101) AS s")
+        .groupBy("k")
+        .agg(expr("sum(v)"), expr("count(distinct s)"),
+          expr("sum(hash(s))"))
+        .count()
+      core.Tables.lineitem(spark, sfDir)
+        .selectExpr("sum(hash(l_comment))", "max(l_shipdate)").collect()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    var wuSettled = false
+    var wuIters = 0
+    val wuT0 = nowT
+    while (!wuSettled && nowT - wuT0 < wuCap) {
+      settleOnce()
+      val p = measureProbe(); wuProbes += p; wuIters += 1
+      val prev = wuProbes(wuProbes.size - 2)
+      val best = wuProbes.filter(_ > 0).min
+      wuSettled = wuIters >= WuMinIters && p > 0 && prev > 0 &&
+        math.max(p, prev) <= 1.5 * math.min(p, prev) && p <= 1.25 * best
+    }
+    // `probe_sec` is the SETTLED reading from r15 on — the steady-state
+    // baseline cross-run comparisons actually want (the first reading
+    // stays visible as probe_points[0] / warmup.probes[0])
+    val probeSec = wuProbes.filter(_ > 0).lastOption.getOrElse(probeFirst)
+    probePoints += (("warmup_settled", nowT, probeSec))
     // ---- build phase, timed separately: persistent retrieval indexes
     // (force-rebuilt so the cost is real, not a cache hit from a prior
     // run) and the derived graph with BOTH relations materialized.
@@ -326,6 +374,30 @@ object Bench {
       prevTxt.map(BenchParse.extendedWarm).getOrElse(Map.empty)
     val prevColdTotal: Option[Double] =
       prevTxt.flatMap(BenchParse.coldTotal)
+    // rolling per-entry bands (VERDICT r14 #2): bench_history.json keeps
+    // the last ≤5 committed full-run warm values per entry; with ≥3
+    // draws the tripwire verdicts against an EXIT from that band (max ×
+    // 1.3 — the pinned quiet-box noise width) instead of 1.5× of a
+    // single, possibly itself-noisy, previous draw — every round since
+    // r12 spent builder/judge time adjudicating sub-second noise the
+    // band already contained. Read AND updated only on full runs over
+    // the committed bench corpus (sf0.1): focused runs and validation
+    // runs at other scales must neither arm nor pollute the bands.
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.json")
+    val historyEligible = only.isEmpty && sfDir.endsWith("sf0.1")
+    val bands: Map[String, Seq[Double]] =
+      if (!historyEligible) Map.empty
+      else try {
+        val t = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(historyPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (BenchParse.historySf(t).forall(_ == sfDir))
+          BenchParse.history(t)
+        else Map.empty
+      } catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Seq[Double]]
+      }
     val probeBase = probePoints.map(_._3).filter(_ > 0)
       .minOption.getOrElse(-1.0)
     def probeFlatAt(t: Double): Boolean = probeBase > 0 && {
@@ -335,16 +407,29 @@ object Bench {
     }
     val regressed = results.collect {
       case (n, _, _, _, Some(w), ts)
-        if prevWarm.get(n).exists(p => w > 1.5 * p && w >= 0.2) &&
+        if BenchParse.bandRegressed(w, bands.getOrElse(n, Seq.empty),
+            prevWarm.get(n)) &&
           ts.lift(2).forall(probeFlatAt) => n
     }
-    // extended-series tripwire (VERDICT r12 #3): same 1.5× rule over the
+    // extended-series tripwire (VERDICT r12 #3): same verdict over the
     // extended warm floors (no probe-window exoneration — the extended
     // series has no per-rep timestamps; a box-load false positive here
     // costs a judge glance, a silent drift costs a round)
     val regressedExt = extGood.collect {
       case (n, _, w)
-        if prevExtWarm.get(n).exists(p => w > 1.5 * p && w >= 0.2) => n
+        if BenchParse.bandRegressed(w, bands.getOrElse(n, Seq.empty),
+          prevExtWarm.get(n)) => n
+    }
+    // the band each flagged entry was judged against rides in the
+    // artifact (VERDICT r14 #2: "the tripwire carries the band") — a
+    // fire is adjudicable without reconstructing history from git
+    val bandDetailJson = {
+      val d = (regressed ++ regressedExt).flatMap { n =>
+        bands.get(n).map(b => "\"" + n +
+          s"""\":{"n":${b.size},"band_min":${r3(b.min)}""" +
+          s""","band_max":${r3(b.max)}}""")
+      }
+      if (d.isEmpty) "" else s""","regressed_bands":{${d.mkString(",")}}"""
     }
     // tripwire arming visibility (ADVICE r12): empty `regressed` with a
     // zero baseline means DISARMED (no previous artifact parsed), not
@@ -356,9 +441,11 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","regressed_ext":${regressedExt
         .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      bandDetailJson +
       s""","regressed_baseline":{"found":${prevTxt.nonEmpty}""" +
       s""","headline_entries":${prevWarm.size}""" +
-      s""","extended_entries":${prevExtWarm.size}}""" +
+      s""","extended_entries":${prevExtWarm.size}""" +
+      s""","band_entries":${bands.size}}""" +
       prevColdTotal.map(p =>
         s""","cold_total_prev":${r3(p)},"cold_total_delta":${r3(coldTotal - p)}""")
         .getOrElse("")
@@ -396,6 +483,9 @@ object Bench {
         s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
         s""","build_failed":$buildFailed,"probe_sec":${r3(probeSec)}""" +
         s""","bench_epoch_ms":$benchEpochMs,"probe_points":$probePointsJson""" +
+        s""","warmup":{"settled":$wuSettled,"iters":$wuIters""" +
+        s""","cap_sec":${r3(wuCap)}""" +
+        s""","probes":${wuProbes.map(r3).mkString("[", ",", "]")}}""" +
         extendedJson +
         scalingJson.map("," + _).getOrElse("") +
         s""",$scaleDecadeSlot""" +
@@ -433,7 +523,7 @@ object Bench {
         s""","queries":${jmap(slowest.map(r => r._1 -> r._3))}""" +
         s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
         s""","build_failed":$buildFailed,"n_queries":${good.size}""" +
-        s""","probe_sec":${r3(probeSec)}""" +
+        s""","probe_sec":${r3(probeSec)},"wu_settled":$wuSettled""" +
         s""","probe_points":${probePoints.map(p => r3(p._3))
           .mkString("[", ",", "]")}""" + extCompact + decCompact +
         s""",$regressedJson""" +
@@ -444,6 +534,18 @@ object Bench {
     // certifications below, the captured tail still ends with a
     // parseable summary (marked partial) instead of nothing.
     println(compactJson()); System.out.flush()
+    // append this run's warm values to the rolling band history as soon
+    // as the timed series are final — a cert-phase kill must not cost
+    // the round's band update (same insurance posture as phase-1)
+    if (historyEligible) {
+      val current = (good ++ extGood).map(r => r._1 -> r._3).toMap
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(historyPath),
+        BenchParse.historyJson(bands, current, sfDir)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[bench] $historyPath write failed: $t") }
+    }
 
     // ---- certification deadline (VERDICT r13 #1b): certs that have not
     // STARTED by this elapsed-time budget emit the skipped stand-in with
@@ -819,11 +921,12 @@ object Bench {
         val pick: Either[String, (String, Int)] = env match {
           case Some("sf0.001x10") => Right(("sf0.001", 10))
           case Some("sf0.01x30") => Right(("sf0.01", 30))
+          case Some("sf0.001x100") => Right(("sf0.001", 100))
           case Some(other) =>
             Left(s"unrecognized SPARK_GRAFT_EXTRA_DRAW: $other " +
-              "(expected off | sf0.001x10 | sf0.01x30)")
+              "(expected off | sf0.001x10 | sf0.01x30 | sf0.001x100)")
           case None => Right(
-            BenchParse.pickExtraDraw(prevTxt.flatMap(BenchParse.extraDrawSrc)))
+            BenchParse.pickExtraDraw(prevTxt.flatMap(BenchParse.extraDraw)))
         }
         pick.flatMap { p =>
           val src = new java.io.File(

@@ -48,12 +48,85 @@ object BenchParse {
     """"extra_draw":\{"src":"([^"]+)"""".r.findFirstMatchIn(txt)
       .map(_.group(1))
 
-  /** Round-robin rule for the rotating extra-scale certification:
-    * last round drew sf0.001 → draw 30× sf0.01 now, and vice versa;
-    * no (parsable) previous draw → the sf0.001 one. */
-  def pickExtraDraw(prevSrc: Option[String]): (String, Int) =
-    if (prevSrc.exists(_.endsWith("sf0.001"))) ("sf0.01", 30)
-    else ("sf0.001", 10)
+  /** The previous extra draw's replication factor (with [[extraDrawSrc]]
+    * it identifies the draw for the three-way rotation below; absent on
+    * pre-r15 artifacts — those carried only the two-way rotation's
+    * draws, whose sources alone disambiguate, so rotation treats a
+    * missing factor as the src's historical one). */
+  def extraDrawFactor(txt: String): Option[Int] =
+    """"extra_draw":\{"src":"[^"]+","rows_factor":([0-9]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toInt)
+
+  /** The previous run's extra draw as (src, factor), for rotation. */
+  def extraDraw(txt: String): Option[(String, Int)] =
+    extraDrawSrc(txt).map { src =>
+      (src, extraDrawFactor(txt).getOrElse(
+        if (src.endsWith("sf0.01")) 30 else 10))
+    }
+
+  /** Three-way round-robin for the rotating extra-scale certification
+    * (VERDICT r14 #5 added the 100× draw): 10× sf0.001 → 30× sf0.01 →
+    * 100× sf0.001 → back. 100× sf0.001 is ~sf0.1 row volume with
+    * 100×-replicated key geometry — the first factor where foreign hot
+    * mass dominates every hot bucket, exercising the two-regime
+    * contracts (BucketGuard, union-find cap, adaptive-k PQ) past the
+    * 10–30× they were proven at. No (parsable) previous draw → the
+    * cheap sf0.001 10× one. */
+  def pickExtraDraw(prev: Option[(String, Int)]): (String, Int) =
+    prev match {
+      case Some((s, f)) if s.endsWith("sf0.001") && f >= 100 =>
+        ("sf0.001", 10)
+      case Some((s, _)) if s.endsWith("sf0.001") => ("sf0.01", 30)
+      case Some((s, _)) if s.endsWith("sf0.01") => ("sf0.001", 100)
+      case _ => ("sf0.001", 10)
+    }
+
+  /** The corpus a history file's draws were measured on — bands from a
+    * different scale must never arm a tripwire (a validation run at
+    * sf0.001 would otherwise poison the sf0.1 bands). */
+  def historySf(txt: String): Option[String] =
+    """\{"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** Rolling per-entry warm-value history (bench_history.json): the
+    * last ≤[[HistoryCap]] committed full-run draws per entry,
+    * most-recent-LAST. Fails open to empty like every parser here. */
+  def history(txt: String): Map[String, Seq[Double]] =
+    """"([^"]+)":\[([0-9.,Ee+\- ]*)\]""".r.findAllMatchIn(txt).map { m =>
+      m.group(1) -> m.group(2).split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty).flatMap(_.toDoubleOption)
+    }.toMap.filter(_._2.nonEmpty)
+
+  val HistoryCap = 5
+
+  /** Serialize an updated history: append this run's warm values and
+    * keep the most recent [[HistoryCap]] per entry. Entries absent from
+    * this run (failed, or renamed away) retain their tail so one bad
+    * draw doesn't erase an armed band; entries gone from the catalog
+    * stop being read and age out with the file. */
+  def historyJson(prev: Map[String, Seq[Double]],
+      current: Map[String, Double], sf: String): String = {
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val merged = (prev.keySet ++ current.keySet).toSeq.sorted.map { n =>
+      val vs = (prev.getOrElse(n, Seq.empty) ++ current.get(n))
+        .takeRight(HistoryCap)
+      "\"" + n + "\":[" + vs.map(r3).mkString(",") + "]"
+    }
+    s"""{"sf":"$sf","cap":$HistoryCap,"entries":{${merged.mkString(",")}}}"""
+  }
+
+  /** Variance-aware regression verdict (VERDICT r14 #2): with ≥3 prior
+    * draws the tripwire flags only an EXIT from the observed band — warm
+    * above max(band) with 30% headroom, the pinned quiet-box noise width
+    * for sub-3 s entries (SURVEY §6.10) — so run-to-run noise inside the
+    * band stops costing a manual adjudication every round. With a thin
+    * band (<3 draws) it falls back to the single-baseline 1.5× rule.
+    * Sub-0.2 s entries are never flagged (pure scheduling noise). */
+  def bandRegressed(warm: Double, band: Seq[Double],
+      prevWarm: Option[Double]): Boolean =
+    if (warm < 0.2) false
+    else if (band.size >= 3) warm > 1.3 * band.max
+    else prevWarm.exists(p => warm > 1.5 * p)
 
   /** Outcome accounting of one `tools/oracle_check.py` run (ADVICE r13
     * medium + VERDICT r13 #3). The rules a truncated run must obey:

@@ -69,6 +69,48 @@ object ScaleDiag {
     // graph_pagerank's per-iteration work is one pass over the edge set
     // (fixed iteration count across scales)
     "graph_pagerank" -> ((s, dir) =>
-      graph.TpchGraph.build(s, dir).edges.count())
+      graph.TpchGraph.build(s, dir).edges.count()),
+    // ---- remaining decade-panel entries (VERDICT r14 #7): with these,
+    // EVERY panel entry's wall flag self-adjudicates from the artifact.
+    // collection_lifecycle round-trips the whole collection (save /
+    // catalog scan / mutate) — rows moved = the collection's row count,
+    // same unit as collection_compact
+    "collection_lifecycle" -> ((s, dir) => {
+      val d = core.Tables.documents(s, dir).select("doc_id")
+      val e = core.Tables.embeddings(s, dir).select("vec_id")
+      d.join(e, d("doc_id") === e("vec_id")).count()
+    }),
+    // graph_ppr / graph_rerank: per-hop work is one pass over the edge
+    // set (fixed hop/iteration counts across scales)
+    "graph_ppr" -> ((s, dir) =>
+      graph.TpchGraph.build(s, dir).edges.count()),
+    "graph_rerank" -> ((s, dir) =>
+      graph.TpchGraph.build(s, dir).edges.count()),
+    // media entries decode every synthetic payload derived from the
+    // documents table: media_card runs all three modality decoders
+    // (image + audio + video) over the corpus, media_resize one
+    "media_card" -> ((s, dir) =>
+      3L * core.Tables.documents(s, dir).count()),
+    "media_resize" -> ((s, dir) =>
+      core.Tables.documents(s, dir).count()),
+    // stream_*_live entries replay a fixed-file-count source copy, so
+    // micro-batch COUNT is constant across scales — the scaling work
+    // unit is the rows ingested through the micro-batch machinery
+    // (per-batch volume grows with the corpus)
+    "stream_tumbling_live" -> ((s, dir) =>
+      core.Tables.events(s, dir).count()),
+    "stream_dedup_live" -> ((s, dir) =>
+      core.Tables.events(s, dir).count()),
+    // the interval join streams the events copy once per side
+    "stream_interval_join_live" -> ((s, dir) =>
+      2L * core.Tables.events(s, dir).count()),
+    // as-of enrich ingests only the click/purchase relation
+    "stream_asof_live" -> ((s, dir) =>
+      core.Tables.events(s, dir)
+        .filter(org.apache.spark.sql.functions.col("event_type")
+          .isin("click", "purchase")).count()),
+    // the live ANN writer ingests the embeddings table batch-by-batch
+    "stream_ann_live" -> ((s, dir) =>
+      core.Tables.embeddings(s, dir).count())
   )
 }

@@ -152,6 +152,22 @@ object IndexStore extends org.apache.spark.internal.Logging {
           graceDelete(new Path(new Path(root).getParent, s"v$v")))
       Seq("_bucketed", "_partitioned").foreach(n =>
         graceDelete(new Path(s"$root/$n")))
+      // pre-r14 decade-cert dump dirs (ADVICE r14): the cert's outTag was
+      // a bare "x10" before it was namespaced by base-corpus slug, so
+      // runCert's prefix GC never reclaims the legacy `x10_<fp>` dirs —
+      // a full-catalog parquet dump each. The legacy shape is exactly
+      // x10_ + a 16-hex fingerprint; namespaced dirs (x10_root_…_<fp>)
+      // carry the slug between and never match.
+      try {
+        val dv = new Path(s"$root/_decade_verify")
+        val f = fs(spark, dv.toString)
+        if (f.exists(dv))
+          f.listStatus(dv).map(_.getPath)
+            .filter(_.getName.matches("x10_[0-9a-f]{16}"))
+            .foreach(graceDelete)
+      } catch { case scala.util.control.NonFatal(t) =>
+        logWarning(s"legacy decade-dump gc failed (non-fatal): $t")
+      }
     }
 
   def ensure(spark: SparkSession, path: String)(build: String => Unit): String = {

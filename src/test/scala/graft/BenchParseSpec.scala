@@ -57,12 +57,59 @@ class BenchParseSpec extends AnyFunSuite {
     assert(BenchParse.extraDrawSrc(skipped).isEmpty)
   }
 
-  test("rotation: sf0.001 -> 30x sf0.01 -> sf0.001, default restarts cheap") {
-    assert(BenchParse.pickExtraDraw(Some("/root/testdata/sf0.001")) ==
+  test("rotation: 10x sf0.001 -> 30x sf0.01 -> 100x sf0.001 -> back") {
+    assert(BenchParse.pickExtraDraw(Some(("/root/testdata/sf0.001", 10))) ==
       ("sf0.01", 30))
-    assert(BenchParse.pickExtraDraw(Some("/root/testdata/sf0.01")) ==
+    assert(BenchParse.pickExtraDraw(Some(("/root/testdata/sf0.01", 30))) ==
+      ("sf0.001", 100))
+    assert(BenchParse.pickExtraDraw(Some(("/root/testdata/sf0.001", 100))) ==
       ("sf0.001", 10))
     assert(BenchParse.pickExtraDraw(None) == ("sf0.001", 10))
+  }
+
+  test("extra draw parses as (src, factor); a pre-r15 artifact without a readable factor falls back by src") {
+    assert(BenchParse.extraDraw(fixture) ==
+      Some(("/root/testdata/sf0.001", 10)))
+    // factor field torn/absent: the two-way era's draws are identified
+    // by source alone
+    val noFactor = fixture.replace(
+      """"extra_draw":{"src":"/root/testdata/sf0.001","rows_factor":10,""",
+      """"extra_draw":{"src":"/root/testdata/sf0.001",""")
+    assert(BenchParse.extraDraw(noFactor) ==
+      Some(("/root/testdata/sf0.001", 10)))
+    val noFactor01 = fixture.replace(
+      """"extra_draw":{"src":"/root/testdata/sf0.001","rows_factor":10,""",
+      """"extra_draw":{"src":"/root/testdata/sf0.01",""")
+    assert(BenchParse.extraDraw(noFactor01) ==
+      Some(("/root/testdata/sf0.01", 30)))
+  }
+
+  test("history round-trips, caps at 5 most-recent, and keeps absent entries' tails") {
+    val prev = Map("a" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0), "b" -> Seq(9.0))
+    val txt = BenchParse.historyJson(prev,
+      Map("a" -> 6.0, "c" -> 0.5), "/root/testdata/sf0.1")
+    assert(BenchParse.historySf(txt).contains("/root/testdata/sf0.1"))
+    val h = BenchParse.history(txt)
+    assert(h("a") == Seq(2.0, 3.0, 4.0, 5.0, 6.0)) // capped, oldest dropped
+    assert(h("b") == Seq(9.0)) // absent from this run: tail retained
+    assert(h("c") == Seq(0.5))
+    // garbage fails open
+    assert(BenchParse.history("").isEmpty &&
+      BenchParse.history("{nope").isEmpty)
+  }
+
+  test("band verdict: >=3 draws flag only an exit from the band; thin bands fall back to 1.5x-prev") {
+    val band = Seq(1.0, 1.2, 0.9)
+    // inside the band (even above the single previous draw's 1.5x)
+    assert(!BenchParse.bandRegressed(1.5, band, Some(0.9)))
+    // exits max(band)*1.3 = 1.56
+    assert(BenchParse.bandRegressed(1.6, band, Some(0.9)))
+    // thin band: single-baseline rule
+    assert(BenchParse.bandRegressed(1.6, Seq(1.0), Some(1.0)))
+    assert(!BenchParse.bandRegressed(1.4, Seq(1.0), Some(1.0)))
+    // sub-0.2s never flags; no baseline at all never flags
+    assert(!BenchParse.bandRegressed(0.19, band, Some(0.01)))
+    assert(!BenchParse.bandRegressed(5.0, Nil, None))
   }
 
   test("a phase-1 partial artifact arms baselines; pending extra_draw is None") {
@@ -125,6 +172,21 @@ class BenchParseSpec extends AnyFunSuite {
     // and an empty output (crashed before the first line) fails whole
     val dead = BenchParse.oracleOutcome("", checked = 191, dumpFailed = Nil)
     assert(!dead.complete && dead.failCount == 191)
+  }
+
+  test("the COMMITTED bench_history.json still parses to armed bands") {
+    val f = new java.io.File("bench_history.json")
+    assume(f.isFile, "no committed bench_history.json in the working dir")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(BenchParse.historySf(txt).contains("/root/testdata/sf0.1"))
+    val h = BenchParse.history(txt)
+    assert(h.size >= 150,
+      s"band history shrank to ${h.size} entries — format drift?")
+    assert(h.values.forall(b => b.nonEmpty &&
+      b.size <= BenchParse.HistoryCap && b.forall(v => v >= 0 && v < 600)))
+    // the bands must actually arm the >=3-draw verdict for most entries
+    assert(h.values.count(_.size >= 3) >= 150)
   }
 
   test("the COMMITTED bench_full.json still parses to armed baselines") {

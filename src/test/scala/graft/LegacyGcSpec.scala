@@ -29,13 +29,19 @@ class LegacyGcSpec extends AnyFunSuite {
     val oldVersionRoot = mk(new Path(parent, "v1"))
     val oldBucketed = mk(new Path(s"${IndexStore.root}/_bucketed"))
     val oldPartitioned = mk(new Path(s"${IndexStore.root}/_partitioned"))
+    // pre-r14 un-namespaced decade dump (bare x10_<fp>) vs a namespaced
+    // one (carries the base-corpus slug) — only the former is legacy
+    val oldDump = mk(new Path(
+      s"${IndexStore.root}/_decade_verify/x10_0123456789abcdef"))
+    val newDump = mk(new Path(
+      s"${IndexStore.root}/_decade_verify/x10_root_testdata_sf0.1_0123456789abcdef"))
     val rootExisted = exists(new Path(IndexStore.root))
     // grace > age: nothing may be touched
     sys.props("graft.layout.gc.grace.ms") = (60L * 60 * 1000).toString
     try {
       IndexStore.runLegacyGc(spark)
       assert(exists(oldVersionRoot) && exists(oldBucketed) &&
-        exists(oldPartitioned),
+        exists(oldPartitioned) && exists(oldDump),
         "roots inside the grace window must be left alone")
       // grace 0: everything just created is already "cold"
       sys.props("graft.layout.gc.grace.ms") = "0"
@@ -45,9 +51,17 @@ class LegacyGcSpec extends AnyFunSuite {
       assert(!exists(oldBucketed), "legacy _bucketed tree must be collected")
       assert(!exists(oldPartitioned),
         "legacy _partitioned tree must be collected")
+      assert(!exists(oldDump),
+        "legacy un-namespaced decade dump must be collected")
+      assert(exists(newDump),
+        "namespaced decade dumps are runCert's to manage, not legacy gc's")
       // the CURRENT version root is never a target
       assert(exists(new Path(IndexStore.root)) == rootExisted,
         "the current version root must be untouched")
-    } finally sys.props.remove("graft.layout.gc.grace.ms")
+    } finally {
+      sys.props.remove("graft.layout.gc.grace.ms")
+      val f = newDump.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(newDump, true)
+    }
   }
 }
