@@ -35,6 +35,21 @@ plain CTEs at every reference, so multi-referenced CTEs in the oracle
 SQL (shingle sets, LSH band rows, graph nodes/edges) were being
 re-evaluated 3-8x until the generators marked them AS MATERIALIZED
 (dedup_components at 10x: 103 s -> 12 s at 32 threads, identical rows).
+
+r15 (ADVICE r14): each cached wall records the LANE that measured it
+(pool = 4-thread capped worker; main/serial = full-thread unbounded
+connection), because the two are not comparable — dedup_semantic runs
+~25 s at full threads but ~183 s in a capped worker, so a full-thread
+wall under the 60 s pool budget says nothing about pool fitness. Tier
+selection uses per-lane thresholds (pool wall >= 60 s, full-thread
+wall >= 15 s — conservative against the measured ~7x thread ratio);
+legacy lane-less caches are read as pool walls. And the main-tier
+connection itself now carries an explicit memory_limit (~35% of RAM,
+the share NOT allotted to the pool's 60% aggregate): its previous
+default ~80%-of-RAM cap ran CONCURRENTLY with the pool and the live
+Spark JVM, and one OS OOM kill of a pool worker fails every pending
+future — the exact mass-serial-retry cascade the rejected
+thread-widening design demonstrated.
 """
 import json, math, os, sys, time
 import duckdb
@@ -146,7 +161,31 @@ def _wcheck(item):
     return name, check_one(_wcon, _wout, name, sql)
 
 
-MAIN_TIER_SEC = 60.0  # cached cost above this ⇒ main-process full-thread lane
+MAIN_TIER_SEC = 60.0  # cached POOL-lane cost above this ⇒ main lane
+# a full-thread (main/serial lane) wall underestimates the 4-thread
+# pooled wall by up to the thread ratio (~7x measured on
+# dedup_semantic); a query at or above this full-thread wall would
+# blow the pool budget and stays in the main tier
+MAIN_TIER_FULLTHREAD_SEC = MAIN_TIER_SEC / 4
+
+
+def load_costs(path):
+    """Cost cache: {name: [wall_sec, lane]} (r15) or legacy
+    {name: wall_sec} (read as pool-lane walls)."""
+    try:
+        raw = json.load(open(path))
+    except Exception:
+        return {}
+    out = {}
+    for k, v in raw.items():
+        try:
+            if isinstance(v, (int, float)):
+                out[k] = (float(v), "pool")
+            else:
+                out[k] = (float(v[0]), str(v[1]))
+        except Exception:
+            continue
+    return out
 
 
 def total_ram():
@@ -173,22 +212,26 @@ def main(sf_dir, out_dir, names=None):
     # additions since the cached run) go FIRST: pessimism costs a little
     # contention, optimism costs a multi-minute straggler.
     cost_path = f"{out_dir}/_oracle_costs.json"
-    try:
-        costs = {k: float(v) for k, v in
-                 json.load(open(cost_path)).items()}
-    except Exception:
-        costs = {}
+    costs = load_costs(cost_path)
     if costs:
-        items.sort(key=lambda it: costs.get(it[0], float("inf")),
+        items.sort(key=lambda it: costs.get(it[0], (float("inf"),))[0],
                    reverse=True)
     # queries whose cached cost exceeds the pool's flat budget by enough
     # that ONE of them sets the whole run's wall (dedup_semantic's
     # within-cell pairwise sweep: 183 s at 4 threads vs ~25 s at 32) run
-    # on the MAIN process instead — full threads, default memory, exactly
-    # one at a time: the r13-proven serial mode, overlapped with the
-    # pool. First run (no cost cache) ⇒ empty tier, pure pool.
-    main_tier = [it for it in items
-                 if costs.get(it[0], 0.0) >= MAIN_TIER_SEC]
+    # on the MAIN process instead — full threads, bounded memory (the
+    # RAM share the pool is NOT using), exactly one at a time: the
+    # r13-proven serial mode, overlapped with the pool. The threshold is
+    # per-LANE (ADVICE r14): a full-thread wall from a previous main/
+    # serial-lane run is NOT a pool wall — compared like-for-like, a
+    # query fast at full threads but pool-hostile (dedup_semantic:
+    # ~25 s vs ~183 s) stays in the main tier. First run (no cost
+    # cache) ⇒ empty tier, pure pool.
+    def pool_hostile(name):
+        wall, lane = costs.get(name, (0.0, "pool"))
+        return wall >= (MAIN_TIER_SEC if lane == "pool"
+                        else MAIN_TIER_FULLTHREAD_SEC)
+    main_tier = [it for it in items if pool_hostile(it[0])]
     pool_items = [it for it in items if it[0] not in
                   {n for n, _ in main_tier}]
 
@@ -207,11 +250,18 @@ def main(sf_dir, out_dir, names=None):
                 futs = {ex.submit(_wcheck, (n, q)): n
                         for n, q in pool_items}
                 if main_tier:
-                    mcon = connect(sf_dir)
+                    # full threads, but NOT the default ~80%-of-RAM cap:
+                    # this connection runs concurrently with the pool's
+                    # 60%-of-RAM aggregate and the live Spark JVM, and an
+                    # OS OOM kill of a pool worker fails every pending
+                    # future (ADVICE r14) — cap it at the share the pool
+                    # is not using
+                    mcon = connect(sf_dir,
+                                   mem_bytes=int(total_ram() * 0.35))
                     for name, sql in main_tier:
                         ok, lines, sec = check_one(mcon, out_dir, name, sql)
                         results[name] = (ok, lines)
-                        walls[name] = sec
+                        walls[name] = (sec, "main")
                         if ok:
                             print(lines[0], flush=True)
                 for f in futures.as_completed(futs):
@@ -222,7 +272,7 @@ def main(sf_dir, out_dir, names=None):
                             f"FAIL {futs[f]}: worker error: {e}"])
                         continue
                     results[name] = (ok, lines)
-                    walls[name] = sec
+                    walls[name] = (sec, "pool")
                     if ok:  # stream passes; failures wait for the retry
                         print(lines[0], flush=True)
         except Exception as e:
@@ -246,18 +296,20 @@ def main(sf_dir, out_dir, names=None):
         for name, sql in retry:
             ok, lines, sec = check_one(con, out_dir, name, sql)
             results[name] = (ok, lines)
-            walls[name] = sec
+            walls[name] = (sec, "serial")
             for ln in lines:
                 print(ln, flush=True)
     n_pass = sum(1 for ok, _ in results.values() if ok)
     n_fail = len(results) - n_pass
     # persist per-query walls for the NEXT run's LPT ordering — only on
     # a run that reached the end (a partial map would demote unmeasured
-    # heavies to the back of the queue). Retried queries record their
-    # serial wall; either way the value is a rank proxy, not a metric.
+    # heavies to the back of the queue). Each wall carries the lane that
+    # measured it (ADVICE r14) so the next run's tier selection compares
+    # like-for-like; either way the value is a rank proxy, not a metric.
     try:
         with open(cost_path, "w") as fh:
-            json.dump({k: round(v, 2) for k, v in walls.items()}, fh)
+            json.dump({k: [round(v[0], 2), v[1]]
+                       for k, v in walls.items()}, fh)
     except Exception as e:
         print(f"[oracle] cost-cache write failed: {e}", flush=True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
