@@ -147,8 +147,9 @@ object Bm25Queries {
            |  CROSS JOIN stats s
            |  GROUP BY p.doc_id),
            |base AS (SELECT doc_id FROM scored
-           |         ORDER BY score DESC, doc_id LIMIT $K),
-           |w AS (SELECT doc_id, ${TextAnalysis.wordTokensSql("text")} AS ws
+           |         ORDER BY round(score, 6) DESC, doc_id LIMIT $K),
+           |w AS MATERIALIZED (
+           |      SELECT doc_id, ${TextAnalysis.wordTokensSql("text")} AS ws
            |      FROM documents JOIN base USING (doc_id)),
            |wp0 AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos
            |        FROM w),
@@ -217,7 +218,7 @@ object Bm25Queries {
            |          FROM q0 GROUP BY term),
            |${scored("q0", "s0")},
            |base AS (SELECT doc_id FROM s0
-           |         ORDER BY score DESC, doc_id LIMIT $K),
+           |         ORDER BY round(score, 6) DESC, doc_id LIMIT $K),
            |exp AS (
            |  SELECT term FROM tok JOIN base USING (doc_id)
            |  WHERE term NOT IN ($excl)

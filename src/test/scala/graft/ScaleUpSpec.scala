@@ -51,16 +51,36 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
-  test("documented bounds are enforced (ADVICE r9)") {
-    // copies ≥ 43 would wrap the int32 key cast at offset 5·10⁷ —
-    // corrupt FKs, silently, on the non-ANSI cast path
+  test("documented bounds are enforced (ADVICE r9 / VERDICT r14 #5)") {
+    // copies ≥ 101 would wrap the int32 key cast even at the dense
+    // 2·10⁷ stride — corrupt FKs, silently, on the non-ANSI cast path
     val ex = intercept[IllegalArgumentException] {
-      ScaleUp.scaled(spark, sf, "orders", 43)
+      ScaleUp.scaled(spark, sf, "orders", 101)
     }
-    assert(ex.getMessage.contains("[1, 42]"))
+    assert(ex.getMessage.contains("[1, 100]"))
     intercept[IllegalArgumentException] {
       ScaleUp.scaled(spark, sf, "orders", 0)
     }
+  }
+
+  test("dense stride (copies > 42) keeps copies disjoint and FK-consistent") {
+    // the 100x draw's stride is 2·10⁷ — prove join cardinality still
+    // scales by exactly N (copies never cross-match) at a copies count
+    // past the classic 42 bound
+    val n = 50
+    val orders = ScaleUp.scaled(spark, sf, "orders", n)
+    val cust = ScaleUp.scaled(spark, sf, "customer", n)
+    val baseOrders = spark.read.parquet(s"$sf/orders.parquet")
+    val baseJoined = baseOrders.join(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      col("o_custkey") === col("c_custkey"))
+    assert(orders.count() == n * baseOrders.count())
+    assert(orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+      == n * baseJoined.count())
+    // keys must remain exactly representable in the column's int type
+    val mx = orders.agg(max(col("o_orderkey").cast("long"))).head.getLong(0)
+    assert(mx == (n - 1) * 20000000L +
+      baseOrders.agg(max(col("o_orderkey").cast("long"))).head.getLong(0))
   }
 
   test("vector shift is non-degenerate at dim multiples (ADVICE r9)") {
