@@ -42,8 +42,11 @@ connection), because the two are not comparable — dedup_semantic runs
 ~25 s at full threads but ~183 s in a capped worker, so a full-thread
 wall under the 60 s pool budget says nothing about pool fitness. Tier
 selection uses per-lane thresholds (pool wall >= 60 s, full-thread
-wall >= 15 s — conservative against the measured ~7x thread ratio);
-legacy lane-less caches are read as pool walls. And the main-tier
+wall >= 15 s — conservative against the measured ~7x thread ratio) and
+is CAPPED at the single heaviest eligible query: an uncapped tier
+serialized 15 queries (1,239 s chain, pool idle) at the 100x corpus,
+where the heavy dedup oracles turn out not to be thread-limited at
+all. Legacy lane-less caches are read as pool walls. And the main-tier
 connection itself now carries an explicit memory_limit (~35% of RAM,
 the share NOT allotted to the pool's 60% aggregate): its previous
 default ~80%-of-RAM cap ran CONCURRENTLY with the pool and the live
@@ -227,11 +230,23 @@ def main(sf_dir, out_dir, names=None):
     # query fast at full threads but pool-hostile (dedup_semantic:
     # ~25 s vs ~183 s) stays in the main tier. First run (no cost
     # cache) ⇒ empty tier, pure pool.
+    # Membership is capped at the SINGLE heaviest eligible query (r15):
+    # the tier exists to cut THE pathological straggler (dedup_semantic
+    # at 10x sf0.1: 183 s pooled vs 25 s full-thread), not to run the
+    # bulk. An uncapped tier serialized 15 queries at the 100x corpus —
+    # 1,239 s of main-lane chain while the pool idled, vs ~500 s fully
+    # pooled — because at that corpus the heavy dedup oracles are NOT
+    # thread-limited (dedup_semantic full-thread: 467 s, i.e. no faster
+    # than its 413 s pooled wall). One main-lane query overlaps the
+    # pool, so the worst case of a wrong pick is bounded by that query's
+    # own wall, never by a serial chain.
     def pool_hostile(name):
         wall, lane = costs.get(name, (0.0, "pool"))
         return wall >= (MAIN_TIER_SEC if lane == "pool"
                         else MAIN_TIER_FULLTHREAD_SEC)
-    main_tier = [it for it in items if pool_hostile(it[0])]
+    eligible = [it for it in items if pool_hostile(it[0])]
+    main_tier = sorted(eligible,
+                       key=lambda it: -costs[it[0]][0])[:1]
     pool_items = [it for it in items if it[0] not in
                   {n for n, _ in main_tier}]
 
