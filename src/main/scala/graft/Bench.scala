@@ -112,8 +112,11 @@ object Bench {
       settleOnce()
       val p = measureProbe(); wuProbes += p; wuIters += 1
       val prev = wuProbes(wuProbes.size - 2)
-      val best = wuProbes.filter(_ > 0).min
-      wuSettled = wuIters >= WuMinIters && p > 0 && prev > 0 &&
+      // minOption (ADVICE r15): measureProbe returns -1.0 on failure, so
+      // an all-failing probe set must keep the loop fail-open (cap exit,
+      // settled:false) instead of crashing the bench on empty.min
+      val best = wuProbes.filter(_ > 0).minOption.getOrElse(-1.0)
+      wuSettled = wuIters >= WuMinIters && p > 0 && prev > 0 && best > 0 &&
         math.max(p, prev) <= 1.5 * math.min(p, prev) && p <= 1.25 * best
     }
     // `probe_sec` is the SETTLED reading from r15 on — the steady-state
@@ -386,18 +389,30 @@ object Bench {
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "bench_history.json")
     val historyEligible = only.isEmpty && sfDir.endsWith("sf0.1")
-    val bands: Map[String, Seq[Double]] =
-      if (!historyEligible) Map.empty
-      else try {
-        val t = new String(java.nio.file.Files.readAllBytes(
+    // scale-tag check is `contains`, not `forall` (ADVICE r15): a history
+    // file whose "sf" field is missing or unreadable has unknown
+    // provenance — bands from a different scale must never arm, so the
+    // unparsable case DISARMS instead of failing open
+    val historyTxt: Option[String] =
+      if (!historyEligible) None
+      else (try {
+        Some(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(historyPath)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (BenchParse.historySf(t).forall(_ == sfDir))
-          BenchParse.history(t)
-        else Map.empty
-      } catch { case scala.util.control.NonFatal(_) =>
-        Map.empty[String, Seq[Double]]
-      }
+          java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => None })
+        .filter(t => BenchParse.historySf(t).contains(sfDir))
+    val bands: Map[String, Seq[Double]] =
+      historyTxt.map(BenchParse.history).getOrElse(Map.empty)
+    // the settled probes of the runs that produced the band draws
+    // (VERDICT r15 #3) — a band fire is annotated with this run's probe
+    // ÷ their mean, so a proportional-box-drift fire self-adjudicates
+    // from the artifact instead of costing a hand-run control panel
+    val bandProbes: Seq[Double] =
+      historyTxt.map(BenchParse.historyProbes).getOrElse(Seq.empty)
+    val probeRatio: Option[Double] =
+      if (bandProbes.nonEmpty && probeSec > 0)
+        Some(probeSec / (bandProbes.sum / bandProbes.size))
+      else None
     val probeBase = probePoints.map(_._3).filter(_ > 0)
       .minOption.getOrElse(-1.0)
     def probeFlatAt(t: Double): Boolean = probeBase > 0 && {
@@ -424,10 +439,13 @@ object Bench {
     // artifact (VERDICT r14 #2: "the tripwire carries the band") — a
     // fire is adjudicable without reconstructing history from git
     val bandDetailJson = {
+      val pr = probeRatio.map(r => s""","probe_ratio":${r3(r)}""")
+        .getOrElse("")
       val d = (regressed ++ regressedExt).flatMap { n =>
         bands.get(n).map(b => "\"" + n +
           s"""\":{"n":${b.size},"band_min":${r3(b.min)}""" +
-          s""","band_max":${r3(b.max)}}""")
+          s""","band_max":${r3(b.max)}""" +
+          s""","arm":${r3(BenchParse.armThreshold(b))}$pr}""")
       }
       if (d.isEmpty) "" else s""","regressed_bands":{${d.mkString(",")}}"""
     }
@@ -437,6 +455,14 @@ object Bench {
     // from the artifact alone. cold_total delta (VERDICT r12 #3) makes
     // first-touch drift (r12: +4.8% invisible to the warm tripwire) a
     // recorded number.
+    // structural history-write eligibility (VERDICT r15 #2): ANY
+    // non-default bench knob in the environment makes this run's draws
+    // ineligible for the committed band history — r15's cache-cold
+    // seeding draw was hand-excluded, and the silent failure mode (one
+    // forgotten divert pollutes all 196 bands) is now impossible by
+    // construction. The offending keys land in the artifact.
+    val nonDefaultEnv = BenchParse.nonDefaultBenchEnv(sys.env.keys)
+    val historyWrite = historyEligible && nonDefaultEnv.isEmpty
     val regressedJson = s""""regressed":${regressed
       .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","regressed_ext":${regressedExt
@@ -445,7 +471,14 @@ object Bench {
       s""","regressed_baseline":{"found":${prevTxt.nonEmpty}""" +
       s""","headline_entries":${prevWarm.size}""" +
       s""","extended_entries":${prevExtWarm.size}""" +
-      s""","band_entries":${bands.size}}""" +
+      s""","band_entries":${bands.size}""" +
+      s""","band_probes":${bandProbes.size}""" +
+      probeRatio.map(r => s""","probe_ratio":${r3(r)}""").getOrElse("") +
+      s""","history_write":$historyWrite""" +
+      (if (!historyWrite && nonDefaultEnv.nonEmpty)
+        s""","history_skip_env":${nonDefaultEnv.map(jstr)
+          .mkString("[", ",", "]")}"""
+      else "") + "}" +
       prevColdTotal.map(p =>
         s""","cold_total_prev":${r3(p)},"cold_total_delta":${r3(coldTotal - p)}""")
         .getOrElse("")
@@ -536,16 +569,25 @@ object Bench {
     println(compactJson()); System.out.flush()
     // append this run's warm values to the rolling band history as soon
     // as the timed series are final — a cert-phase kill must not cost
-    // the round's band update (same insurance posture as phase-1)
-    if (historyEligible) {
-      val current = (good ++ extGood).map(r => r._1 -> r._3).toMap
+    // the round's band update (same insurance posture as phase-1).
+    // Entries the tripwire FLAGGED are excluded from the append (ADVICE
+    // r15): a committed regressed round must not enter its own band and
+    // raise band.max — that would let a sustained regression flag once
+    // then self-normalize, and a ≤30%-per-round creep never flag at all.
+    if (historyWrite) {
+      val flagged = (regressed ++ regressedExt).toSet
+      val current =
+        (good ++ extGood).map(r => r._1 -> r._3).toMap -- flagged
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(historyPath),
-        BenchParse.historyJson(bands, current, sfDir)
+        BenchParse.historyJson(bands, current, sfDir,
+            bandProbes, Some(probeSec))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] $historyPath write failed: $t") }
-    }
+    } else if (historyEligible) System.err.println(
+      s"[bench] history append skipped (non-default env: " +
+        s"${nonDefaultEnv.mkString(",")})")
 
     // ---- certification deadline (VERDICT r13 #1b): certs that have not
     // STARTED by this elapsed-time budget emit the skipped stand-in with
@@ -870,6 +912,12 @@ object Bench {
         s""","failed":${oc.failedNames.map(jstr).mkString("[", ",", "]")}""" +
         s""","exempt":${DecadeCorrExempt.keys.toSeq.sorted
           .map(jstr).mkString("[", ",", "]")}""" +
+        // the WHY rides in the artifact (VERDICT r15 stretch): a judge
+        // or the driver reads the exemption rationale without grepping
+        // SURVEY prose
+        s""","exempt_reason":{${DecadeCorrExempt.toSeq.sortBy(_._1)
+          .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+          .mkString(",")}}""" +
         s""","dump_skipped":$dumpSkipped,"dump_sec":${r3(dumpSec)}""" +
         s""","oracle_sec":${r3(oracleSec)},"oracle_complete":${oc.complete}""" +
         diag + s""","sec":${r3(sec)}""",

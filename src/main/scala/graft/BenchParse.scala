@@ -89,22 +89,40 @@ object BenchParse {
 
   /** Rolling per-entry warm-value history (bench_history.json): the
     * last ≤[[HistoryCap]] committed full-run draws per entry,
-    * most-recent-LAST. Fails open to empty like every parser here. */
+    * most-recent-LAST. The top-level `probes` array (r16) is a reserved
+    * run-level key, not an entry. Fails open to empty like every parser
+    * here. */
   def history(txt: String): Map[String, Seq[Double]] =
     """"([^"]+)":\[([0-9.,Ee+\- ]*)\]""".r.findAllMatchIn(txt).map { m =>
       m.group(1) -> m.group(2).split(",").toSeq.map(_.trim)
         .filter(_.nonEmpty).flatMap(_.toDoubleOption)
-    }.toMap.filter(_._2.nonEmpty)
+    }.toMap.filter(_._2.nonEmpty) - "probes"
+
+  /** The run-level settled-probe readings stored alongside the history
+    * draws (VERDICT r15 #3): one per accepted committed run, aligned
+    * with the entry arrays' tail, so a band fire can be annotated with
+    * (this run's settled probe ÷ the band draws' probes) and a
+    * proportional box-drift fire self-adjudicates from the artifact.
+    * Absent on pre-r16 files → empty (the annotation is then omitted,
+    * never guessed). */
+  def historyProbes(txt: String): Seq[Double] =
+    """"probes":\[([0-9.,Ee+\- ]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty).flatMap(_.toDoubleOption))
+      .getOrElse(Seq.empty)
 
   val HistoryCap = 5
 
-  /** Serialize an updated history: append this run's warm values and
-    * keep the most recent [[HistoryCap]] per entry. Entries absent from
-    * this run (failed, or renamed away) retain their tail so one bad
-    * draw doesn't erase an armed band; entries gone from the catalog
-    * stop being read and age out with the file. */
+  /** Serialize an updated history: append this run's warm values (and
+    * its settled probe) and keep the most recent [[HistoryCap]] per
+    * entry. Entries absent from this run (failed, or renamed away)
+    * retain their tail so one bad draw doesn't erase an armed band;
+    * entries gone from the catalog stop being read and age out with the
+    * file. */
   def historyJson(prev: Map[String, Seq[Double]],
-      current: Map[String, Double], sf: String): String = {
+      current: Map[String, Double], sf: String,
+      prevProbes: Seq[Double] = Seq.empty,
+      probe: Option[Double] = None): String = {
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val merged = (prev.keySet ++ current.keySet).toSeq.sorted.map { n =>
@@ -112,20 +130,62 @@ object BenchParse {
         .takeRight(HistoryCap)
       "\"" + n + "\":[" + vs.map(r3).mkString(",") + "]"
     }
-    s"""{"sf":"$sf","cap":$HistoryCap,"entries":{${merged.mkString(",")}}}"""
+    val probes = (prevProbes ++ probe.filter(_ > 0)).takeRight(HistoryCap)
+    val probesJson =
+      if (probes.isEmpty) ""
+      else s""","probes":[${probes.map(r3).mkString(",")}]"""
+    s"""{"sf":"$sf","cap":$HistoryCap$probesJson""" +
+      s""","entries":{${merged.mkString(",")}}}"""
   }
 
-  /** Variance-aware regression verdict (VERDICT r14 #2): with ≥3 prior
-    * draws the tripwire flags only an EXIT from the observed band — warm
-    * above max(band) with 30% headroom, the pinned quiet-box noise width
-    * for sub-3 s entries (SURVEY §6.10) — so run-to-run noise inside the
-    * band stops costing a manual adjudication every round. With a thin
-    * band (<3 draws) it falls back to the single-baseline 1.5× rule.
-    * Sub-0.2 s entries are never flagged (pure scheduling noise). */
+  /** History WRITE eligibility is structural (VERDICT r15 #2): a run
+    * with ANY non-default bench configuration — a forced extra draw, a
+    * changed deadline, a diverted artifact, a partial series — must not
+    * append to the committed band history; r15's cache-cold seeding
+    * draw was excluded by hand and the failure mode (one forgotten env
+    * var pollutes all 196 bands, widening every tripwire ×1.5) is
+    * silent. The allowlist names the ONLY knobs a band-eligible run may
+    * set: the corpus, the core count, and the history path itself (the
+    * divert mechanism — pointing the write elsewhere is safe by
+    * construction). Returns the offending keys so the artifact can say
+    * WHY a run was ineligible. */
+  val HistoryNeutralEnv: Set[String] = Set(
+    "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_BENCH_HISTORY")
+
+  def nonDefaultBenchEnv(envKeys: Iterable[String]): Seq[String] =
+    envKeys.filter(k => k.startsWith("SPARK_GRAFT_") &&
+      !HistoryNeutralEnv(k)).toSeq.sorted
+
+  /** The warm value above which a banded entry flags (VERDICT r15 #1).
+    * The r15 rule — max(band)×1.3 — was outlier-fragile: bands seeded
+    * from git history each carry one r12-era noisy draw, so e.g.
+    * ann_ip_mips armed at 0.73 s ≈ 4× its 0.18 s median and a real 3×
+    * regression would have sailed under the tripwire until the outlier
+    * aged out of the 5-draw window. Now the single largest draw is
+    * TRIMMED before taking the max (with ≥4 draws — a 3-draw band has
+    * no room to trim), and the arm never drops below median×1.5 so a
+    * coincidentally tight cluster can't arm inside the pinned ±30–40%
+    * quiet-box noise width. Against the committed bench_history.json
+    * this arms 95% of entries within 1.55× of their median (old rule:
+    * 60%), while a genuine 2× exit still fires everywhere. */
+  def armThreshold(band: Seq[Double]): Double = {
+    val s = band.sorted
+    val trimmedMax = if (s.size >= 4) s(s.size - 2) else s.last
+    val median = s(s.size / 2)
+    math.max(1.3 * trimmedMax, 1.5 * median)
+  }
+
+  /** Variance-aware regression verdict (VERDICT r14 #2, hardened r16):
+    * with ≥3 prior draws the tripwire flags only an EXIT from the
+    * observed band's [[armThreshold]] — outlier-trimmed, median-floored
+    * — so neither run-to-run noise inside the band nor one historic
+    * noisy draw costs a manual adjudication. With a thin band (<3
+    * draws) it falls back to the single-baseline 1.5× rule. Sub-0.2 s
+    * entries are never flagged (pure scheduling noise). */
   def bandRegressed(warm: Double, band: Seq[Double],
       prevWarm: Option[Double]): Boolean =
     if (warm < 0.2) false
-    else if (band.size >= 3) warm > 1.3 * band.max
+    else if (band.size >= 3) warm > armThreshold(band)
     else prevWarm.exists(p => warm > 1.5 * p)
 
   /** Outcome accounting of one `tools/oracle_check.py` run (ADVICE r13

@@ -155,15 +155,18 @@ object IndexStore extends org.apache.spark.internal.Logging {
       // pre-r14 decade-cert dump dirs (ADVICE r14): the cert's outTag was
       // a bare "x10" before it was namespaced by base-corpus slug, so
       // runCert's prefix GC never reclaims the legacy `x10_<fp>` dirs —
-      // a full-catalog parquet dump each. The legacy shape is exactly
-      // x10_ + a 16-hex fingerprint; namespaced dirs (x10_root_…_<fp>)
-      // carry the slug between and never match.
+      // a full-catalog parquet dump each. The legacy shape is x10_ + a
+      // fingerprint of UP TO 16 hex chars — Long.toHexString does not
+      // zero-pad, so a hash with high zero nibbles yields fewer (ADVICE
+      // r15: the {16} match never reclaimed those). Namespaced dirs
+      // (x10_root_…_<fp>) still can't match: their slug segment
+      // contains non-hex characters and matches() is full-string.
       try {
         val dv = new Path(s"$root/_decade_verify")
         val f = fs(spark, dv.toString)
         if (f.exists(dv))
           f.listStatus(dv).map(_.getPath)
-            .filter(_.getName.matches("x10_[0-9a-f]{16}"))
+            .filter(_.getName.matches("x10_[0-9a-f]{1,16}"))
             .foreach(graceDelete)
       } catch { case scala.util.control.NonFatal(t) =>
         logWarning(s"legacy decade-dump gc failed (non-fatal): $t")

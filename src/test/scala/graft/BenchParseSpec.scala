@@ -102,7 +102,7 @@ class BenchParseSpec extends AnyFunSuite {
     val band = Seq(1.0, 1.2, 0.9)
     // inside the band (even above the single previous draw's 1.5x)
     assert(!BenchParse.bandRegressed(1.5, band, Some(0.9)))
-    // exits max(band)*1.3 = 1.56
+    // 3-draw band has no trim room: exits max(band)*1.3 = 1.56
     assert(BenchParse.bandRegressed(1.6, band, Some(0.9)))
     // thin band: single-baseline rule
     assert(BenchParse.bandRegressed(1.6, Seq(1.0), Some(1.0)))
@@ -110,6 +110,74 @@ class BenchParseSpec extends AnyFunSuite {
     // sub-0.2s never flags; no baseline at all never flags
     assert(!BenchParse.bandRegressed(0.19, band, Some(0.01)))
     assert(!BenchParse.bandRegressed(5.0, Nil, None))
+  }
+
+  test("arm threshold: one outlier draw does not widen it, a genuine 2x exit still fires") {
+    // ann_ip_mips' real seeded band shape (VERDICT r15 #1): one r12-era
+    // noisy draw at 0.561 over a 0.18 s median. The r15 rule armed at
+    // 1.3*max = 0.73 ≈ 4x the median — a real 3x regression was
+    // invisible. Trimmed, the arm is median-floored at 0.27.
+    val outlier = Seq(0.159, 0.17, 0.18, 0.19, 0.561)
+    val arm = BenchParse.armThreshold(outlier)
+    assert(arm < 0.3, s"outlier draw widened the arm to $arm")
+    assert(BenchParse.bandRegressed(0.36, outlier, None),
+      "a genuine 2x-of-median exit must fire despite the historic outlier")
+    assert(!BenchParse.bandRegressed(0.26, outlier, None),
+      "inside the trimmed band + noise floor must not fire")
+    // median floor: a coincidentally tight cluster must not arm inside
+    // the pinned +-30-40% quiet-box noise width
+    val tight = Seq(0.5, 0.5, 0.5, 0.5, 0.5)
+    assert(BenchParse.armThreshold(tight) == 0.75)
+    assert(!BenchParse.bandRegressed(0.7, tight, None))
+    assert(BenchParse.bandRegressed(0.8, tight, None))
+  }
+
+  test("the COMMITTED history's bands arm within ~1.5x of their median for >=90% of entries") {
+    // VERDICT r15 #1's acceptance criterion, measured against the real
+    // seeded history (each band carries one r12-era noisy draw)
+    val f = new java.io.File("bench_history.json")
+    assume(f.isFile, "no committed bench_history.json in the working dir")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val armed = BenchParse.history(txt).values.filter(_.size >= 3).toSeq
+    assert(armed.size >= 150)
+    val within = armed.count { b =>
+      val med = b.sorted.apply(b.size / 2)
+      BenchParse.armThreshold(b) <= 1.55 * med
+    }
+    assert(within.toDouble / armed.size >= 0.9,
+      s"only $within of ${armed.size} bands arm within 1.55x of median")
+  }
+
+  test("history write eligibility is structural: any non-default bench knob disqualifies") {
+    // VERDICT r15 #2: r15's seeding draw was hand-excluded from the
+    // band history; now a forced draw / non-default deadline / diverted
+    // artifact can never append (Bench gates the write on this being
+    // empty, so the committed file stays byte-identical on such runs)
+    val neutral = Seq("SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS",
+      "SPARK_GRAFT_BENCH_HISTORY", "HOME", "PATH")
+    assert(BenchParse.nonDefaultBenchEnv(neutral).isEmpty)
+    assert(BenchParse.nonDefaultBenchEnv(
+      neutral :+ "SPARK_GRAFT_EXTRA_DRAW") == Seq("SPARK_GRAFT_EXTRA_DRAW"))
+    assert(BenchParse.nonDefaultBenchEnv(
+      Seq("SPARK_GRAFT_BENCH_DEADLINE", "SPARK_GRAFT_BENCH_FULL")) ==
+      Seq("SPARK_GRAFT_BENCH_DEADLINE", "SPARK_GRAFT_BENCH_FULL"))
+  }
+
+  test("history probes: round-trip beside the draws, capped, reserved key never parses as an entry") {
+    val txt = BenchParse.historyJson(
+      Map("a" -> Seq(1.0)), Map("a" -> 2.0), "/root/testdata/sf0.1",
+      prevProbes = Seq(0.10, 0.11, 0.12, 0.13, 0.14), probe = Some(0.15))
+    assert(BenchParse.historyProbes(txt) ==
+      Seq(0.11, 0.12, 0.13, 0.14, 0.15)) // capped, oldest dropped
+    assert(BenchParse.history(txt) == Map("a" -> Seq(1.0, 2.0)),
+      "the probes array must not parse as a band entry")
+    // a failed probe (-1) is never appended; pre-r16 files have no
+    // probes array and fail open to empty
+    val noP = BenchParse.historyJson(Map.empty, Map("a" -> 1.0),
+      "/root/testdata/sf0.1", prevProbes = Seq.empty, probe = Some(-1.0))
+    assert(BenchParse.historyProbes(noP).isEmpty)
+    assert(BenchParse.historyProbes("""{"sf":"x","entries":{}}""").isEmpty)
   }
 
   test("a phase-1 partial artifact arms baselines; pending extra_draw is None") {

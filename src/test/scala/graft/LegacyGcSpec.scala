@@ -33,6 +33,11 @@ class LegacyGcSpec extends AnyFunSuite {
     // one (carries the base-corpus slug) — only the former is legacy
     val oldDump = mk(new Path(
       s"${IndexStore.root}/_decade_verify/x10_0123456789abcdef"))
+    // Long.toHexString does not zero-pad (ADVICE r15): a legacy dump
+    // whose fingerprint has a high zero nibble is SHORTER than 16 hex
+    // chars and must still be reclaimed
+    val oldShortDump = mk(new Path(
+      s"${IndexStore.root}/_decade_verify/x10_3f2a9c"))
     val newDump = mk(new Path(
       s"${IndexStore.root}/_decade_verify/x10_root_testdata_sf0.1_0123456789abcdef"))
     val rootExisted = exists(new Path(IndexStore.root))
@@ -41,7 +46,7 @@ class LegacyGcSpec extends AnyFunSuite {
     try {
       IndexStore.runLegacyGc(spark)
       assert(exists(oldVersionRoot) && exists(oldBucketed) &&
-        exists(oldPartitioned) && exists(oldDump),
+        exists(oldPartitioned) && exists(oldDump) && exists(oldShortDump),
         "roots inside the grace window must be left alone")
       // grace 0: everything just created is already "cold"
       sys.props("graft.layout.gc.grace.ms") = "0"
@@ -53,6 +58,8 @@ class LegacyGcSpec extends AnyFunSuite {
         "legacy _partitioned tree must be collected")
       assert(!exists(oldDump),
         "legacy un-namespaced decade dump must be collected")
+      assert(!exists(oldShortDump),
+        "legacy dump with an unpadded (<16 hex) fingerprint must be collected")
       assert(exists(newDump),
         "namespaced decade dumps are runCert's to manage, not legacy gc's")
       // the CURRENT version root is never a target
