@@ -170,6 +170,43 @@ MAIN_TIER_SEC = 60.0  # cached POOL-lane cost above this ⇒ main lane
 # dedup_semantic); a query at or above this full-thread wall would
 # blow the pool budget and stays in the main tier
 MAIN_TIER_FULLTHREAD_SEC = MAIN_TIER_SEC / 4
+# ranking normalization for walls measured at full threads: the same
+# conservative ~4x factor the eligibility threshold encodes, so a
+# main-lane 20 s wall outranks a pool-lane 70 s one (ADVICE r15 — raw
+# walls from different lanes are not comparable, the tier could pick
+# the less pathological straggler)
+LANE_NORM = {"pool": 1.0, "main": 4.0, "serial": 4.0}
+
+
+def pick_main_tier(names, costs):
+    """The <=1 queries promoted to the full-thread main lane, from the
+    cached per-lane walls. Pure (unit-tested in test_oracle_tier.py).
+
+    Eligibility is per-lane: pool walls against the pool budget
+    (>= MAIN_TIER_SEC), MAIN-lane full-thread walls against the
+    conservative ratio-adjusted budget (>= MAIN_TIER_FULLTHREAD_SEC).
+    A SERIAL-lane wall is a crash-retry measurement — taken on a box
+    right after a pool failure, for a query that proved nothing about
+    pool-hostility — so it must clear the FULL pool budget at full
+    threads (>= MAIN_TIER_SEC, i.e. it would be the run's wall even
+    unpooled) before it can promote: a pool-friendly ~20 s query that
+    lost a worker to a one-off OOM must not occupy the single main
+    slot next run (VERDICT r15 #5). Ranking among eligibles is by
+    LANE-NORMALIZED wall so cross-lane candidates compare
+    like-for-like."""
+    def eligible(name):
+        wall, lane = costs.get(name, (0.0, "pool"))
+        if lane == "main":
+            return wall >= MAIN_TIER_FULLTHREAD_SEC
+        if lane == "serial":
+            return wall >= MAIN_TIER_SEC
+        return wall >= MAIN_TIER_SEC
+    def norm_wall(name):
+        wall, lane = costs.get(name, (0.0, "pool"))
+        return wall * LANE_NORM.get(lane, 1.0)
+    ranked = sorted((n for n in names if n in costs and eligible(n)),
+                    key=lambda n: -norm_wall(n))
+    return ranked[:1]
 
 
 def load_costs(path):
@@ -239,16 +276,12 @@ def main(sf_dir, out_dir, names=None):
     # thread-limited (dedup_semantic full-thread: 467 s, i.e. no faster
     # than its 413 s pooled wall). One main-lane query overlaps the
     # pool, so the worst case of a wrong pick is bounded by that query's
-    # own wall, never by a serial chain.
-    def pool_hostile(name):
-        wall, lane = costs.get(name, (0.0, "pool"))
-        return wall >= (MAIN_TIER_SEC if lane == "pool"
-                        else MAIN_TIER_FULLTHREAD_SEC)
-    eligible = [it for it in items if pool_hostile(it[0])]
-    main_tier = sorted(eligible,
-                       key=lambda it: -costs[it[0]][0])[:1]
-    pool_items = [it for it in items if it[0] not in
-                  {n for n, _ in main_tier}]
+    # own wall, never by a serial chain. r16: eligibility, the serial-
+    # lane (crash-retry) bar, and lane-normalized ranking live in
+    # pick_main_tier (pure, unit-tested in tools/test_oracle_tier.py).
+    tier_names = set(pick_main_tier([n for n, _ in items], costs))
+    main_tier = [it for it in items if it[0] in tier_names]
+    pool_items = [it for it in items if it[0] not in tier_names]
 
     walls = {}
     results = {}

@@ -1,0 +1,115 @@
+#!/usr/bin/env bash
+# Replay the driver's post-round bench path on the committed HEAD,
+# BEFORE the driver runs it (VERDICT r15 #4). Standard closing step.
+#
+# Rationale (the r15 catch this encodes): after the r15 closing runs, an
+# ad-hoc third bench with artifact+history diverted replayed the
+# driver's exact path and found the lane-aware oracle tier had admitted
+# 15 queries to the main lane — a 1,239 s serial full-thread chain that
+# would have landed in the DRIVER'S run and rewritten the cost cache to
+# make it repeat. The fix (cap-1) was committed before the driver ever
+# saw it. This script makes that replay a tool instead of a hand run.
+#
+# What it does:
+#  1. copies the COMMITTED bench_full.json + bench_history.json to a
+#     scratch dir — the run then parses the driver's exact extra-draw
+#     rotation and arms the same bands, without touching the repo files;
+#  2. runs graft.Bench with the artifact and history DIVERTED there
+#     (the run is also structurally history-ineligible: a non-default
+#     SPARK_GRAFT_BENCH_FULL disqualifies the append — VERDICT r15 #2);
+#  3. asserts from the diverted artifact: rc=0, decade + extra-draw
+#     certs ran with fail==0, dumps were REUSED (dump_skipped:true —
+#     the driver pays only the DuckDB compare), and each cert's oracle
+#     wall is under PREFLIGHT_MAX_ORACLE_SEC (default 900 s);
+#  4. proves the committed bench_history.json is byte-identical after.
+#
+# Modes:
+#   PREFLIGHT_ALLOW_DUMP=1   first run after a src/tools change: the
+#                            rotation target's dump does not exist yet,
+#                            so the run SEEDS it (dump_skipped:false is
+#                            tolerated; wall asserts apply to the oracle
+#                            compare only). Run the script again — or
+#                            let the driver run — to get the reuse proof.
+#   PREFLIGHT_FAST=1         skip the extended series (~12 min): the
+#                            cert path is identical; only the extended
+#                            tripwire coverage is dropped.
+#
+# Usage: tools/preflight_driver.sh   (from the repo root, committed HEAD)
+set -u
+cd "$(dirname "$0")/.."
+
+SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+MAX_ORACLE="${PREFLIGHT_MAX_ORACLE_SEC:-900}"
+SCRATCH="$(mktemp -d /tmp/graft_preflight.XXXXXX)"
+
+if ! git diff --quiet HEAD -- src tools; then
+  echo "PREFLIGHT FAIL: src/ or tools/ has uncommitted changes —" \
+       "the driver runs the committed HEAD (and dump markers require" \
+       "a clean tree)"; exit 1
+fi
+for f in bench_full.json bench_history.json; do
+  [ -f "$f" ] || { echo "PREFLIGHT FAIL: missing committed $f"; exit 1; }
+  cp "$f" "$SCRATCH/$f"
+done
+HIST_MD5_BEFORE=$(md5sum bench_history.json | cut -d' ' -f1)
+
+echo "== preflight: replaying driver path (artifact+history -> $SCRATCH) =="
+ENVV=(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS"
+      SPARK_GRAFT_BENCH_FULL="$SCRATCH/bench_full.json"
+      SPARK_GRAFT_BENCH_HISTORY="$SCRATCH/bench_history.json")
+[ "${PREFLIGHT_FAST:-0}" = "1" ] && ENVV+=(SPARK_GRAFT_BENCH_EXT=off)
+env "${ENVV[@]}" sbt -batch "runMain graft.Bench" \
+  > "$SCRATCH/bench.log" 2>&1
+RC=$?
+tail -n 3 "$SCRATCH/bench.log"
+if [ $RC -ne 0 ]; then
+  echo "PREFLIGHT FAIL: bench rc=$RC (log: $SCRATCH/bench.log)"; exit 1
+fi
+
+HIST_MD5_AFTER=$(md5sum bench_history.json | cut -d' ' -f1)
+if [ "$HIST_MD5_BEFORE" != "$HIST_MD5_AFTER" ]; then
+  echo "PREFLIGHT FAIL: committed bench_history.json changed — the" \
+       "structural write gate is broken"; exit 1
+fi
+echo "PASS committed bench_history.json byte-identical"
+
+python3 - "$SCRATCH/bench_full.json" "$MAX_ORACLE" \
+          "${PREFLIGHT_ALLOW_DUMP:-0}" <<'EOF'
+import json, sys
+art = json.load(open(sys.argv[1]))
+max_oracle = float(sys.argv[2]); allow_dump = sys.argv[3] == "1"
+bad = []
+for sect in ("decade_correctness", "extra_draw"):
+    s = art.get(sect) or {}
+    if s.get("skipped") or s.get("pending") or "error" in s:
+        bad.append(f"{sect}: did not run ({s})"); continue
+    if s.get("fail") != 0 or not s.get("pass"):
+        bad.append(f"{sect}: pass={s.get('pass')} fail={s.get('fail')}")
+    if not s.get("oracle_complete", False):
+        bad.append(f"{sect}: oracle compare did not run to the end")
+    if not s.get("dump_skipped", False):
+        msg = f"{sect}: dump was NOT reused (dump_sec={s.get('dump_sec')})"
+        if allow_dump:
+            print(f"WARN {msg} — seeding mode, tolerated")
+        else:
+            bad.append(msg + " — rerun with PREFLIGHT_ALLOW_DUMP=1 to seed")
+    osec = s.get("oracle_sec", -1)
+    if osec > max_oracle:
+        bad.append(f"{sect}: oracle wall {osec:.0f}s exceeds {max_oracle:.0f}s"
+                   " (the r15 serial-chain class)")
+    else:
+        print(f"PASS {sect}: pass={s.get('pass')} fail={s.get('fail')} "
+              f"dump_skipped={s.get('dump_skipped')} oracle_sec={osec}")
+ed = art.get("extra_draw") or {}
+if "src" in ed:
+    print(f"INFO driver rotation target: {ed.get('src')} x{ed.get('rows_factor')}")
+if art.get("failed") or art.get("ext_failed"):
+    bad.append(f"failed entries: {art.get('failed')} {art.get('ext_failed')}")
+if bad:
+    print("PREFLIGHT FAIL:\n  " + "\n  ".join(bad)); sys.exit(1)
+print("== PREFLIGHT OK: the driver's post-round run will reuse these dumps ==")
+EOF
+RC=$?
+[ $RC -eq 0 ] && echo "(artifact kept at $SCRATCH/bench_full.json)"
+exit $RC
