@@ -104,8 +104,12 @@ for sect in ("decade_correctness", "extra_draw"):
 ed = art.get("extra_draw") or {}
 if "src" in ed:
     print(f"INFO driver rotation target: {ed.get('src')} x{ed.get('rows_factor')}")
-if art.get("failed") or art.get("ext_failed"):
-    bad.append(f"failed entries: {art.get('failed')} {art.get('ext_failed')}")
+# headline failures are top-level; extended failures live INSIDE the
+# extended section of the full artifact (ext_failed is the compact
+# line's key, absent here)
+ext_failed = (art.get("extended") or {}).get("failed")
+if art.get("failed") or ext_failed:
+    bad.append(f"failed entries: {art.get('failed')} ext={ext_failed}")
 if bad:
     print("PREFLIGHT FAIL:\n  " + "\n  ".join(bad)); sys.exit(1)
 print("== PREFLIGHT OK: the driver's post-round run will reuse these dumps ==")
