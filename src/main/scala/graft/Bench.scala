@@ -401,14 +401,31 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8))
       } catch { case scala.util.control.NonFatal(_) => None })
         .filter(t => BenchParse.historySf(t).contains(sfDir))
+    // an EXISTING history file that failed to read (or carries a
+    // missing/foreign scale tag) must also block the WRITE, not just
+    // disarm the bands: with prev=empty the end-of-run append would
+    // rebuild the file from this run alone — one torn tag would
+    // silently destroy all 196 five-draw bands (r16 review)
+    val historyReadOk = historyTxt.isDefined || !java.nio.file.Files
+      .exists(java.nio.file.Paths.get(historyPath))
     val bands: Map[String, Seq[Double]] =
       historyTxt.map(BenchParse.history).getOrElse(Map.empty)
     // the settled probes of the runs that produced the band draws
     // (VERDICT r15 #3) — a band fire is annotated with this run's probe
     // ÷ their mean, so a proportional-box-drift fire self-adjudicates
     // from the artifact instead of costing a hand-run control panel
+    // positivity re-filtered after the r3 round-trip (a probe in
+    // (0, 0.0005) serializes as 0.000 and would zero the mean →
+    // Infinity ratio → NumberFormatException in r3, killing the run
+    // before any artifact — r16 review). NOTE the ratio is RUN-level:
+    // it compares this run's box against the probes of recent ACCEPTED
+    // runs (probes only accumulate from r16 on, and a run whose entry
+    // was flagged still contributes its probe), not against the exact
+    // runs behind any one entry's draws — a best-effort box-state
+    // annotation, never a per-draw alignment.
     val bandProbes: Seq[Double] =
       historyTxt.map(BenchParse.historyProbes).getOrElse(Seq.empty)
+        .filter(_ > 0)
     val probeRatio: Option[Double] =
       if (bandProbes.nonEmpty && probeSec > 0)
         Some(probeSec / (bandProbes.sum / bandProbes.size))
@@ -442,10 +459,17 @@ object Bench {
       val pr = probeRatio.map(r => s""","probe_ratio":${r3(r)}""")
         .getOrElse("")
       val d = (regressed ++ regressedExt).flatMap { n =>
-        bands.get(n).map(b => "\"" + n +
-          s"""\":{"n":${b.size},"band_min":${r3(b.min)}""" +
-          s""","band_max":${r3(b.max)}""" +
-          s""","arm":${r3(BenchParse.armThreshold(b))}$pr}""")
+        bands.get(n).map { b =>
+          // arm is only cited when the >=3-draw band branch actually
+          // produced the verdict — a thin-band entry was flagged by the
+          // 1.5x-prev fallback and quoting an unconsulted threshold
+          // would contradict the flag (r16 review)
+          val arm = if (b.size >= 3)
+            s""","arm":${r3(BenchParse.armThreshold(b))}""" else ""
+          "\"" + n +
+            s"""\":{"n":${b.size},"band_min":${r3(b.min)}""" +
+            s""","band_max":${r3(b.max)}"""  + arm + pr + "}"
+        }
       }
       if (d.isEmpty) "" else s""","regressed_bands":{${d.mkString(",")}}"""
     }
@@ -462,7 +486,8 @@ object Bench {
     // forgotten divert pollutes all 196 bands) is now impossible by
     // construction. The offending keys land in the artifact.
     val nonDefaultEnv = BenchParse.nonDefaultBenchEnv(sys.env.keys)
-    val historyWrite = historyEligible && nonDefaultEnv.isEmpty
+    val historyWrite = historyEligible && nonDefaultEnv.isEmpty &&
+      historyReadOk
     val regressedJson = s""""regressed":${regressed
       .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","regressed_ext":${regressedExt
@@ -478,7 +503,9 @@ object Bench {
       (if (!historyWrite && nonDefaultEnv.nonEmpty)
         s""","history_skip_env":${nonDefaultEnv.map(jstr)
           .mkString("[", ",", "]")}"""
-      else "") + "}" +
+      else "") +
+      (if (!historyReadOk) s""","history_unreadable":true""" else "") +
+      "}" +
       prevColdTotal.map(p =>
         s""","cold_total_prev":${r3(p)},"cold_total_delta":${r3(coldTotal - p)}""")
         .getOrElse("")
@@ -586,7 +613,10 @@ object Bench {
       catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] $historyPath write failed: $t") }
     } else if (historyEligible) System.err.println(
-      s"[bench] history append skipped (non-default env: " +
+      if (!historyReadOk)
+        s"[bench] history append skipped ($historyPath exists but is " +
+          "unreadable or off-scale — preserved, not rebuilt)"
+      else s"[bench] history append skipped (non-default env: " +
         s"${nonDefaultEnv.mkString(",")})")
 
     // ---- certification deadline (VERDICT r13 #1b): certs that have not

@@ -99,12 +99,14 @@ object BenchParse {
     }.toMap.filter(_._2.nonEmpty) - "probes"
 
   /** The run-level settled-probe readings stored alongside the history
-    * draws (VERDICT r15 #3): one per accepted committed run, aligned
-    * with the entry arrays' tail, so a band fire can be annotated with
-    * (this run's settled probe ÷ the band draws' probes) and a
-    * proportional box-drift fire self-adjudicates from the artifact.
-    * Absent on pre-r16 files → empty (the annotation is then omitted,
-    * never guessed). */
+    * draws (VERDICT r15 #3): one per accepted committed run. NOT
+    * per-draw aligned — pre-r16 draws have no probe, and an entry
+    * flagged in a run skips that draw while the run's probe still
+    * lands — so a band fire's probe_ratio (this run's settled probe ÷
+    * the mean of these) reads as "this box vs recent accepted runs'
+    * boxes", a best-effort drift annotation, not an exact per-draw
+    * comparison. Absent on pre-r16 files → empty (the annotation is
+    * then omitted, never guessed). */
   def historyProbes(txt: String): Seq[Double] =
     """"probes":\[([0-9.,Ee+\- ]*)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1).split(",").toSeq.map(_.trim)

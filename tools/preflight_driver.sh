@@ -48,9 +48,16 @@ if ! git diff --quiet HEAD -- src tools; then
        "the driver runs the committed HEAD (and dump markers require" \
        "a clean tree)"; exit 1
 fi
+# replay sources come from HEAD, not the working tree: a dirty local
+# bench_full.json would make the preflight parse a DIFFERENT rotation
+# than the driver's committed-HEAD run (r16 review)
 for f in bench_full.json bench_history.json; do
-  [ -f "$f" ] || { echo "PREFLIGHT FAIL: missing committed $f"; exit 1; }
-  cp "$f" "$SCRATCH/$f"
+  git show "HEAD:$f" > "$SCRATCH/$f" 2>/dev/null \
+    || { echo "PREFLIGHT FAIL: $f not committed at HEAD"; exit 1; }
+  if ! git diff --quiet HEAD -- "$f"; then
+    echo "WARN working-tree $f differs from HEAD — replaying the" \
+         "committed version (the driver's view)"
+  fi
 done
 HIST_MD5_BEFORE=$(md5sum bench_history.json | cut -d' ' -f1)
 
@@ -69,10 +76,10 @@ fi
 
 HIST_MD5_AFTER=$(md5sum bench_history.json | cut -d' ' -f1)
 if [ "$HIST_MD5_BEFORE" != "$HIST_MD5_AFTER" ]; then
-  echo "PREFLIGHT FAIL: committed bench_history.json changed — the" \
-       "structural write gate is broken"; exit 1
+  echo "PREFLIGHT FAIL: repo bench_history.json changed — the history" \
+       "divert (SPARK_GRAFT_BENCH_HISTORY) was ignored"; exit 1
 fi
-echo "PASS committed bench_history.json byte-identical"
+echo "PASS repo bench_history.json untouched (divert honored)"
 
 python3 - "$SCRATCH/bench_full.json" "$MAX_ORACLE" \
           "${PREFLIGHT_ALLOW_DUMP:-0}" <<'EOF'
@@ -110,6 +117,20 @@ if "src" in ed:
 ext_failed = (art.get("extended") or {}).get("failed")
 if art.get("failed") or ext_failed:
     bad.append(f"failed entries: {art.get('failed')} ext={ext_failed}")
+# the STRUCTURAL write gate's live proof (r16 review: the md5 check
+# above only proves the divert was honored — this run sets
+# SPARK_GRAFT_BENCH_FULL, so the gate itself must have refused the
+# append and said why in the artifact)
+rb = art.get("regressed_baseline") or {}
+if rb.get("history_write") is not False:
+    bad.append(f"history_write={rb.get('history_write')} — the "
+               "structural gate should have refused this diverted run")
+elif "SPARK_GRAFT_BENCH_FULL" not in (rb.get("history_skip_env") or []):
+    bad.append(f"history_skip_env={rb.get('history_skip_env')} missing "
+               "the artifact divert — gate fired for the wrong reason")
+else:
+    print("PASS history gate refused the append "
+          f"(history_skip_env={rb.get('history_skip_env')})")
 if bad:
     print("PREFLIGHT FAIL:\n  " + "\n  ".join(bad)); sys.exit(1)
 print("== PREFLIGHT OK: the driver's post-round run will reuse these dumps ==")
