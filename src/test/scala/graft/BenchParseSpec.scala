@@ -134,19 +134,36 @@ class BenchParseSpec extends AnyFunSuite {
 
   test("the COMMITTED history's bands arm within ~1.5x of their median for >=90% of entries") {
     // VERDICT r15 #1's acceptance criterion, measured against the real
-    // seeded history (each band carries one r12-era noisy draw)
+    // seeded history (each band carries one r12-era noisy draw).
+    //
+    // RE-BASELINING (ADVICE r16): this test pins a bound against a
+    // ROLLING artifact — a future LEGITIMATELY accepted noisier draw
+    // (or a catalog shrink below 150 banded entries) can fail it with
+    // no code change. When that happens, the expected action is NOT to
+    // edit bench_history.json (never delete accepted draws): first
+    // verify the new draw was band-eligible (history_write:true in its
+    // committed bench_full.json, nothing in history_skip_env), then
+    // re-derive the dispersion on the updated file and lower the 0.9
+    // ratio / 150 floor here to the measured value, citing the round in
+    // this comment. The constants are an acceptance MEASUREMENT of the
+    // armThreshold rule against real data, not a property of the code —
+    // drift in them is information, and this pin is what surfaces it.
     val f = new java.io.File("bench_history.json")
     assume(f.isFile, "no committed bench_history.json in the working dir")
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
     val armed = BenchParse.history(txt).values.filter(_.size >= 3).toSeq
-    assert(armed.size >= 150)
+    assert(armed.size >= 150,
+      s"only ${armed.size} bands have >=3 draws — catalog shrink or " +
+        "history damage; see the RE-BASELINING note above")
     val within = armed.count { b =>
       val med = b.sorted.apply(b.size / 2)
       BenchParse.armThreshold(b) <= 1.55 * med
     }
     assert(within.toDouble / armed.size >= 0.9,
-      s"only $within of ${armed.size} bands arm within 1.55x of median")
+      s"only $within of ${armed.size} bands arm within 1.55x of median " +
+        "— if the newest accepted draw is legitimate, re-baseline per " +
+        "the RE-BASELINING note above instead of editing the history")
   }
 
   test("history write eligibility is structural: any non-default bench knob disqualifies") {

@@ -59,7 +59,17 @@ for f in bench_full.json bench_history.json; do
          "committed version (the driver's view)"
   fi
 done
+# the byte-identity proof below hashes the WORKING-TREE file; if it is
+# locally deleted (git show HEAD: above still succeeds) md5sum fails
+# silently inside the pipe and both hashes read empty — the divert
+# check would vacuously pass (ADVICE r16)
+[ -f bench_history.json ] \
+  || { echo "PREFLIGHT FAIL: working-tree bench_history.json missing —" \
+            "restore it (git checkout -- bench_history.json) before" \
+            "replaying the driver path"; exit 1; }
 HIST_MD5_BEFORE=$(md5sum bench_history.json | cut -d' ' -f1)
+[ -n "$HIST_MD5_BEFORE" ] \
+  || { echo "PREFLIGHT FAIL: could not hash bench_history.json"; exit 1; }
 
 echo "== preflight: replaying driver path (artifact+history -> $SCRATCH) =="
 ENVV=(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS"
@@ -74,7 +84,11 @@ if [ $RC -ne 0 ]; then
   echo "PREFLIGHT FAIL: bench rc=$RC (log: $SCRATCH/bench.log)"; exit 1
 fi
 
-HIST_MD5_AFTER=$(md5sum bench_history.json | cut -d' ' -f1)
+HIST_MD5_AFTER=$(md5sum bench_history.json 2>/dev/null | cut -d' ' -f1)
+if [ -z "$HIST_MD5_AFTER" ]; then
+  echo "PREFLIGHT FAIL: bench_history.json vanished during the replay"
+  exit 1
+fi
 if [ "$HIST_MD5_BEFORE" != "$HIST_MD5_AFTER" ]; then
   echo "PREFLIGHT FAIL: repo bench_history.json changed — the history" \
        "divert (SPARK_GRAFT_BENCH_HISTORY) was ignored"; exit 1
