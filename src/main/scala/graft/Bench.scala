@@ -124,6 +124,64 @@ object Bench {
     // stays visible as probe_points[0] / warmup.probes[0])
     val probeSec = wuProbes.filter(_ > 0).lastOption.getOrElse(probeFirst)
     probePoints += (("warmup_settled", nowT, probeSec))
+    // ---- I/O-state probe (VERDICT r16 #1): the CPU probe is blind to
+    // page-cache / dirty-writeback / disk state — r16 run 2's nine band
+    // fires (all file-class entries, flat CPU probe at 1.066) still
+    // cost a hand-run fresh-JVM panel to adjudicate. This probe times a
+    // fixed filesystem job: write 32 MiB to the index-store filesystem
+    // and fsync it (under dirty-writeback pressure — the r16 scenario:
+    // a 100x validation draw churned GBs minutes earlier — the fsync
+    // stalls), then stream every corpus table file once (a cold page
+    // cache reads disk, a warm one memory). Median of 3 like the CPU
+    // probe; -1 on failure (fail-open, annotation omitted). On a tmpfs
+    // index root it degrades to a memory-bandwidth reading — still
+    // comparable against HISTORY readings from the same box, which is
+    // the only comparison io_ratio makes.
+    def measureIoProbe(): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        val root = java.nio.file.Paths.get(index.IndexStore.root)
+        java.nio.file.Files.createDirectories(root)
+        val tmp = root.resolve(
+          s"_io_probe_${ProcessHandle.current().pid()}")
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var i = 0
+          while (i < 32) { buf.rewind(); ch.write(buf); i += 1 }
+          ch.force(false)
+        } finally {
+          ch.close(); java.nio.file.Files.deleteIfExists(tmp)
+        }
+        def readAll(f: java.io.File): Unit =
+          if (f.isDirectory) {
+            val fs = f.listFiles(); if (fs != null) fs.foreach(readAll)
+          } else if (f.isFile) {
+            val in = new java.io.FileInputStream(f)
+            try {
+              val b = new Array[Byte](1 << 20)
+              while (in.read(b) >= 0) ()
+            } finally in.close()
+          }
+        ScaleUp.tables.foreach(t =>
+          readAll(new java.io.File(s"$sfDir/$t.parquet")))
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { val xs = Seq.fill(3)(one()).sorted; xs(1) }
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    }
+    // readings bracket the TIMED series only (settle → between the two
+    // series → after them): the cert phase's dump/ScaleUp churn is
+    // EXPECTED I/O every run and would saturate a post-cert reading
+    val ioPoints = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def ioAt(label: String): Double = {
+      val t = nowT; val s = measureIoProbe()
+      ioPoints += ((label, t, s)); s
+    }
+    ioAt("warmup_settled")
     // ---- build phase, timed separately: persistent retrieval indexes
     // (force-rebuilt so the cost is real, not a cache hit from a prior
     // run) and the derived graph with BOTH relations materialized.
@@ -224,6 +282,7 @@ object Bench {
       (q.name, cold, settle, warmReps, warm, repT.toSeq)
     }
     probeAt("post_headline")
+    ioAt("post_headline")
     // ---- extended series (VERDICT r8 #1): every oracled catalog entry
     // NOT in the frozen 57-query headline set, timed with a lighter
     // discipline (cold + min-of-2 warm — a regression tripwire, not the
@@ -265,7 +324,7 @@ object Bench {
         System.gc() // same dead-block release as the main loop
         (q.name, cold, warm)
       }
-    if (extended.nonEmpty) probeAt("post_extended")
+    if (extended.nonEmpty) { probeAt("post_extended"); ioAt("post_extended") }
     val extGood = extended.collect { case (n, c, Some(w)) => (n, c.getOrElse(w), w) }
     val extFailed = extended.collect { case (n, _, None) => "\"" + n + "\"" }
     val extWarmTotal = extGood.map(_._3).sum
@@ -389,25 +448,39 @@ object Bench {
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "bench_history.json")
     val historyEligible = only.isEmpty && sfDir.endsWith("sf0.1")
-    // scale-tag check is `contains`, not `forall` (ADVICE r15): a history
-    // file whose "sf" field is missing or unreadable has unknown
-    // provenance — bands from a different scale must never arm, so the
-    // unparsable case DISARMS instead of failing open
-    val historyTxt: Option[String] =
+    // scale-tag and core-count checks are `contains`, not `forall`
+    // (ADVICE r15 / VERDICT r16 #2): a history file whose "sf" or
+    // "cpus" field is missing or unreadable has unknown provenance —
+    // bands from a different scale OR a different core count must never
+    // arm (the committed bands are 32-core draws; Bench defaults to
+    // local[4], and SPARK_GRAFT_CPUS is allowlisted as history-neutral,
+    // so before the cpus tag a forgotten CPUS=32 would have appended
+    // ~8x-inflated mid-band walls). The unparsable case DISARMS
+    // instead of failing open.
+    val historyRaw: Option[String] =
       if (!historyEligible) None
       else (try {
         Some(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(historyPath)),
           java.nio.charset.StandardCharsets.UTF_8))
       } catch { case scala.util.control.NonFatal(_) => None })
-        .filter(t => BenchParse.historySf(t).contains(sfDir))
+    val historySfOk =
+      historyRaw.forall(t => BenchParse.historySf(t).contains(sfDir))
+    val historyCpusOk =
+      historyRaw.forall(t => BenchParse.historyCpus(t).contains(cpus))
+    val historyTxt: Option[String] =
+      historyRaw.filter(_ => historySfOk && historyCpusOk)
     // an EXISTING history file that failed to read (or carries a
-    // missing/foreign scale tag) must also block the WRITE, not just
-    // disarm the bands: with prev=empty the end-of-run append would
-    // rebuild the file from this run alone — one torn tag would
-    // silently destroy all 196 five-draw bands (r16 review)
-    val historyReadOk = historyTxt.isDefined || !java.nio.file.Files
-      .exists(java.nio.file.Paths.get(historyPath))
+    // missing/foreign scale or cpus tag) must also block the WRITE, not
+    // just disarm the bands: with prev=empty the end-of-run append
+    // would rebuild the file from this run alone — one torn tag would
+    // silently destroy all 196 five-draw bands (r16 review). Scoped to
+    // history-ELIGIBLE runs (ADVICE r16): a focused or off-scale run
+    // never writes anyway, and flagging its artifact
+    // "history_unreadable" over a perfectly healthy committed file was
+    // a misleading adjudication signal.
+    val historyReadOk = !historyEligible || historyTxt.isDefined ||
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(historyPath))
     val bands: Map[String, Seq[Double]] =
       historyTxt.map(BenchParse.history).getOrElse(Map.empty)
     // the settled probes of the runs that produced the band draws
@@ -429,6 +502,25 @@ object Bench {
     val probeRatio: Option[Double] =
       if (bandProbes.nonEmpty && probeSec > 0)
         Some(probeSec / (bandProbes.sum / bandProbes.size))
+      else None
+    // I/O-state ratio (VERDICT r16 #1), the io-side sibling of
+    // probe_ratio: the HISTORY stores each accepted run's QUIETEST
+    // reading (min across its bracketing points — the steady-state
+    // floor, same philosophy as the extended series' min-of-2), while a
+    // fire is annotated with this run's WORST reading ÷ that baseline —
+    // conservative toward exoneration, because a fire can land anywhere
+    // in the multi-minute timed window and the pressure that explains
+    // it may not span the whole run. The per-point readings are in
+    // `io_points` for finer-grained cross-referencing.
+    val ioReadings = ioPoints.map(_._3).filter(_ > 0)
+    val ioMin = ioReadings.minOption.getOrElse(-1.0)
+    val ioMax = ioReadings.maxOption.getOrElse(-1.0)
+    val bandIoProbes: Seq[Double] =
+      historyTxt.map(BenchParse.historyIoProbes).getOrElse(Seq.empty)
+        .filter(_ > 0)
+    val ioRatio: Option[Double] =
+      if (bandIoProbes.nonEmpty && ioMax > 0)
+        Some(ioMax / (bandIoProbes.sum / bandIoProbes.size))
       else None
     val probeBase = probePoints.map(_._3).filter(_ > 0)
       .minOption.getOrElse(-1.0)
@@ -458,6 +550,7 @@ object Bench {
     val bandDetailJson = {
       val pr = probeRatio.map(r => s""","probe_ratio":${r3(r)}""")
         .getOrElse("")
+      val ir = ioRatio.map(r => s""","io_ratio":${r3(r)}""").getOrElse("")
       val d = (regressed ++ regressedExt).flatMap { n =>
         bands.get(n).map { b =>
           // arm is only cited when the >=3-draw band branch actually
@@ -466,9 +559,13 @@ object Bench {
           // would contradict the flag (r16 review)
           val arm = if (b.size >= 3)
             s""","arm":${r3(BenchParse.armThreshold(b))}""" else ""
+          // the static I/O class (Catalog.FileHeavy) rides next to the
+          // ratios: "every fired entry is file-class on an elevated
+          // io_ratio" adjudicates from the artifact alone
           "\"" + n +
             s"""\":{"n":${b.size},"band_min":${r3(b.min)}""" +
-            s""","band_max":${r3(b.max)}"""  + arm + pr + "}"
+            s""","band_max":${r3(b.max)}""" + arm + pr + ir +
+            s""","class":"${Catalog.ioClass(n)}"}"""
         }
       }
       if (d.isEmpty) "" else s""","regressed_bands":{${d.mkString(",")}}"""
@@ -499,12 +596,26 @@ object Bench {
       s""","band_entries":${bands.size}""" +
       s""","band_probes":${bandProbes.size}""" +
       probeRatio.map(r => s""","probe_ratio":${r3(r)}""").getOrElse("") +
+      s""","band_io_probes":${bandIoProbes.size}""" +
+      ioRatio.map(r => s""","io_ratio":${r3(r)}""").getOrElse("") +
       s""","history_write":$historyWrite""" +
       (if (!historyWrite && nonDefaultEnv.nonEmpty)
         s""","history_skip_env":${nonDefaultEnv.map(jstr)
           .mkString("[", ",", "]")}"""
       else "") +
-      (if (!historyReadOk) s""","history_unreadable":true""" else "") +
+      // the blocked-write cause is NAMED (VERDICT r16 #2): an off-cpus
+      // or off-scale tag is a provenance mismatch, not file damage —
+      // "unreadable" stays reserved for a file that failed to read or
+      // parse at all
+      (if (!historyReadOk) {
+        if (historyRaw.isDefined && !historyCpusOk)
+          s""","history_cpus_mismatch":true,"history_cpus":${jstr(
+            historyRaw.flatMap(BenchParse.historyCpus)
+              .getOrElse("(missing)"))},"run_cpus":${jstr(cpus)}"""
+        else if (historyRaw.isDefined && !historySfOk)
+          s""","history_sf_mismatch":true"""
+        else s""","history_unreadable":true"""
+      } else "") +
       "}" +
       prevColdTotal.map(p =>
         s""","cold_total_prev":${r3(p)},"cold_total_delta":${r3(coldTotal - p)}""")
@@ -534,6 +645,9 @@ object Bench {
     def probePointsJson: String = probePoints.map { case (l, t, s) =>
       s"""{"label":"$l","t":${r3(t)},"sec":${r3(s)}}"""
     }.mkString("[", ",", "]")
+    def ioPointsJson: String = ioPoints.map { case (l, t, s) =>
+      s"""{"label":"$l","t":${r3(t)},"sec":${r3(s)}}"""
+    }.mkString("[", ",", "]")
     def fullJson: String =
       s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec"""" +
         (if (partial) ""","partial":true""" else "") +
@@ -543,6 +657,8 @@ object Bench {
         s""","cold_total":${r3(coldTotal)},"build_sec":${r3(buildSec)}""" +
         s""","build_failed":$buildFailed,"probe_sec":${r3(probeSec)}""" +
         s""","bench_epoch_ms":$benchEpochMs,"probe_points":$probePointsJson""" +
+        s""","io_points":$ioPointsJson""" +
+        s""","io_probe_sec":${r3(ioMin)},"io_probe_max":${r3(ioMax)}""" +
         s""","warmup":{"settled":$wuSettled,"iters":$wuIters""" +
         s""","cap_sec":${r3(wuCap)}""" +
         s""","probes":${wuProbes.map(r3).mkString("[", ",", "]")}}""" +
@@ -585,7 +701,9 @@ object Bench {
         s""","build_failed":$buildFailed,"n_queries":${good.size}""" +
         s""","probe_sec":${r3(probeSec)},"wu_settled":$wuSettled""" +
         s""","probe_points":${probePoints.map(p => r3(p._3))
-          .mkString("[", ",", "]")}""" + extCompact + decCompact +
+          .mkString("[", ",", "]")}""" +
+        s""","io_probe_sec":${r3(ioMin)},"io_probe_max":${r3(ioMax)}""" +
+        extCompact + decCompact +
         s""",$regressedJson""" +
         s""","failed":${failed.mkString("[", ",", "]")},"sf":${jstr(sfDir)}}"""
     probeAt("post_series")
@@ -608,14 +726,15 @@ object Bench {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(historyPath),
         BenchParse.historyJson(bands, current, sfDir,
-            bandProbes, Some(probeSec))
+            bandProbes, Some(probeSec), cpus,
+            bandIoProbes, Some(ioMin))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] $historyPath write failed: $t") }
     } else if (historyEligible) System.err.println(
       if (!historyReadOk)
         s"[bench] history append skipped ($historyPath exists but is " +
-          "unreadable or off-scale — preserved, not rebuilt)"
+          "unreadable, off-scale, or off-cpus — preserved, not rebuilt)"
       else s"[bench] history append skipped (non-default env: " +
         s"${nonDefaultEnv.mkString(",")})")
 
@@ -1000,9 +1119,16 @@ object Bench {
           case Some("sf0.001x10") => Right(("sf0.001", 10))
           case Some("sf0.01x30") => Right(("sf0.01", 30))
           case Some("sf0.001x100") => Right(("sf0.001", 100))
+          // builder-only decade-mapping draw (VERDICT r16 #3): ~sf10
+          // row volume (60M-row lineitem class). NEVER in the natural
+          // rotation — run it with SF_DIR pointed at a SMALLER corpus
+          // (the source must differ from the bench corpus) and a
+          // raised deadline, e.g. SF_DIR=.../sf0.001 + this forcing
+          case Some("sf0.1x100") => Right(("sf0.1", 100))
           case Some(other) =>
             Left(s"unrecognized SPARK_GRAFT_EXTRA_DRAW: $other " +
-              "(expected off | sf0.001x10 | sf0.01x30 | sf0.001x100)")
+              "(expected off | sf0.001x10 | sf0.01x30 | sf0.001x100 " +
+              "| sf0.1x100)")
           case None => Right(
             BenchParse.pickExtraDraw(prevTxt.flatMap(BenchParse.extraDraw)))
         }

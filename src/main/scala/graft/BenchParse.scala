@@ -87,16 +87,31 @@ object BenchParse {
   def historySf(txt: String): Option[String] =
     """\{"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
 
+  /** The core count the history's draws were measured at (VERDICT r16
+    * #2). The committed bands are 32-core draws and Bench defaults to
+    * local[4] — SPARK_GRAFT_CPUS is allowlisted as history-neutral, so
+    * before this tag a forgotten CPUS=32 would have appended ~8×
+    * inflated walls straight into the committed bands. Same discipline
+    * as the scale tag: the consumer checks with `contains`, so a
+    * missing or torn tag FAILS CLOSED (neither arms nor appends). */
+  def historyCpus(txt: String): Option[String] =
+    """"cpus":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** Top-level numeric-array keys of the history file that are
+    * run-level metadata, never band entries: the settled CPU probes
+    * (r16) and the settled I/O probes (r17). */
+  val ReservedHistoryKeys: Set[String] = Set("probes", "io_probes")
+
   /** Rolling per-entry warm-value history (bench_history.json): the
     * last ≤[[HistoryCap]] committed full-run draws per entry,
-    * most-recent-LAST. The top-level `probes` array (r16) is a reserved
-    * run-level key, not an entry. Fails open to empty like every parser
-    * here. */
+    * most-recent-LAST. The top-level [[ReservedHistoryKeys]] arrays are
+    * run-level metadata, not entries. Fails open to empty like every
+    * parser here. */
   def history(txt: String): Map[String, Seq[Double]] =
     """"([^"]+)":\[([0-9.,Ee+\- ]*)\]""".r.findAllMatchIn(txt).map { m =>
       m.group(1) -> m.group(2).split(",").toSeq.map(_.trim)
         .filter(_.nonEmpty).flatMap(_.toDoubleOption)
-    }.toMap.filter(_._2.nonEmpty) - "probes"
+    }.toMap.filter(_._2.nonEmpty) -- ReservedHistoryKeys
 
   /** The run-level settled-probe readings stored alongside the history
     * draws (VERDICT r15 #3): one per accepted committed run. NOT
@@ -113,6 +128,24 @@ object BenchParse {
         .filter(_.nonEmpty).flatMap(_.toDoubleOption))
       .getOrElse(Seq.empty)
 
+  /** The run-level settled I/O-probe readings stored alongside the
+    * history draws (VERDICT r16 #1): one per accepted committed run —
+    * the wall seconds of the fixed write-fsync-plus-corpus-read job at
+    * its quietest observed point in that run. A band fire's `io_ratio`
+    * (this run's WORST reading ÷ the mean of these) adjudicates the
+    * r16-run-2 class — file-heavy entries slow on a flat CPU probe —
+    * from the artifact alone: a high io_ratio says the box's I/O path
+    * (page cache, dirty writeback, disk contention) was degraded, which
+    * the CPU probe is blind to. Same best-effort run-level contract as
+    * [[historyProbes]]; absent on pre-r17 files → empty (annotation
+    * omitted, never guessed). The regex cannot match the plain
+    * "probes" key (it requires the `io_` prefix inside the quotes). */
+  def historyIoProbes(txt: String): Seq[Double] =
+    """"io_probes":\[([0-9.,Ee+\- ]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty).flatMap(_.toDoubleOption))
+      .getOrElse(Seq.empty)
+
   val HistoryCap = 5
 
   /** Serialize an updated history: append this run's warm values (and
@@ -124,7 +157,13 @@ object BenchParse {
   def historyJson(prev: Map[String, Seq[Double]],
       current: Map[String, Double], sf: String,
       prevProbes: Seq[Double] = Seq.empty,
-      probe: Option[Double] = None): String = {
+      probe: Option[Double] = None,
+      // no default: the writer must stamp the REAL core count of the
+      // run producing the draws — a silent default here is exactly the
+      // pollution path the tag exists to close
+      cpus: String,
+      prevIoProbes: Seq[Double] = Seq.empty,
+      ioProbe: Option[Double] = None): String = {
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val merged = (prev.keySet ++ current.keySet).toSeq.sorted.map { n =>
@@ -132,11 +171,15 @@ object BenchParse {
         .takeRight(HistoryCap)
       "\"" + n + "\":[" + vs.map(r3).mkString(",") + "]"
     }
-    val probes = (prevProbes ++ probe.filter(_ > 0)).takeRight(HistoryCap)
-    val probesJson =
-      if (probes.isEmpty) ""
-      else s""","probes":[${probes.map(r3).mkString(",")}]"""
-    s"""{"sf":"$sf","cap":$HistoryCap$probesJson""" +
+    def probeArr(key: String, prevVals: Seq[Double],
+        cur: Option[Double]): String = {
+      val vs = (prevVals ++ cur.filter(_ > 0)).takeRight(HistoryCap)
+      if (vs.isEmpty) ""
+      else s""","$key":[${vs.map(r3).mkString(",")}]"""
+    }
+    s"""{"sf":"$sf","cpus":"$cpus","cap":$HistoryCap""" +
+      probeArr("probes", prevProbes, probe) +
+      probeArr("io_probes", prevIoProbes, ioProbe) +
       s""","entries":{${merged.mkString(",")}}}"""
   }
 

@@ -87,8 +87,9 @@ class BenchParseSpec extends AnyFunSuite {
   test("history round-trips, caps at 5 most-recent, and keeps absent entries' tails") {
     val prev = Map("a" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0), "b" -> Seq(9.0))
     val txt = BenchParse.historyJson(prev,
-      Map("a" -> 6.0, "c" -> 0.5), "/root/testdata/sf0.1")
+      Map("a" -> 6.0, "c" -> 0.5), "/root/testdata/sf0.1", cpus = "32")
     assert(BenchParse.historySf(txt).contains("/root/testdata/sf0.1"))
+    assert(BenchParse.historyCpus(txt).contains("32"))
     val h = BenchParse.history(txt)
     assert(h("a") == Seq(2.0, 3.0, 4.0, 5.0, 6.0)) // capped, oldest dropped
     assert(h("b") == Seq(9.0)) // absent from this run: tail retained
@@ -96,6 +97,30 @@ class BenchParseSpec extends AnyFunSuite {
     // garbage fails open
     assert(BenchParse.history("").isEmpty &&
       BenchParse.history("{nope").isEmpty)
+  }
+
+  test("cpus tag fails CLOSED: a 4-core run against a 32-core history neither arms nor appends") {
+    // VERDICT r16 #2: the committed bands are 32-core draws, Bench
+    // defaults to local[4], and SPARK_GRAFT_CPUS is history-neutral —
+    // a forgotten CPUS=32 must not append inflated mid-band walls.
+    // Bench gates both the ARM (historyTxt filter) and the WRITE
+    // (historyReadOk) on historyCpus(txt).contains(cpus), so the
+    // pinned behavior is: mismatch and missing-tag both fail the
+    // contains check.
+    val txt = BenchParse.historyJson(Map("a" -> Seq(1.0, 1.1, 1.2)),
+      Map("a" -> 1.05), "/root/testdata/sf0.1", cpus = "32")
+    assert(BenchParse.historyCpus(txt).contains("32"))
+    assert(!BenchParse.historyCpus(txt).contains("4"),
+      "a 4-core run must not match a 32-core history")
+    // a pre-r17 history (no cpus field) fails closed too: unknown
+    // provenance never arms
+    val legacy = """{"sf":"/root/testdata/sf0.1","cap":5,""" +
+      """"entries":{"a":[1.0,1.1,1.2]}}"""
+    assert(BenchParse.historyCpus(legacy).isEmpty,
+      "missing cpus tag must parse to None (fail closed via contains)")
+    // and garbage fails closed, not open
+    assert(BenchParse.historyCpus("").isEmpty &&
+      BenchParse.historyCpus("{nope").isEmpty)
   }
 
   test("band verdict: >=3 draws flag only an exit from the band; thin bands fall back to 1.5x-prev") {
@@ -184,7 +209,8 @@ class BenchParseSpec extends AnyFunSuite {
   test("history probes: round-trip beside the draws, capped, reserved key never parses as an entry") {
     val txt = BenchParse.historyJson(
       Map("a" -> Seq(1.0)), Map("a" -> 2.0), "/root/testdata/sf0.1",
-      prevProbes = Seq(0.10, 0.11, 0.12, 0.13, 0.14), probe = Some(0.15))
+      prevProbes = Seq(0.10, 0.11, 0.12, 0.13, 0.14), probe = Some(0.15),
+      cpus = "32")
     assert(BenchParse.historyProbes(txt) ==
       Seq(0.11, 0.12, 0.13, 0.14, 0.15)) // capped, oldest dropped
     assert(BenchParse.history(txt) == Map("a" -> Seq(1.0, 2.0)),
@@ -192,9 +218,37 @@ class BenchParseSpec extends AnyFunSuite {
     // a failed probe (-1) is never appended; pre-r16 files have no
     // probes array and fail open to empty
     val noP = BenchParse.historyJson(Map.empty, Map("a" -> 1.0),
-      "/root/testdata/sf0.1", prevProbes = Seq.empty, probe = Some(-1.0))
+      "/root/testdata/sf0.1", prevProbes = Seq.empty, probe = Some(-1.0),
+      cpus = "32")
     assert(BenchParse.historyProbes(noP).isEmpty)
     assert(BenchParse.historyProbes("""{"sf":"x","entries":{}}""").isEmpty)
+  }
+
+  test("io probes: round-trip beside the cpu probes, reserved keys never collide or parse as entries") {
+    val txt = BenchParse.historyJson(
+      Map("a" -> Seq(1.0)), Map("a" -> 2.0), "/root/testdata/sf0.1",
+      prevProbes = Seq(0.10), probe = Some(0.11), cpus = "32",
+      prevIoProbes = Seq(0.31, 0.32, 0.33, 0.34, 0.35),
+      ioProbe = Some(0.36))
+    assert(BenchParse.historyIoProbes(txt) ==
+      Seq(0.32, 0.33, 0.34, 0.35, 0.36)) // capped, oldest dropped
+    // the two reserved arrays are DISTINCT: "probes" must not read the
+    // io array and vice versa (the io_ prefix sits inside the quotes)
+    assert(BenchParse.historyProbes(txt) == Seq(0.10, 0.11))
+    assert(BenchParse.history(txt) == Map("a" -> Seq(1.0, 2.0)),
+      "reserved arrays must not parse as band entries")
+    // a failed io probe (-1) is never appended; pre-r17 files have no
+    // io_probes array and fail open to empty (annotation omitted)
+    val noIo = BenchParse.historyJson(Map.empty, Map("a" -> 1.0),
+      "/root/testdata/sf0.1", cpus = "32", ioProbe = Some(-1.0))
+    assert(BenchParse.historyIoProbes(noIo).isEmpty)
+    val committed = new java.io.File("bench_history.json")
+    if (committed.isFile) {
+      val c = new String(java.nio.file.Files.readAllBytes(
+        committed.toPath), java.nio.charset.StandardCharsets.UTF_8)
+      // pre-r17 committed file: io annotation absent, cpu probes intact
+      assert(BenchParse.historyIoProbes(c).size <= BenchParse.HistoryCap)
+    }
   }
 
   test("a phase-1 partial artifact arms baselines; pending extra_draw is None") {
@@ -265,6 +319,9 @@ class BenchParseSpec extends AnyFunSuite {
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
     assert(BenchParse.historySf(txt).contains("/root/testdata/sf0.1"))
+    assert(BenchParse.historyCpus(txt).contains("32"),
+      "the committed bands are 32-core draws and must carry the tag " +
+        "(r17 migration) — a missing tag disarms every band")
     val h = BenchParse.history(txt)
     assert(h.size >= 150,
       s"band history shrank to ${h.size} entries — format drift?")
