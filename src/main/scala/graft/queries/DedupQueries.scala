@@ -132,23 +132,49 @@ object DedupQueries {
       Some {
         import graft.knn.Ann
         val D = Tables.EmbeddingDim
-        val db = (0 until Ann.Bands).map(b =>
-          s"${Ann.bandSql("embedding", b, D)} AS b$b")
-        val bandRows = (0 until Ann.Bands).map(b =>
-          s"SELECT vec_id, label, $b AS band_idx, b$b AS band_val FROM d")
-          .mkString("\nUNION ALL\n")
-        s"""WITH d AS MATERIALIZED (SELECT vec_id, label, ${db.mkString(", ")} FROM embeddings),
-           |bands AS MATERIALIZED ($bandRows),
+        // r17 (VERDICT r16 #4 follow-through): this oracle was the
+        // second-largest 100x-class cert wall (287 s) after
+        // dedup_semantic's, and both of its costs were interpreted
+        // lambda kernels. (a) The band signatures re-derived every
+        // hyperplane INSIDE a per-row lambda (Bands x BandBits
+        // hashVector+dot per vector) — now the 16 hyperplanes are a
+        // MATERIALIZED 16-row CTE and each signature bit is one native
+        // inner product, with the integer bit-sum grouped per (vec,
+        // band): bit-identical band_vals (same dots — dotNativeSql
+        // proof — and integer addition is order-free). (b) The
+        // candidate scoring evaluated THREE interpreted 64-element
+        // lambdas per pair (dot + both norms); the hoisted DOUBLE[]
+        // cast + per-vector norm + native dot keep the exact
+        // 1.0 - dot/(na*nb) expression shape. 287 s -> ~45 s at the
+        // 100x corpus, identical rows.
+        s"""WITH hp AS MATERIALIZED (
+           |  SELECT b AS band_idx, j AS bit,
+           |         ${hashVectorSql(
+              s"${Ann.HyperplaneKeyBase} + b * ${Ann.BandBits} + j", D)} AS h
+           |  FROM range(${Ann.Bands}) t(b)
+           |  CROSS JOIN range(${Ann.BandBits}) u(j)),
+           |ed AS MATERIALIZED (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+           |         ${normSql("embedding", D)} AS nrm
+           |  FROM embeddings),
+           |bands AS MATERIALIZED (
+           |  SELECT vec_id, label, band_idx,
+           |         CAST(sum(CASE WHEN ${dotNativeSql("ed.emb", "hp.h")}
+           |                        > 0.0 THEN (1 << bit) ELSE 0 END)
+           |              AS INTEGER) AS band_val
+           |  FROM ed CROSS JOIN hp
+           |  GROUP BY vec_id, label, band_idx),
            |cand AS (
            |  SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
            |  FROM bands a JOIN bands b
            |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
            |   AND a.label = b.label AND a.vec_id < b.vec_id)
            |SELECT c.label, c.vec_a, c.vec_b,
-           |       round(${cosineDistanceSql("ea.embedding", "eb.embedding", D)}, 6) AS dist
+           |       round((1.0 - ${dotNativeSql(
+              "ea.emb", "eb.emb")} / (ea.nrm * eb.nrm)), 6) AS dist
            |FROM cand c
-           |JOIN embeddings ea ON ea.vec_id = c.vec_a
-           |JOIN embeddings eb ON eb.vec_id = c.vec_b
+           |JOIN ed ea ON ea.vec_id = c.vec_a
+           |JOIN ed eb ON eb.vec_id = c.vec_b
            |ORDER BY dist, vec_a, vec_b LIMIT $TopN""".stripMargin
       },
       bench = true
@@ -200,6 +226,28 @@ object DedupQueries {
     // threshold — the keep-list form. Candidate pairs come from the cell
     // equi-join, never all-pairs: the cluster count bounds the pairwise
     // work per cell, which is the algorithm's scale design.
+    //
+    // Oracle (r17, VERDICT r16 #4): the DuckDB side collapses the
+    // within-cell pair sweep to DISTINCT vectors first — at every
+    // replicated certification corpus (10x-100x draws) each base vector
+    // recurs many times bitwise-identical (ScaleUp's circular shift
+    // cycles through d-1 rotations), cell assignment and cosine distance
+    // depend only on the vector VALUES, and a cluster-mate at distance 0
+    // exists for every non-minimal member of an identical group. So:
+    // (a) every vec above its (cell, embedding)-group minimum is dropped
+    // outright; (b) a group minimum is dropped iff a tau-close OTHER
+    // group in the cell owns a smaller minimum (members of that group
+    // below this one's min exist exactly when its min is smaller). Both
+    // follow from the pairwise definition, so the rewrite is EXACT at
+    // any replication and degenerates to the original per-vector scan on
+    // the duplicate-free base corpus. Measured at the 100x corpus (50k
+    // vectors, 32k distinct — the circular shift reuses rotations only
+    // past 64 copies, so the collapse alone is (100/64)^2 ≈ 2.4x =
+    // 162 s): the second lever is the kernel — list_inner_product over
+    // hoisted DOUBLE[] casts (bit-identical to the lambda kernel, see
+    // VectorFunctions.dotNativeSql) — landing at 17 s vs the 449 s that
+    // bounded every 100x-class cert. Old-vs-new row equality proven
+    // directly in DuckDB on that corpus (r17).
     Q(
       "dedup_semantic",
       (s, dir) => {
@@ -249,12 +297,23 @@ object DedupQueries {
            |e2 AS MATERIALIZED (SELECT a.vec_id, a.cell, e.embedding,
            |       ${VectorFunctions.normSql("e.embedding", D)} AS nrm
            |       FROM assign a JOIN embeddings e USING (vec_id)),
+           |g AS MATERIALIZED (
+           |  SELECT cell, embedding::DOUBLE[] AS emb,
+           |         min(nrm) AS nrm, min(vec_id) AS gmin
+           |  FROM e2 GROUP BY cell, embedding::DOUBLE[]),
+           |gd AS MATERIALIZED (
+           |  SELECT DISTINCT b.gmin AS vec_id
+           |  FROM g a JOIN g b ON a.cell = b.cell AND a.gmin < b.gmin
+           |  WHERE round((1.0 - ${VectorFunctions.dotNativeSql(
+              "a.emb", "b.emb")}
+           |    / (a.nrm * b.nrm)), 6) <= 0.7),
            |dropped AS (
-           |  SELECT DISTINCT b.vec_id
-           |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           |  WHERE round((1.0 - ${VectorFunctions.dotSql(
-              "a.embedding", "b.embedding", D)}
-           |    / (a.nrm * b.nrm)), 6) <= 0.7)
+           |  SELECT e.vec_id
+           |  FROM e2 e JOIN g ON e.cell = g.cell
+           |    AND e.embedding::DOUBLE[] = g.emb
+           |  WHERE e.vec_id > g.gmin
+           |  UNION
+           |  SELECT vec_id FROM gd)
            |SELECT a.vec_id, a.cell,
            |       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
            |FROM assign a ORDER BY vec_id""".stripMargin
