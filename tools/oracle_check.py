@@ -54,7 +54,7 @@ Spark JVM, and one OS OOM kill of a pool worker fails every pending
 future — the exact mass-serial-retry cascade the rejected
 thread-widening design demonstrated.
 """
-import json, math, os, sys, time
+import hashlib, json, math, os, sys, time
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -178,40 +178,77 @@ MAIN_TIER_FULLTHREAD_SEC = MAIN_TIER_SEC / 4
 LANE_NORM = {"pool": 1.0, "main": 4.0, "serial": 4.0}
 
 
+def pool_equiv(lanes):
+    """Pool-lane-equivalent wall from a per-lane cost dict (VERDICT r16
+    #5): when a MEASURED pool wall exists it wins outright — the
+    constant LANE_NORM ratio is a conservative guess the measurement
+    replaces — otherwise the main/serial wall is normalized by the
+    constant as before."""
+    if "pool" in lanes:
+        return lanes["pool"]
+    for lane in ("main", "serial"):
+        if lane in lanes:
+            return lanes[lane] * LANE_NORM[lane]
+    return 0.0
+
+
 def pick_main_tier(names, costs):
     """The <=1 queries promoted to the full-thread main lane, from the
-    cached per-lane walls. Pure (unit-tested in test_oracle_tier.py).
+    cached per-lane walls {name: {lane: wall}}. Pure (unit-tested in
+    test_oracle_tier.py).
 
-    Eligibility is per-lane: pool walls against the pool budget
-    (>= MAIN_TIER_SEC), MAIN-lane full-thread walls against the
-    conservative ratio-adjusted budget (>= MAIN_TIER_FULLTHREAD_SEC).
-    A SERIAL-lane wall is a crash-retry measurement — taken on a box
-    right after a pool failure, for a query that proved nothing about
-    pool-hostility — so it must clear the FULL pool budget at full
-    threads (>= MAIN_TIER_SEC, i.e. it would be the run's wall even
-    unpooled) before it can promote: a pool-friendly ~20 s query that
-    lost a worker to a one-off OOM must not occupy the single main
-    slot next run (VERDICT r15 #5). Ranking among eligibles is by
-    LANE-NORMALIZED wall so cross-lane candidates compare
-    like-for-like."""
+    Eligibility reads the MOST AUTHORITATIVE lane available (r17): a
+    measured pool wall is ground truth of pool-hostility and decides
+    alone (>= MAIN_TIER_SEC); with no pool wall, a MAIN-lane
+    full-thread wall uses the conservative ratio-adjusted budget
+    (>= MAIN_TIER_FULLTHREAD_SEC); a SERIAL-lane wall is a crash-retry
+    measurement — taken on a box right after a pool failure, for a
+    query that proved nothing about pool-hostility — so it must clear
+    the FULL pool budget at full threads (>= MAIN_TIER_SEC) before it
+    can promote (VERDICT r15 #5). Ranking among eligibles is by
+    pool-EQUIVALENT wall: the measured pool wall when the cache has
+    seen one (the measured pair corrects the constant — VERDICT r16
+    #5), the LANE_NORM-scaled wall otherwise."""
     def eligible(name):
-        wall, lane = costs.get(name, (0.0, "pool"))
-        if lane == "main":
-            return wall >= MAIN_TIER_FULLTHREAD_SEC
-        if lane == "serial":
-            return wall >= MAIN_TIER_SEC
-        return wall >= MAIN_TIER_SEC
-    def norm_wall(name):
-        wall, lane = costs.get(name, (0.0, "pool"))
-        return wall * LANE_NORM.get(lane, 1.0)
+        lanes = costs.get(name, {})
+        if "pool" in lanes:
+            return lanes["pool"] >= MAIN_TIER_SEC
+        if "main" in lanes:
+            return lanes["main"] >= MAIN_TIER_FULLTHREAD_SEC
+        if "serial" in lanes:
+            return lanes["serial"] >= MAIN_TIER_SEC
+        return False
     ranked = sorted((n for n in names if n in costs and eligible(n)),
-                    key=lambda n: -norm_wall(n))
+                    key=lambda n: -pool_equiv(costs[n]))
     return ranked[:1]
 
 
-def load_costs(path):
-    """Cost cache: {name: [wall_sec, lane]} (r15) or legacy
-    {name: wall_sec} (read as pool-lane walls)."""
+def sql_key(sql):
+    """Content key of one oracle's SQL, stored beside its cached walls:
+    a changed oracle (r17's dedup_semantic rewrite cut 449 s to 17 s)
+    must not keep promoting itself on a stale wall — the walls are a
+    property of (corpus, SQL), and the dump-dir cost cache outlives
+    code generations."""
+    return hashlib.md5(sql.encode()).hexdigest()[:10]
+
+
+def load_costs(path, oracle=None):
+    """Cost cache at r17: {name: {"k": sql_key, lane: wall, ...}} with
+    every lane the query has been measured in under the CURRENT oracle
+    SQL (latest wall per lane — keeping the PAIR lets tier ranking use
+    a measured pool/main ratio instead of the LANE_NORM constant).
+
+    Provenance rule: walls are a property of (corpus, SQL), and the
+    dump-dir cache outlives code generations — so when `oracle` is
+    given, an entry is trusted ONLY if its stored key matches the
+    current SQL. Keyless entries (r15 [wall, lane] / legacy bare-float
+    formats, read as single-lane dicts) are dropped the same way: a
+    stale pool wall kept beside a fresh main wall would promote a
+    since-fixed query forever, because main-tier queries never
+    re-measure their pool lane. The cost of strictness is one
+    catalog-order (LPT-less) compare per dump dir after an SQL change —
+    correctness is identical either way. Without `oracle` (tests),
+    keys are not checkable and keyed entries load as-is."""
     try:
         raw = json.load(open(path))
     except Exception:
@@ -220,9 +257,22 @@ def load_costs(path):
     for k, v in raw.items():
         try:
             if isinstance(v, (int, float)):
-                out[k] = (float(v), "pool")
+                lanes, key = {"pool": float(v)}, None
+            elif isinstance(v, list):
+                lanes, key = {str(v[1]): float(v[0])}, None
+            elif isinstance(v, dict):
+                lanes = {l: float(w) for l, w in v.items()
+                         if l in LANE_NORM}
+                key = v.get("k")
             else:
-                out[k] = (float(v[0]), str(v[1]))
+                continue
+            if not lanes:
+                continue
+            if oracle is not None and (
+                    k not in oracle or key is None
+                    or sql_key(oracle[k]) != key):
+                continue
+            out[k] = lanes
         except Exception:
             continue
     return out
@@ -252,9 +302,10 @@ def main(sf_dir, out_dir, names=None):
     # additions since the cached run) go FIRST: pessimism costs a little
     # contention, optimism costs a multi-minute straggler.
     cost_path = f"{out_dir}/_oracle_costs.json"
-    costs = load_costs(cost_path)
+    costs = load_costs(cost_path, oracle)
     if costs:
-        items.sort(key=lambda it: costs.get(it[0], (float("inf"),))[0],
+        items.sort(key=lambda it: (pool_equiv(costs[it[0]])
+                                   if it[0] in costs else float("inf")),
                    reverse=True)
     # queries whose cached cost exceeds the pool's flat budget by enough
     # that ONE of them sets the whole run's wall (dedup_semantic's
@@ -351,13 +402,20 @@ def main(sf_dir, out_dir, names=None):
     n_fail = len(results) - n_pass
     # persist per-query walls for the NEXT run's LPT ordering — only on
     # a run that reached the end (a partial map would demote unmeasured
-    # heavies to the back of the queue). Each wall carries the lane that
-    # measured it (ADVICE r14) so the next run's tier selection compares
-    # like-for-like; either way the value is a rank proxy, not a metric.
+    # heavies to the back of the queue). r17 format: per-lane walls
+    # MERGED with the (key-valid) cached ones, so a query that has seen
+    # both a pool and a main wall keeps the measured pair, and every
+    # entry is stamped with its oracle's sql_key — the provenance that
+    # lets the next run trust it. The rewrite covers this run's (possibly
+    # name-filtered) oracle set, same as the pre-r17 writer.
     try:
+        merged = dict(load_costs(cost_path, oracle))
+        for k, (sec, lane) in walls.items():
+            merged.setdefault(k, {})[lane] = round(sec, 2)
+        out = {k: {**lanes, "k": sql_key(oracle[k])}
+               for k, lanes in merged.items() if k in oracle}
         with open(cost_path, "w") as fh:
-            json.dump({k: [round(v[0], 2), v[1]]
-                       for k, v in walls.items()}, fh)
+            json.dump(out, fh)
     except Exception as e:
         print(f"[oracle] cost-cache write failed: {e}", flush=True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
