@@ -68,24 +68,66 @@ object Multimodal {
   def pngOf(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk setRGB per image instead of per-pixel calls (r17): the
+    // batch path writes the same packed value per element as the
+    // per-pixel one, minus a synchronized color-model round-trip per
+    // pixel — value-identical, measured ~2× on the encode stage
+    val arr = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v = px(x, y)
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        arr(y * w + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, arr, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
 
+  /** Bulk-decoded packed-RGB pixels of a decoded image (r17): one
+    * getRGB(0,0,w,h,..) call — the same ColorModel conversion as the
+    * per-pixel getRGB, applied array-wise (value-identical, ~2-4×
+    * faster on the PNG-decode consumers below). */
+  private def rgbOf(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  // ImageIO's default stream cache is DISK-backed: every ImageIO.read/
+  // write over an in-memory byte stream creates+deletes a temp FILE.
+  // Harmless at one task; with the codec stages parallelized (idStream
+  // below) it becomes 32 concurrent tasks × thousands of temp-file
+  // round-trips of filesystem contention per query (r17: measured
+  // media_resize 3.6→5.7 s WORSE after parallelizing, 3.6→1.0 s once
+  // memory-backed). All payloads here are in-memory byte arrays — the
+  // memory cache produces identical bytes by definition (same codec,
+  // different scratch buffer).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The [[pixelValue]] grid as a real PNG. */
   def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] =
     pngOf(w, h, (x, y) => pixelValue(id, x, y))
+
+  /** Id stream for the synthetic generators, spread over the session's
+    * default parallelism (r17, guide §2.5 "input skew: repartition
+    * immediately after the read"): the source is a tiny few-split scan
+    * of doc ids, but every id fans out into real codec work (PNG/WAV/
+    * GIF encode and the downstream decode), so leaving the stage at
+    * scan parallelism ran the whole corpus's codec chain on ONE core —
+    * measured 3.7 s single-task for media_phash's 5 000 images at
+    * sf0.1 on local[32]. The exchange moves 8-byte ids only; the
+    * per-row codec work, not input bytes, is the cost, so core-count
+    * partitioning is the right sizing at every scale. */
+  private def idStream(docs: DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+  }
 
   /** Media table of REAL encoded PNG blobs, one per document id. The
     * encode runs per partition (ImageIO is executor-local JDK code), so
@@ -93,7 +135,7 @@ object Multimodal {
   def syntheticImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    idStream(docs)
       .mapPartitions(_.map { id =>
         val w = synthW(id); val h = synthH(id)
         MediaRow(id, "image", syntheticPng(id, w, h), w, h)
@@ -128,7 +170,7 @@ object Multimodal {
   def syntheticPhashImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    idStream(docs)
       .mapPartitions(_.map { id =>
         val b = id / 2
         val w = synthW(b); val h = synthH(b)
@@ -192,15 +234,9 @@ object Multimodal {
           if (img == null) ImagePhash(r.id, -1L, -1L)
           else {
             val w = img.getWidth; val h = img.getHeight
-            val gray = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                gray(y * w + x) = img.getRGB(x, y) & 0xff; x += 1
-              }
-              y += 1
-            }
+            val gray = rgbOf(img)
+            var i = 0
+            while (i < gray.length) { gray(i) &= 0xff; i += 1 }
             val (lo, hi) = aHash(gray, w, h)
             ImagePhash(r.id, lo, hi)
           }
@@ -364,7 +400,12 @@ object Multimodal {
     bb.array()
   }
 
-  /** Audio table of real WAV blobs, one per document id. */
+  /** Audio table of real WAV blobs, one per document id. NOT routed
+    * through [[idStream]] (r17): the WAV encode is a plain ByteBuffer
+    * fill and the downstream decode goes through AudioSystem's
+    * synchronized SPI provider scan per clip — parallelizing measured
+    * 0.29→0.81 s (features) / 0.60→1.62 s (near_dup) WORSE at sf0.1 on
+    * local[32]; the audio stages stay at scan parallelism. */
   def syntheticAudio(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -446,6 +487,7 @@ object Multimodal {
   def syntheticGainAudio(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // same scan-parallelism rationale as syntheticAudio (r17)
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.map { id =>
         val b = id / 2
@@ -542,15 +584,12 @@ object Multimodal {
             else null
           if (img != null) {
             val w = img.getWidth; val h = img.getHeight
+            val rgb = rgbOf(img)
             val sums = new Array[Double](dim)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                sums((y * w + x) % dim) += (img.getRGB(x, y) & 0xff)
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < rgb.length) {
+              sums(i % dim) += (rgb(i) & 0xff)
+              i += 1
             }
             MediaFeatures(r.id, dim, w, h, sums.toSeq)
           } else {
@@ -615,7 +654,7 @@ object Multimodal {
   def syntheticVideos(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    idStream(docs)
       .mapPartitions(_.map { id =>
         MediaRow(id, "video",
           syntheticGif(id, synthFrames(id), synthVidW(id), synthVidH(id)),
@@ -651,13 +690,10 @@ object Multimodal {
               val fi = (i.toLong * (frames - 1) / math.max(1, n - 1)).toInt
               val img = reader.read(fi)
               val w = img.getWidth; val h = img.getHeight
+              val rgb = rgbOf(img)
               var fsum = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) { fsum += img.getRGB(x, y) & 0xff; x += 1 }
-                y += 1
-              }
+              var p = 0
+              while (p < rgb.length) { fsum += rgb(p) & 0xff; p += 1 }
               FrameSample(r.id, i, fi, w, h, fsum)
             }
           } finally reader.dispose()
@@ -697,20 +733,24 @@ object Multimodal {
               new java.io.ByteArrayInputStream(r.payload))
             if (img == null) throw new java.io.IOException("undecodable")
             val sw = img.getWidth; val sh = img.getHeight
+            val src = rgbOf(img)
             val out = new java.awt.image.BufferedImage(
               dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val arr = new Array[Int](dw * dh)
             var gs = 0L
             var y = 0
             while (y < dh) {
+              val srow = (y * sh / dh) * sw
               var x = 0
               while (x < dw) {
-                val v = img.getRGB(x * sw / dw, y * sh / dh) & 0xFF
+                val v = src(srow + x * sw / dw) & 0xFF
                 gs += v
-                out.setRGB(x, y, (v << 16) | (v << 8) | v)
+                arr(y * dw + x) = (v << 16) | (v << 8) | v
                 x += 1
               }
               y += 1
             }
+            out.setRGB(0, 0, dw, dh, arr, 0, dw)
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             ResizedImage(r.id, sw, sh, dw, dh, bos.toByteArray, gs)
