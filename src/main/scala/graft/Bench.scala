@@ -191,7 +191,10 @@ object Bench {
         index.Indexes.invalidateAll(spark, sfDir)
         index.Indexes.buildAll(spark, sfDir)
         val g = graph.TpchGraph.build(spark, sfDir)
-        g.edges.count(); g.nodes.count()
+        // touch the memoized counts so the Graph's lazy sizes (the
+        // broadcast-hint gates) are populated in the build phase, not
+        // billed to the first graph query's cold rep (r17)
+        g.edgeCount; g.nodeCount
         false
       } catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] build phase failed: $t"); true

@@ -378,8 +378,13 @@ object Dedup {
     * not persist — GC-scoped storage, see minhashLshPairs): callers
     * reuse it across propagation rounds / counts. */
   def componentEdges(docs: DataFrame,
-      bucketCap: Int = BucketGuard.DefaultCap): DataFrame = {
-    val ds = docSignatures(docs).localCheckpoint()
+      bucketCap: Int = BucketGuard.DefaultCap,
+      sigs: Option[DataFrame] = None): DataFrame = {
+    // `sigs`: optionally a PRE-MATERIALIZED docSignatures(docs) frame —
+    // a caller running several sweeps over the same corpus (the
+    // near-dup recall gate runs guarded + unguarded) pays the minhash
+    // pass once instead of once per sweep (r17)
+    val ds = sigs.getOrElse(docSignatures(docs).localCheckpoint())
     val cand = BucketGuard
       .candidatePairs(bandRows(ds), "doc_id", Seq("band", "sig"), "fsig",
         bucketCap)
@@ -408,8 +413,9 @@ object Dedup {
   def nearDupComponents(docs: DataFrame,
       bucketCap: Int = BucketGuard.DefaultCap,
       localEdgeCap: Long = LocalComponentEdgeCap,
-      edges: Option[DataFrame] = None): DataFrame = {
-    val pairs = edges.getOrElse(componentEdges(docs, bucketCap))
+      edges: Option[DataFrame] = None,
+      sigs: Option[DataFrame] = None): DataFrame = {
+    val pairs = edges.getOrElse(componentEdges(docs, bucketCap, sigs))
     // Measured-size escape hatch (r11, reworked r12): below
     // `localEdgeCap` verified edges, the propagation loop's cost is
     // pure fixed stage latency — each round is a handful of tiny jobs,

@@ -161,22 +161,28 @@ object NearDupRecall {
     import s.implicits._
     val gate = !sys.env.get("GRAFT_RECALL_GATE").contains("off")
 
-    // ---- minhash shingle family: engine components, guarded vs not
+    // ---- minhash shingle family: engine components, guarded vs not.
+    // The minhash pass runs ONCE (r17): the mixed-bucket precondition
+    // and both sweeps read the same materialized signature frame
+    // instead of re-hashing the corpus three times.
     val docs = corpus(s, dir).localCheckpoint()
+    val sigs = Dedup.docSignatures(docs).localCheckpoint()
     requireMixedHotBucket(
-      Dedup.bandRows(Dedup.docSignatures(docs)), Seq("band", "sig"),
-      "minhash")
+      Dedup.bandRows(sigs), Seq("band", "sig"), "minhash")
     def compMap(cap: Int): Map[Long, Long] =
-      Dedup.nearDupComponents(docs, bucketCap = cap)
+      Dedup.nearDupComponents(docs, bucketCap = cap, sigs = Some(sigs))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // ---- hyperplane (embedding) family: guarded vs unguarded verified
     // pair graph → driver-side components (eval corpus is bounded)
     val D = graft.core.Tables.EmbeddingDim
     val vecs = vecCorpus(s, dir).localCheckpoint()
+    // materialized once: the precondition probe and both guarded/
+    // unguarded sweeps read the same band rows (r17)
     val vBands = graft.index.LshIndex
       .bucketRows(vecs, "embedding", "vec_id", D, withFullSig = true)
       .select("vec_id", "band_idx", "band_val", "fsig")
+      .localCheckpoint()
     requireMixedHotBucket(vBands, Seq("band_idx", "band_val"), "embedding")
     def vecComp(cap: Int): Map[Long, Long] = {
       val cand = BucketGuard

@@ -16,7 +16,15 @@ import graft.core.Tables
   * scans prune on pushed filters. Traversals are bounded driver-side
   * loops of joins (depth ≤ 3/10 like the reference defaults).
   */
-final case class Graph(nodes: DataFrame, edges: DataFrame)
+final case class Graph(nodes: DataFrame, edges: DataFrame) {
+  /** Memoized exact sizes (r17): the broadcast-hint gates in pagerank /
+    * PPR need them, both relations are persisted by the builder, and
+    * TpchGraph memoizes the Graph instance per (session, dir) — so the
+    * counts are one job per built graph (populated in the bench's build
+    * phase) instead of one count job per query rep. */
+  lazy val nodeCount: Long = nodes.count()
+  lazy val edgeCount: Long = edges.count()
+}
 
 /** Derives the test graph from the TPC-H-ish tables:
   * Customer/Supplier/Nation/Part/Order nodes; edges PLACED_BY (o→c),
@@ -79,9 +87,30 @@ object TpchGraph {
     // Both relations are re-joined several times by every traversal
     // (each BFS hop, both var-length directions); persist so the
     // lineitem-distinct shuffles run once per query, not once per hop.
-    Graph(nodes.persist(),
+    // Coalesce the persisted edge list before caching (r17, guide §2.2
+    // fewer-larger partitions): the raw union carries the two distinct
+    // shuffles' full width plus the scan splits (67 partitions at
+    // sf0.1/32 cores) and every graph query re-scans it — pagerank 6×
+    // per rep — at ~0.2 s of fixed per-task cost × 67 tasks per scan.
+    // Core count is the scale-adaptive floor for one-wave scheduling;
+    // at cluster scale the same expression keeps one task per core.
+    // range-repartition on (type, src), not coalesce and not round-robin
+    // (r17, all three measured): coalesce packs whole union children into
+    // merged partitions (one partition = all 150k PLACED_BY rows, another
+    // a near-empty distinct output) and the skewed wave time showed up in
+    // every downstream scan (graph_ppr 2.3→3.7 s); round-robin evens the
+    // sizes but interleaves the five relations, which destroys the
+    // columnar cache's clustering (type stops being RLE-runs, src loses
+    // prefix locality) and made every scan's decode slower (graph_ppr
+    // 2.1→2.6, shortest_paths 0.67→0.86). Range partitioning keeps rows
+    // clustered by (type, src) — the read-side locality the union had —
+    // while the range sampler splits the dominant type across partitions
+    // for even sizes. One build-time shuffle either way.
+    val np = spark.sparkContext.defaultParallelism
+    Graph(nodes.coalesce(np).persist(),
       placedBy.union(custNation).union(suppNation).union(hasPart)
-        .union(suppliedBy).persist())
+        .union(suppliedBy)
+        .repartitionByRange(np, col("type"), col("src")).persist())
   }
 
   /** DuckDB CTEs defining the same nodes/edges relations. */
@@ -194,24 +223,31 @@ object GraphOps {
         broadcast(frontier) else frontier
       val v = if (visitedRows <= FrontierHintRows)
         broadcast(visited) else visited
-      val next = f
+      val last = d == maxDepth
+      val next0 = f
         .join(g.edges, col("node") === col("src"))
         .select(col("dst").as("node"),
           concat(col("path"), lit("->"), col("dst")).as("path"))
         .join(v, col("node") === col("vnode"), "left_anti")
         .groupBy("node").agg(min("path").as("path"))
-        // materialize the hop: next feeds acc, visited AND the next
-        // frontier — without the checkpoint each later hop re-executes
-        // every earlier hop's joins (lineage growth)
-        .localCheckpoint()
-      val n = next.count() // materialized: metadata-cheap
-      frontierRows = n
-      visitedRows += n
+      // materialize the hop: next feeds acc, visited AND the next
+      // frontier — without the checkpoint each later hop re-executes
+      // every earlier hop's joins (lineage growth). The LAST hop feeds
+      // only acc, so its checkpoint + gate count were two
+      // pure-overhead jobs per rep (r17).
+      val next = if (last) next0 else next0.localCheckpoint()
+      if (!last) {
+        val n = next.count() // materialized: metadata-cheap
+        frontierRows = n
+        visitedRows += n
+      }
       val step = next.select(col("node").as("target"), lit(d).as("depth"),
         col("path"))
       acc = Some(acc.map(_.union(step)).getOrElse(step))
-      visited = visited.union(next.select(col("node").as("vnode")))
-      frontier = next
+      if (!last) {
+        visited = visited.union(next.select(col("node").as("vnode")))
+        frontier = next
+      }
     }
     val all = acc.get
     targetLabel match {
@@ -242,10 +278,11 @@ object GraphOps {
     // one broadcast join + one map-side-combined groupBy shuffle of
     // per-dst partial sums; past the ceiling the joins fall back to
     // shuffles on src/dst — the right plan at that size.
-    val nodes = g.nodes.select(col("id")).localCheckpoint()
     val edges = g.edges.select(col("src"), col("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val hint = nodes.count() <= FrontierHintRows
+    // memoized size (Graph.nodeCount): the gate no longer costs a
+    // checkpoint + count job per rep (r17)
+    val hint = g.nodeCount <= FrontierHintRows
     def maybeBc(df: DataFrame) = if (hint) broadcast(df) else df
     // Materialized adjacency: the per-src out-degree joined into the
     // edge list ONCE (the GraphX trade — edge storage carries od so the
@@ -274,18 +311,20 @@ object GraphOps {
         case None => edgesOd
           .select(col("dst"), expr(s"${base}L div od").as("c"))
       }
-      val next = contrib
+      // No mid-loop checkpoints (r17): each hop's rank table feeds
+      // exactly ONE parent (the next hop's broadcast or the final
+      // join), so the whole loop is a single lazy plan — in the hinted
+      // regime every hop materializes exactly once anyway, inside its
+      // broadcast build, and the former every-2nd-hop localCheckpoints
+      // were pure duplicate materializations (measured: 22 → 9 jobs,
+      // warm 4.99 → 2.9 s at sf0.1/32 cores). Past the hint ceiling
+      // the chain is one 5-join shuffle plan — ordinary AQE territory.
+      r = Some(contrib
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("id"),
-          (lit(150000L) + expr("sc * 17 div 20")).as("r6"))
-      // checkpoint the small rank table every second hop (and the last):
-      // a localCheckpoint is an eager materialization costing a full
-      // stage round-trip locally, and a two-hop lineage (one join + one
-      // groupBy deep) re-plans fine — halving the checkpoints cut the
-      // measured sf0.1 cold wall without touching a single rank value
-      r = Some(if (k % 2 == 0 || k == iters) next.localCheckpoint() else next)
+          (lit(150000L) + expr("sc * 17 div 20")).as("r6")))
     }
-    nodes.join(r.get, Seq("id"), "left")
+    g.nodes.select(col("id")).join(maybeBc(r.get), Seq("id"), "left")
       .select(col("id"), coalesce(col("r6"), lit(150000L)).as("r6"))
   }
 
@@ -301,7 +340,9 @@ object GraphOps {
     require(iters >= 1, s"personalizedPagerank needs >= 1 iteration")
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val nodes = g.nodes.select(col("id")).localCheckpoint()
+    // the builder persists g.nodes — a localCheckpoint on top was a
+    // duplicate materialization job per rep (r17)
+    val nodes = g.nodes.select(col("id"))
     val edges = g.edges.select(col("src"), col("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint()
@@ -345,7 +386,11 @@ object GraphOps {
         .groupBy("id").agg(expr("sum(c) * 17 div 20").as("r6"))
         .unionByName(teleport)
         .groupBy("id").agg(sum("r6").as("r6"))
-      if (k % 2 == 0 || k == iters) {
+      if (k == iters) {
+        // final rank table feeds only the closing join — checkpointing
+        // and counting it were two pure-overhead jobs per rep (r17)
+        r = next
+      } else if (k % 2 == 0) {
         r = next.localCheckpoint()
         rRows = r.count()
         counted = true

@@ -74,20 +74,31 @@ object GraphVector {
         broadcast(frontier) else frontier
       val v = if (visitedRows <= graft.graph.GraphOps.FrontierHintRows)
         broadcast(visited) else visited
-      val next = f
+      val last = hop == expandHops
+      val next0 = f
         .join(und, col("id") === col("a"))
         .select(col("b").as("id")).distinct()
         .join(v, col("id") === col("vid"), "left_anti")
-        .localCheckpoint() // reused by acc + visited + next hop over the 2x-edges union
-      val n = next.count() // materialized: counting is metadata-cheap
-      frontierRows = n
-      visitedRows += n
+      // The LAST hop's frontier has exactly one consumer (acc) — no
+      // next hop reads it and the visited union is dead — so its
+      // checkpoint + gate count were two pure-overhead jobs per rep
+      // (r17); earlier hops keep the materialize-and-measure contract
+      // (reused by acc + visited + the next hop over the 2×-edges
+      // union, and the count drives the broadcast gate).
+      val next = if (last) next0 else next0.localCheckpoint()
+      if (!last) {
+        val n = next.count() // materialized: counting is metadata-cheap
+        frontierRows = n
+        visitedRows += n
+      }
       acc = acc.union(
         next.crossJoin(broadcast(maxSeed))
           .selectExpr("id", s"round(${hopScore(vw, gw, hop)}, 6) as score",
             s"$hop as hop"))
-      visited = visited.union(next.select(col("id").as("vid")))
-      frontier = next
+      if (!last) {
+        visited = visited.union(next.select(col("id").as("vid")))
+        frontier = next
+      }
     }
     acc.orderBy(desc("score"), col("id")).limit(k)
   }

@@ -155,7 +155,7 @@ object CollectionQueries {
       "collection_compact",
       (s, dir) => {
         import org.apache.spark.sql.functions.{count => fcount, expr => fexpr, lit => flit}
-        val root = java.nio.file.Files.createTempDirectory("graft_cc").toString
+        val root = graft.core.Scratch.dir("graft_cc")
         try {
           val vdb = new VectorDb(s, root)
           val coll = vdb.createCollection("cc", D, "cosine")
@@ -217,7 +217,7 @@ object CollectionQueries {
       "collection_bulk_roundtrip",
       (s, dir) => {
         import org.apache.spark.sql.functions.{expr => fexpr, posexplode}
-        val root = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+        val root = graft.core.Scratch.dir("graft_bulk")
         try {
           val vdb = new VectorDb(s, root)
           val coll = vdb.createCollection("bulk", D, "cosine")
@@ -274,7 +274,7 @@ object CollectionQueries {
       "collection_lifecycle",
       (s, dir) => {
         import org.apache.spark.sql.functions.{concat, lit}
-        val root = java.nio.file.Files.createTempDirectory("graft_lc").toString
+        val root = graft.core.Scratch.dir("graft_lc")
         try {
           val vdb = new VectorDb(s, root)
           val coll = vdb.createCollection("lc", D, "cosine")

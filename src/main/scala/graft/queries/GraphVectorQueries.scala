@@ -46,8 +46,7 @@ object GraphVectorQueries {
     Q(
       "gv_persistence",
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_gv_store").toString
+        val tmp = graft.core.Scratch.dir("graft_gv_store")
         try {
           val g = TpchGraph.build(s, dir)
           g.nodes.write.parquet(s"$tmp/nodes")

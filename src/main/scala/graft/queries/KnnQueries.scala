@@ -72,9 +72,20 @@ object KnnQueries {
             Seq("vb"))
           .select(col("va"), col("vb"),
             round(cosineDistance(col("ea"), col("eb")), 6).as("dist"))
-        pairs.select(col("va").as("vec_id"), col("vb").as("nbr_id"), col("dist"))
-          .unionAll(pairs.select(col("vb").as("vec_id"),
-            col("va").as("nbr_id"), col("dist")))
+        // mirror via explode, NOT a self-union (r17): `pairs` is the
+        // candidate joins + the cosine kernel, and Spark does not share
+        // common subtrees across union branches — the union form
+        // executed the scoring joins and every cosine TWICE per action
+        // (same rows, plan audit: 2× BroadcastHashJoin chains → 1).
+        // explode emits both directions from one scored row.
+        pairs
+          .select(explode(array(
+            struct(col("va").as("vec_id"), col("vb").as("nbr_id"),
+              col("dist")),
+            struct(col("vb").as("vec_id"), col("va").as("nbr_id"),
+              col("dist")))).as("p"))
+          .select(col("p.vec_id").as("vec_id"), col("p.nbr_id").as("nbr_id"),
+            col("p.dist").as("dist"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("vec_id", "nbr_id", "rank", "dist")

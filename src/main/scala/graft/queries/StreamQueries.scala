@@ -466,8 +466,7 @@ object StreamQueries {
         val K = 10
         val qv = hashVectorValues(11L, D)
         val emb = Tables.embeddings(s, dir)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_ann").toString
+        val tmp = graft.core.Scratch.dir("graft_stream_ann")
         val idx = s"$tmp/lsh"
         // multi-file copy so the file source yields genuine micro-batches:
         // 6 files at 2/trigger = 3 batches — one initial build plus TWO
@@ -578,8 +577,7 @@ object StreamQueries {
         val mm = rel.agg(min("t"), max("t")).head
         val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
         val latenessSec = (maxT - minT) + 3600L
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_asof_live").toString
+        val tmp = graft.core.Scratch.dir("graft_stream_asof_live")
         try {
           rel.repartition(6).write.parquet(s"$tmp/d0")
           val stream = s.readStream.schema(rel.schema)
@@ -644,8 +642,7 @@ object StreamQueries {
         val s = streamChild(s0) // keyed state stores — width 8
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_dedup_live").toString
+        val tmp = graft.core.Scratch.dir("graft_stream_dedup_live")
         try {
           ev.repartition(6, col("user_id")).write.parquet(s"$tmp/src")
           val stream = s.readStream.schema(ev.schema)
@@ -704,9 +701,11 @@ object StreamQueries {
     * scratch hygiene of the tmp-dir entries. */
   private def withScratchCheckpoint[T](
       s: org.apache.spark.sql.SparkSession)(f: String => T): T = {
-    import graft.index.IndexStore
+    // per-rep checkpoint: offset/commit logs + state-store deltas are
+    // throwaway scratch — fast-scratch root (tmpfs when present), not
+    // the persistent index store (r17, see core.Scratch)
     val dir = new org.apache.hadoop.fs.Path(
-      s"${IndexStore.root}/_ckpt/${java.util.UUID.randomUUID()}")
+      graft.core.Scratch.dir("graft_ckpt"))
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     try f(dir.toString) finally fs.delete(dir, true)
   }

@@ -191,18 +191,34 @@ object TextQueries {
     Q(
       "text_repetition",
       (s, dir) => {
-        val base = Tables.documents(s, dir)
+        // r17 (guide §2.4 remove shuffles outright): the bigram
+        // multiset lives entirely inside one row's token array, so its
+        // max multiplicity is an in-row computation — sort the bigram
+        // array, take the longest equal-adjacent run. The former shape
+        // (explode → groupBy(doc,bg) → groupBy(doc) → join back to
+        // base) shuffled the whole corpus bigram stream twice, joined,
+        // and — because `base` fed both the explode branch and the
+        // join — tokenized every document twice per action. Same
+        // counts (string equality is string equality), same rows;
+        // plan: 3 Exchange + 1 join → 1 map-only pass + TakeOrdered.
+        Tables.documents(s, dir)
           .selectExpr("doc_id", "source", s"${wordTokens("text")} as t")
           .selectExpr("doc_id", "source", "t",
             "size(t) as n", "size(array_distinct(t)) as nd")
-          .filter(col("n") >= 2)
-        val top = base
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-            .as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
-        base.join(top, Seq("doc_id"))
+          .filter(col("n") >= 2) // before the bigram expr: sequence(0, n-2) needs n >= 2
+          .selectExpr("doc_id", "source", "n", "nd",
+            """aggregate(
+                 array_sort(transform(sequence(0, size(t)-2),
+                                      i -> concat(t[i], ' ', t[i+1]))),
+                 named_struct('prev', cast(null as string),
+                              'run', cast(0 as bigint),
+                              'best', cast(0 as bigint)),
+                 (a, x) -> named_struct(
+                    'prev', x,
+                    'run', if(a.prev <=> x, a.run + 1L, 1L),
+                    'best', greatest(a.best,
+                                     if(a.prev <=> x, a.run + 1L, 1L))),
+                 a -> a.best) as top_bg""")
           .select(col("doc_id"), col("source"),
             round(lit(1.0) - col("nd").cast("double") / col("n"), 6)
               .as("dup_word_frac"),

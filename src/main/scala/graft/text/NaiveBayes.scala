@@ -57,11 +57,21 @@ object NaiveBayes {
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
       .select(col(labelCol),
         expr("cast(round(ln(nd / n) * 1e6) as bigint)").as("prior6"))
-    val sw = test.selectExpr(idCol, s"$labelCol as actual",
-      s"explode(${wordTokens(textCol)}) as w")
+    // Test tokens pre-aggregated to (doc, word, count) and MATERIALIZED
+    // once (r17): the former token-stream shape fed the explode into
+    // BOTH the distinct-words subtree and the scoring join, so every
+    // test document was tokenized twice per action, and the scoring
+    // join fanned out per token occurrence. Σ lp6 over occurrences
+    // equals lp6 · count exactly (BIGINT arithmetic), so the scores —
+    // and every downstream argmax — are unchanged.
+    val swc = test.selectExpr(idCol, s"$labelCol as actual",
+        s"explode(${wordTokens(textCol)}) as w")
+      .groupBy(col(idCol), col("actual"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // per-(test word, label) smoothed log-probs: distinct test words ×
     // the (tiny, broadcast) label totals, zero counts via left join
-    val lp = sw.select("w").distinct()
+    val lp = swc.select("w").distinct()
       .crossJoin(broadcast(ts.crossJoin(v)))
       .join(cw, Seq("w", labelCol), "left")
       .select(col("w"), col(labelCol),
@@ -71,9 +81,9 @@ object NaiveBayes {
         expr(s"cast(round(ln((coalesce(c, 0) + cast($Alpha as double)) /" +
           s" (t + cast($Alpha as double) * v)) * 1e6) as bigint)")
           .as("lp6"))
-    val scores = sw.join(lp, "w")
+    val scores = swc.join(lp, "w")
       .groupBy(col(idCol), col("actual"), col(labelCol))
-      .agg(sum("lp6").as("s6"))
+      .agg(sum(col("lp6") * col("cnt")).as("s6"))
       .join(broadcast(pri), labelCol)
       .withColumn("score6", col("s6") + col("prior6"))
     val rank = Window.partitionBy(col(idCol))

@@ -27,7 +27,7 @@ object ProfileQuery {
 
     final case class J(id: Int, desc: String, site: String, t0: Long,
         var t1: Long = 0L, var group: String = "", var tasks: Int = 0,
-        var runMs: Long = 0L)
+        var runMs: Long = 0L, var gcMs: Long = 0L, var cpuMs: Long = 0L)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -51,6 +51,8 @@ object ProfileQuery {
           .foreach { j =>
             j.tasks += si.numTasks
             j.runMs += si.taskMetrics.executorRunTime
+            j.gcMs += si.taskMetrics.jvmGCTime
+            j.cpuMs += si.taskMetrics.executorCpuTime / 1000000L
           }
       }
     })
@@ -79,7 +81,7 @@ object ProfileQuery {
       var prevEnd = 0L
       for (j <- last) {
         val gap = if (prevEnd == 0) 0.0 else (j.t0 - prevEnd) / 1e3
-        println(f"[profile] job ${j.id}%4d ${(j.t1 - j.t0) / 1e3}%7.3f s  gap ${gap}%6.3f s  tasks ${j.tasks}%4d  exec ${j.runMs / 1e3}%7.3f s  ${j.desc.take(60)}%s")
+        println(f"[profile] job ${j.id}%4d ${(j.t1 - j.t0) / 1e3}%7.3f s  gap ${gap}%6.3f s  tasks ${j.tasks}%4d  exec ${j.runMs / 1e3}%7.3f s  cpu ${j.cpuMs / 1e3}%7.3f s  gc ${j.gcMs / 1e3}%6.3f s")
         prevEnd = j.t1
       }
     }
